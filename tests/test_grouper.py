@@ -1,0 +1,75 @@
+import numpy as np
+import pytest
+
+from xsdba_tpu.utils.calendar import date_range
+from xsdba_tpu.utils.grouper import Grouper
+
+
+def test_parse():
+    g = Grouper("time.month")
+    assert g.dim == "time" and g.prop == "month"
+    g2 = Grouper("time", window=1)
+    assert g2.prop == "group"
+    with pytest.raises(ValueError):
+        Grouper("time", window=5)
+    g3 = Grouper("5D", window=3)
+    assert g3.dim == "time" and g3.prop == "5D"
+
+
+def test_month_groups():
+    t = date_range("2000-01-01", periods=731, freq="D")
+    gi = Grouper("time.month").indexes(t)
+    assert gi.n_groups == 12
+    np.testing.assert_array_equal(gi.group_idx, t.month - 1)
+    # January has 31 * 2 = 62 members
+    assert gi.group_counts[0] == 62
+    jan = gi.gather_idx[0][gi.gather_idx[0] >= 0]
+    assert np.all(t.month[jan] == 1)
+
+
+def test_month_frac_index():
+    t = date_range("2000-01-01", periods=60, freq="D")
+    gi = Grouper("time.month").indexes(t)
+    # reference base.py:296: month - 0.5 + day/days_in_month
+    assert gi.frac_idx[0] == pytest.approx(1 - 0.5 + 1 / 31)
+    assert gi.frac_idx[31] == pytest.approx(2 - 0.5 + 1 / 29)
+
+
+def test_doy_window_membership():
+    t = date_range("2001-01-01", periods=365 * 3, freq="D", calendar="noleap")
+    g = Grouper("time.dayofyear", window=5)
+    gi = g.indexes(t)
+    assert gi.n_groups == 365
+    # doy 10 (0-based 9): centers at idx 9, 374, 739; window +-2
+    row = gi.gather_idx[9]
+    valid = row[row >= 0]
+    expect = np.concatenate([np.arange(7, 12), np.arange(372, 377), np.arange(737, 742)])
+    np.testing.assert_array_equal(np.sort(valid), expect)
+    # doy 1 at series start: two positions fall before the series -> padded
+    row0 = gi.gather_idx[0]
+    assert (row0 >= 0).sum() == 3 * 5 - 2
+
+
+def test_season_index():
+    t = date_range("2000-01-01", periods=366, freq="D")
+    gi = Grouper("time.season").indexes(t)
+    assert gi.n_groups == 4
+    assert gi.group_idx[0] == 0  # Jan -> DJF
+    assert gi.group_idx[200] == 2  # mid-July -> JJA
+    # frac: doy/366*4 - 1/6
+    assert gi.frac_idx[0] == pytest.approx(1 / 366 * 4 - 1 / 6)
+
+
+def test_whole_series_group():
+    t = date_range("2000-01-01", periods=100, freq="D")
+    gi = Grouper("time").indexes(t)
+    assert gi.n_groups == 1
+    assert gi.group_counts[0] == 100
+    np.testing.assert_array_equal(np.sort(gi.gather_idx[0]), np.arange(100))
+
+
+def test_equality_and_hash():
+    assert Grouper("time.month") == Grouper("time.month")
+    assert Grouper("time") == "time"
+    assert Grouper("time.month", window=3) != Grouper("time.month")
+    assert hash(Grouper("time.month")) == hash(Grouper("time.month"))

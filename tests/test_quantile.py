@@ -1,0 +1,59 @@
+import numpy as np
+import pytest
+
+from xsdba_tpu.ops.quantile import grouped_nan_quantile, nan_quantile, vecquantiles
+
+
+@pytest.mark.parametrize("nans", [False, True])
+def test_nan_quantile_matches_numpy(random, nans):
+    x = random.normal(size=(5, 300))
+    if nans:
+        x[x < -1.0] = np.nan
+    q = np.linspace(0.01, 0.99, 50)
+    got = np.asarray(nan_quantile(x, q))
+    want = np.nanquantile(x, q, axis=-1).T
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_nan_quantile_edges(random):
+    x = random.normal(size=(40,))
+    q = np.array([0.0, 1.0, 0.5])
+    got = np.asarray(nan_quantile(x, q))
+    np.testing.assert_allclose(got, np.nanquantile(x, q), rtol=1e-12)
+
+
+def test_nan_quantile_all_nan():
+    x = np.full((3, 10), np.nan)
+    got = np.asarray(nan_quantile(x, np.array([0.1, 0.9])))
+    assert np.all(np.isnan(got))
+
+
+def test_nan_quantile_single_value():
+    x = np.array([[5.0] + [np.nan] * 9])
+    got = np.asarray(nan_quantile(x, np.array([0.0, 0.5, 1.0])))
+    np.testing.assert_allclose(got, 5.0)
+
+
+def test_vecquantiles(random):
+    x = random.normal(size=(7, 200))
+    rnk = random.uniform(size=(7,))
+    got = np.asarray(vecquantiles(x, rnk))
+    want = np.array([np.quantile(x[i], rnk[i]) for i in range(7)])
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+    rnk2 = rnk.copy()
+    rnk2[2] = np.nan
+    got2 = np.asarray(vecquantiles(x, rnk2))
+    assert np.isnan(got2[2]) and np.isfinite(got2[0])
+
+
+def test_grouped_nan_quantile_equals_per_group(random):
+    x = random.normal(size=(2, 120))
+    # 3 groups of 40 with a ragged pad row
+    gi = np.full((3, 50), -1, dtype=np.int32)
+    for g in range(3):
+        gi[g, :40] = np.arange(g * 40, (g + 1) * 40)
+    q = np.array([0.1, 0.5, 0.9])
+    got = np.asarray(grouped_nan_quantile(x, gi, q))
+    for g in range(3):
+        want = np.quantile(x[:, g * 40 : (g + 1) * 40], q, axis=-1).T
+        np.testing.assert_allclose(got[:, g], want, rtol=1e-12)

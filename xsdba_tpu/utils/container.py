@@ -1,0 +1,189 @@
+"""Thin host-side labeled-array shell.
+
+The reference rides on xarray for labels/attrs/metadata; here the xarray role
+is reduced to a deliberately small host shell: a :class:`DataArray` is a dense
+(numpy or jax) array + dims + coords (with ``time`` being a
+:class:`~xsdba_tpu.utils.calendar.TimeIndex`) + attrs.  All heavy compute takes
+raw device arrays; these containers only carry metadata in and out.
+
+Not a general xarray clone: only the operations the bias-adjustment API needs
+(alignment of the time axis, unit/history attrs, variable stacking).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .calendar import TimeIndex
+
+__all__ = ["DataArray", "Dataset"]
+
+
+def _asarray(data):
+    import jax.numpy as jnp
+
+    if isinstance(data, (np.ndarray, jnp.ndarray)):
+        return data
+    return np.asarray(data)
+
+
+class DataArray:
+    """A labeled dense array: ``data`` [dims...], ``coords`` per dim, ``attrs``."""
+
+    __slots__ = ("data", "dims", "coords", "attrs", "name")
+
+    def __init__(self, data, dims=None, coords=None, attrs=None, name=None):
+        self.data = _asarray(data)
+        if dims is None:
+            if self.data.ndim == 1:
+                dims = ("time",)
+            else:
+                raise ValueError("dims required for ndim != 1")
+        self.dims = tuple(dims)
+        if len(self.dims) != self.data.ndim:
+            raise ValueError(f"dims {self.dims} don't match shape {self.data.shape}")
+        self.coords = dict(coords or {})
+        self.attrs = dict(attrs or {})
+        self.name = name
+
+    # -- basic introspection ----------------------------------------------
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    @property
+    def ndim(self):
+        return self.data.ndim
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def sizes(self):
+        return dict(zip(self.dims, self.data.shape))
+
+    @property
+    def time(self) -> TimeIndex | None:
+        return self.coords.get("time")
+
+    @property
+    def units(self) -> str:
+        return self.attrs.get("units", "")
+
+    def get_axis_num(self, dim: str) -> int:
+        return self.dims.index(dim)
+
+    def __len__(self):
+        return self.data.shape[0]
+
+    def __repr__(self):
+        coords = ", ".join(self.coords)
+        return f"<xsdba_tpu.DataArray {self.name or ''}{self.sizes} coords=({coords}) attrs={self.attrs}>"
+
+    # -- manipulation ------------------------------------------------------
+
+    def copy(self, data=None, attrs=None) -> "DataArray":
+        return DataArray(
+            self.data if data is None else data,
+            self.dims,
+            dict(self.coords),
+            dict(self.attrs) if attrs is None else dict(attrs),
+            self.name,
+        )
+
+    def assign_attrs(self, **kw) -> "DataArray":
+        out = self.copy()
+        out.attrs.update(kw)
+        return out
+
+    def rename(self, name: str) -> "DataArray":
+        out = self.copy()
+        out.name = name
+        return out
+
+    def transpose(self, *dims) -> "DataArray":
+        order = [self.dims.index(d) for d in dims]
+        return DataArray(np.transpose(np.asarray(self.data), order) if isinstance(self.data, np.ndarray) else self.data.transpose(order), dims, dict(self.coords), dict(self.attrs), self.name)
+
+    def move_dim_last(self, dim: str) -> "DataArray":
+        """Return a view with ``dim`` as the trailing axis (compute layout)."""
+        ax = self.dims.index(dim)
+        if ax == self.ndim - 1:
+            return self
+        import jax.numpy as jnp
+
+        data = jnp.moveaxis(self.data, ax, -1) if not isinstance(self.data, np.ndarray) else np.moveaxis(self.data, ax, -1)
+        dims = tuple(d for d in self.dims if d != dim) + (dim,)
+        return DataArray(data, dims, dict(self.coords), dict(self.attrs), self.name)
+
+    def isel(self, **indexers) -> "DataArray":
+        data = self.data
+        coords = dict(self.coords)
+        for dim, idx in indexers.items():
+            ax = self.dims.index(dim)
+            data = np.take(np.asarray(data), idx, axis=ax) if isinstance(data, np.ndarray) else data.take(np.asarray(idx), axis=ax)
+            if dim in coords:
+                c = coords[dim]
+                coords[dim] = c.isel(idx) if isinstance(c, TimeIndex) else np.asarray(c)[idx]
+        return DataArray(data, self.dims, coords, dict(self.attrs), self.name)
+
+    def expand_dims(self, dim: str, axis: int = 0, coord=None) -> "DataArray":
+        import jax.numpy as jnp
+
+        mod = np if isinstance(self.data, np.ndarray) else jnp
+        data = mod.expand_dims(self.data, axis)
+        dims = list(self.dims)
+        dims.insert(axis, dim)
+        coords = dict(self.coords)
+        if coord is not None:
+            coords[dim] = coord
+        return DataArray(data, tuple(dims), coords, dict(self.attrs), self.name)
+
+    def astype(self, dtype) -> "DataArray":
+        return self.copy(data=self.data.astype(dtype))
+
+    def __array__(self, dtype=None):
+        arr = np.asarray(self.data)
+        return arr.astype(dtype) if dtype is not None else arr
+
+
+class Dataset:
+    """Mapping of variable name -> DataArray, plus shared attrs."""
+
+    __slots__ = ("data_vars", "attrs")
+
+    def __init__(self, data_vars=None, attrs=None):
+        self.data_vars = dict(data_vars or {})
+        for k, v in self.data_vars.items():
+            if isinstance(v, DataArray) and v.name is None:
+                v.name = k
+        self.attrs = dict(attrs or {})
+
+    def __getitem__(self, key) -> DataArray:
+        return self.data_vars[key]
+
+    def __setitem__(self, key, value: DataArray):
+        self.data_vars[key] = value
+
+    def __contains__(self, key):
+        return key in self.data_vars
+
+    def __iter__(self):
+        return iter(self.data_vars)
+
+    def keys(self):
+        return self.data_vars.keys()
+
+    def values(self):
+        return self.data_vars.values()
+
+    def items(self):
+        return self.data_vars.items()
+
+    def __repr__(self):
+        return f"<xsdba_tpu.Dataset vars={list(self.data_vars)} attrs={list(self.attrs)}>"
+
+    def copy(self) -> "Dataset":
+        return Dataset({k: v.copy() for k, v in self.data_vars.items()}, dict(self.attrs))

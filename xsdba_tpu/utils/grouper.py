@@ -1,0 +1,243 @@
+"""Time grouping, lowered to static integer index arrays.
+
+The reference's ``Grouper`` (``base.py:118-501``) performs runtime
+``groupby``/``rolling`` over xarray objects.  On TPU, all calendar structure is
+known before tracing, so a grouping lowers to *static* host-computed arrays:
+
+- ``group_idx[T]``   int32 group id of each timestep (0-based),
+- ``frac_idx[T]``    float interpolation index (reference ``base.py:274-345``:
+  month → ``month - 0.5 + day/days_in_month``; season → ``doy/year_len*4 - 1/6``;
+  dayofyear → ``doy``),
+- ``gather_idx[G, L]`` int32, padded with ``-1``: for each group, the timesteps
+  that fall inside its (optionally windowed) membership.  This reproduces the
+  reference's ``rolling(...).construct("window")`` + ``groupby`` semantics
+  (``base.py:261-265``) exactly — including out-of-series window positions, which
+  pad with ``-1`` and are treated as NaN by nan-aware kernels — as one fused
+  gather instead of a runtime groupby.
+
+The equivalent generalizes the reference's own ``grouped_time_indexes``
+(``processing.py:829-918``), which it also implements (the "5D" MBCn grouping).
+"""
+
+from __future__ import annotations
+
+import functools
+import inspect
+from dataclasses import dataclass
+
+import numpy as np
+
+from .calendar import TimeIndex
+
+__all__ = ["Grouper", "GroupIndexes", "parse_group"]
+
+_PROPS = ("group", "month", "season", "dayofyear", "week")
+
+# Output coordinate labels per prop (reference base.py:207-230).
+_SEASONS = ("DJF", "MAM", "JJA", "SON")
+
+
+@dataclass(frozen=True)
+class GroupIndexes:
+    """Static lowering of a (Grouper, TimeIndex) pair."""
+
+    n_groups: int
+    group_idx: np.ndarray        # [T] int32, 0-based group of each timestep
+    frac_idx: np.ndarray         # [T] float64 fractional interp index
+    gather_idx: np.ndarray       # [G, L] int32, -1 padded
+    group_counts: np.ndarray     # [G] int32, valid entries per row of gather_idx
+    scatter_slot: np.ndarray     # [T] int32: column of gather_idx[group_idx[t]] holding t
+                                 # (the window-center slot when window > 1 — the
+                                 # analogue of reference `isel(window=window//2)`,
+                                 # base.py:425-430)
+    coord: np.ndarray            # [G] output coordinate (1-based months/doys, season strings)
+    prop: str
+    window: int
+
+    @property
+    def max_members(self) -> int:
+        return self.gather_idx.shape[1]
+
+
+class Grouper:
+    """Parse a group string ("time", "time.month", "time.season",
+    "time.dayofyear", "time.week", "5D") + window into static indexes.
+
+    API mirrors the reference ``Grouper`` (``base.py:118-230``); the runtime
+    ``apply`` machinery is replaced by :meth:`indexes` + jitted segment ops.
+    """
+
+    PROP = "<PROP>"
+    DIM = "<DIM>"
+    ADD_DIMS = "<ADD_DIMS>"
+
+    def __init__(self, group: str, window: int = 1, add_dims=None):
+        if group == "time" and window > 1:
+            raise ValueError(
+                "The group given is 'time' but window > 1; windows do not apply "
+                "to whole-series grouping."
+            )
+        if "." in group:
+            dim, prop = group.split(".")
+        else:
+            dim, prop = group, "group"
+        if group == "5D":  # MBCn-only special grouping (reference base.py:161-164)
+            dim, prop = "time", "5D"
+        if prop not in _PROPS + ("5D",):
+            raise ValueError(f"Unsupported group: {group!r}")
+        if isinstance(add_dims, str):
+            add_dims = [add_dims]
+        self.dim = dim
+        self.prop = prop
+        self.name = group
+        self.window = int(window)
+        self.add_dims = list(add_dims or [])
+
+    def __repr__(self):
+        return f"Grouper(group={self.name!r}, window={self.window})"
+
+    def __eq__(self, other):
+        if isinstance(other, str):
+            return self.name == other and self.window == 1
+        if isinstance(other, Grouper):
+            return self.name == other.name and self.window == other.window
+        return NotImplemented
+
+    def __hash__(self):
+        return hash((self.name, self.window))
+
+    @property
+    def prop_name(self) -> str:
+        return "year" if self.prop == "group" else self.prop
+
+    # -- static lowering --------------------------------------------------
+
+    def get_coordinate(self, time: TimeIndex | None = None) -> np.ndarray:
+        """Output coordinate of grouped reductions (reference base.py:207-230)."""
+        if self.prop == "month":
+            return np.arange(1, 13)
+        if self.prop == "season":
+            return np.array(_SEASONS)
+        if self.prop == "dayofyear":
+            mdoy = time.max_doy if time is not None else 365
+            return np.arange(1, mdoy + 1)
+        if self.prop == "group":
+            return np.array([1])
+        if self.prop == "week":
+            return np.arange(1, 54)
+        raise NotImplementedError(f"No coordinate for {self.prop}")
+
+    def group_of(self, time: TimeIndex) -> np.ndarray:
+        """0-based integer group id per timestep."""
+        if self.prop == "group":
+            return np.zeros(len(time), dtype=np.int32)
+        if self.prop == "month":
+            return (time.month - 1).astype(np.int32)
+        if self.prop == "season":
+            return time.season.astype(np.int32)
+        if self.prop == "dayofyear":
+            return (time.dayofyear - 1).astype(np.int32)
+        if self.prop == "week":
+            # ISO-week-like: reference uses pandas isocalendar (base.py:318).
+            # We approximate with dayofyear//7 blocks for non-standard calendars.
+            return np.minimum((time.dayofyear - 1) // 7, 52).astype(np.int32)
+        if self.prop == "5D":
+            # 5-day blocks of the year (reference processing.py:888-906):
+            # block b covers dayofyear in [5b+1, 5b+5].
+            return np.minimum((time.dayofyear - 1) // 5, 72).astype(np.int32)
+        raise NotImplementedError(self.prop)
+
+    def interp_index(self, time: TimeIndex) -> np.ndarray:
+        """Fractional group index for interpolation (reference base.py:293-310)."""
+        if self.prop == "month":
+            return time.month - 0.5 + time.day / time.days_in_month
+        if self.prop == "season":
+            return time.dayofyear / time.days_in_year * 4 - 1 / 6
+        if self.prop == "dayofyear":
+            return time.dayofyear.astype(np.float64)
+        if self.prop == "group":
+            return np.ones(len(time), dtype=np.float64)
+        raise ValueError(f"Interpolation is not supported for time.{self.prop}.")
+
+    def n_groups(self, time: TimeIndex | None = None) -> int:
+        return len(self.get_coordinate(time))
+
+    def indexes(self, time: TimeIndex) -> GroupIndexes:
+        """Lower to static index arrays (cached per TimeIndex)."""
+        key = ("groupidx", self.name, self.window)
+        cache = time._cache
+        if key in cache:
+            return cache[key]
+
+        T = len(time)
+        gidx = self.group_of(time)
+        G = self.n_groups(time)
+        try:
+            frac = self.interp_index(time)
+        except ValueError:
+            frac = gidx.astype(np.float64)
+
+        half = self.window // 2
+        # Membership with rolling window: center t in group g contributes
+        # positions t-half..t+half; out-of-range positions stay -1 (NaN pad),
+        # matching rolling(center=True).construct + groupby (base.py:261-265).
+        members: list[np.ndarray] = [np.flatnonzero(gidx == g) for g in range(G)]
+        counts = np.array([len(m) for m in members], dtype=np.int64)
+        L = int(counts.max()) if T else 0
+        slot = np.zeros(T, dtype=np.int64)
+        if self.window > 1:
+            L *= self.window
+            rows = np.full((G, L), -1, dtype=np.int64)
+            offs = np.arange(-half, half + 1)
+            for g, cen in enumerate(members):
+                if len(cen) == 0:
+                    continue
+                w = (cen[:, None] + offs[None, :]).ravel()
+                w[(w < 0) | (w >= T)] = -1
+                rows[g, : len(w)] = w
+                slot[cen] = np.arange(len(cen)) * self.window + half
+        else:
+            rows = np.full((G, max(L, 1)), -1, dtype=np.int64)
+            for g, m in enumerate(members):
+                rows[g, : len(m)] = m
+                slot[m] = np.arange(len(m))
+        valid = (rows >= 0).sum(axis=1).astype(np.int32)
+
+        out = GroupIndexes(
+            n_groups=G,
+            group_idx=gidx.astype(np.int32),
+            frac_idx=np.asarray(frac, dtype=np.float64),
+            gather_idx=rows.astype(np.int32),
+            group_counts=valid,
+            scatter_slot=slot.astype(np.int32),
+            coord=self.get_coordinate(time),
+            prop=self.prop,
+            window=self.window,
+        )
+        cache[key] = out
+        return out
+
+
+def parse_group(func=None, *, kwargs=None):
+    """Decorator converting a ``group=str`` kwarg into a :class:`Grouper`.
+
+    Mirrors reference ``base.py:504-538``: pulls ``window`` into the Grouper.
+    """
+
+    def _decorator(f):
+        sig = inspect.signature(f)
+        has_window = "window" in sig.parameters
+
+        @functools.wraps(f)
+        def _wrapped(*args, **kw):
+            group = kw.get("group")
+            if isinstance(group, str):
+                window = kw.pop("window", 1) if not has_window else kw.get("window", 1)
+                kw["group"] = Grouper(group, window=window)
+            return f(*args, **kw)
+
+        return _wrapped
+
+    if func is not None:
+        return _decorator(func)
+    return _decorator

@@ -1,0 +1,53 @@
+"""Global/context options — mirrors reference ``options.py:12-83``."""
+
+from __future__ import annotations
+
+import contextlib
+import threading
+
+__all__ = ["set_options", "get_option", "EXTRA_OUTPUT", "AS_DATASET"]
+
+EXTRA_OUTPUT = "extra_output"
+AS_DATASET = "as_dataset"
+
+_DEFAULTS = {EXTRA_OUTPUT: False, AS_DATASET: False}
+_local = threading.local()
+
+
+def _stack():
+    if not hasattr(_local, "stack"):
+        _local.stack = [dict(_DEFAULTS)]
+    return _local.stack
+
+
+def get_option(name: str):
+    return _stack()[-1][name]
+
+
+class set_options(contextlib.AbstractContextManager):
+    """Set options globally or as a context manager.
+
+    >>> with set_options(extra_output=True):
+    ...     ...
+    """
+
+    def __init__(self, **kwargs):
+        bad = set(kwargs) - set(_DEFAULTS)
+        if bad:
+            raise ValueError(f"Unknown options: {sorted(bad)}")
+        new = dict(_stack()[-1])
+        new.update(kwargs)
+        _stack().append(new)
+        self._entered = False
+
+    def __enter__(self):
+        self._entered = True
+        return self
+
+    def __exit__(self, *exc):
+        _stack().pop()
+        return False
+
+    def __del__(self):
+        # Used without `with`: apply globally (keep on the stack).
+        pass
