@@ -1,0 +1,137 @@
+import numpy as np
+import pytest
+from scipy.interpolate import interp1d
+
+from xsdba_tpu.ops.correction import broadcast_group_factors, ecdf, equally_spaced_nodes, map_cdf
+from xsdba_tpu.ops.interp import interp1d_table, interp_on_quantiles_grouped
+from xsdba_tpu.ops.segment import grouped_mean, grouped_rank
+from xsdba_tpu.utils.calendar import date_range
+from xsdba_tpu.utils.grouper import Grouper
+
+
+@pytest.mark.parametrize("extrap", ["constant", "nan"])
+def test_interp1d_matches_scipy(random, extrap):
+    xq = np.sort(random.normal(size=30))
+    yq = random.normal(size=30)
+    v = random.normal(size=200) * 2
+    if extrap == "constant":
+        fill = (yq[0], yq[-1])
+    else:
+        fill = np.nan
+    want = interp1d(xq, yq, bounds_error=False, fill_value=fill)(v)
+    got = np.asarray(interp1d_table(v, xq, yq, "linear", extrap))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_interp1d_nan_pairs(random):
+    xq = np.sort(random.normal(size=20))
+    yq = random.normal(size=20)
+    xq[3] = np.nan
+    yq[7] = np.nan
+    mask = np.isnan(xq) | np.isnan(yq)
+    v = random.normal(size=100)
+    want = interp1d(
+        xq[~mask], yq[~mask], bounds_error=False, fill_value=(yq[~mask][0], yq[~mask][-1])
+    )(v)
+    got = np.asarray(interp1d_table(v, xq, yq, "linear", "constant"))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_interp1d_nan_input(random):
+    xq = np.sort(random.normal(size=10))
+    yq = random.normal(size=10)
+    v = np.array([0.0, np.nan])
+    got = np.asarray(interp1d_table(v, xq, yq, "linear", "constant"))
+    assert np.isnan(got[1]) and np.isfinite(got[0])
+
+
+def test_interp1d_batched(random):
+    xq = np.sort(random.normal(size=(4, 25)), axis=-1)
+    yq = random.normal(size=(4, 25))
+    v = random.normal(size=(4, 50))
+    got = np.asarray(interp1d_table(v, xq, yq, "linear", "constant"))
+    for i in range(4):
+        want = interp1d(xq[i], yq[i], bounds_error=False, fill_value=(yq[i, 0], yq[i, -1]))(v[i])
+        np.testing.assert_allclose(got[i], want, rtol=1e-12)
+
+
+def test_grouped_interp_uniform_groups(random):
+    """When all group tables are identical, grouped interp == 1D interp."""
+    G, nq, T = 12, 20, 300
+    xq1 = np.sort(random.normal(size=nq))
+    yq1 = random.normal(size=nq)
+    xq = np.tile(xq1, (G, 1))
+    yq = np.tile(yq1, (G, 1))
+    v = random.normal(size=T)
+    frac = random.uniform(0.5, 12.5, size=T)
+    got = np.asarray(
+        interp_on_quantiles_grouped(v, frac, xq, yq, np.arange(1, 13), "linear", "constant")
+    )
+    want = interp1d(xq1, yq1, bounds_error=False, fill_value=(yq1[0], yq1[-1]))(v)
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
+def test_grouped_interp_blends_cyclically(random):
+    """Offset tables: value halfway between groups gets the mean correction."""
+    G, nq = 4, 10
+    xq = np.tile(np.linspace(0, 1, nq), (G, 1))
+    yq = np.stack([np.full(nq, float(g)) for g in range(G)])
+    pos = np.arange(1.0, G + 1)
+    v = np.full(5, 0.5)
+    # exactly on group 2's position -> 1.0; halfway between 2 and 3 -> 1.5
+    got_on = np.asarray(interp_on_quantiles_grouped(v, np.full(5, 2.0), xq, yq, pos))
+    got_mid = np.asarray(interp_on_quantiles_grouped(v, np.full(5, 2.5), xq, yq, pos))
+    np.testing.assert_allclose(got_on, 1.0, atol=1e-12)
+    np.testing.assert_allclose(got_mid, 1.5, atol=1e-12)
+    # cyclic: frac below first group blends with the last group
+    got_wrap = np.asarray(interp_on_quantiles_grouped(v, np.full(5, 0.5), xq, yq, pos))
+    np.testing.assert_allclose(got_wrap, (0.0 + 3.0) / 2, atol=1e-12)
+
+
+def test_ecdf_map_cdf(random):
+    x = random.normal(size=500)
+    assert float(ecdf(x, np.quantile(x, 0.3))) == pytest.approx(0.3, abs=0.01)
+    y = random.normal(size=500) * 2 + 5
+    v = map_cdf(x, y, np.array(5.0))
+    assert float(v) == pytest.approx(np.quantile(x, (y <= 5).mean()), abs=1e-6)
+
+
+def test_equally_spaced_nodes():
+    q = equally_spaced_nodes(4)
+    np.testing.assert_allclose(q, [0.125, 0.375, 0.625, 0.875])
+    q2 = equally_spaced_nodes(4, eps=1e-6)
+    assert q2[0] == 1e-6 and q2[-1] == 1 - 1e-6 and len(q2) == 6
+
+
+def test_broadcast_nearest_linear():
+    f = np.arange(12.0)
+    t = date_range("2000-01-01", periods=366, freq="D")
+    g = Grouper("time.month")
+    gi = g.indexes(t)
+    out = np.asarray(broadcast_group_factors(f, gi.frac_idx, gi.group_idx, np.arange(1, 13), "nearest"))
+    np.testing.assert_array_equal(out, t.month - 1)
+    lin = np.asarray(broadcast_group_factors(f, gi.frac_idx, gi.group_idx, np.arange(1, 13), "linear"))
+    # parity with np.interp on the cyclically padded axis (what xarray
+    # .interp does after add_cyclic_bounds, reference utils.py:222-232)
+    want = np.interp(gi.frac_idx, np.arange(0, 14), np.r_[11.0, f, 0.0])
+    np.testing.assert_allclose(lin, want, rtol=1e-12)
+    # early January blends with December (cyclic)
+    assert lin[0] > 5.0
+
+
+def test_grouped_mean_and_rank(random):
+    t = date_range("2000-01-01", periods=731, freq="D")
+    gi = Grouper("time.month").indexes(t)
+    x = random.normal(size=(3, 731))
+    m = np.asarray(grouped_mean(x, gi.gather_idx))
+    assert m.shape == (3, 12)
+    want0 = x[:, t.month == 1].mean(axis=-1)
+    np.testing.assert_allclose(m[:, 0], want0, rtol=1e-12)
+
+    r = np.asarray(grouped_rank(x, gi.gather_idx, gi.group_idx, gi.scatter_slot, pct=True))
+    assert r.shape == x.shape
+    # within each month, pct ranks span exactly [0, 1]
+    jan = r[:, t.month == 1]
+    assert jan.min() == pytest.approx(0.0) and jan.max() == pytest.approx(1.0)
+    order = np.argsort(x[0, t.month == 1])
+    assert np.all(np.diff(jan[0][order]) > 0)

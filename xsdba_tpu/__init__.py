@@ -27,12 +27,18 @@ __all__ = [
 
 def __getattr__(name):
     # Lazy public API: adjustment classes, processing, detrending.
-    from . import models as _models
+    # (importlib, not `from . import` — the latter re-enters __getattr__.)
+    import importlib
 
-    if hasattr(_models, name):
-        return getattr(_models, name)
-    from . import processing as _processing
-
-    if hasattr(_processing, name):
-        return getattr(_processing, name)
+    if name.startswith("_"):
+        raise AttributeError(f"module 'xsdba_tpu' has no attribute {name!r}")
+    for modname in ("models", "processing", "detrending"):
+        try:
+            mod = importlib.import_module(f".{modname}", __name__)
+        except ModuleNotFoundError:
+            continue
+        if name == modname:
+            return mod
+        if hasattr(mod, name):
+            return getattr(mod, name)
     raise AttributeError(f"module 'xsdba_tpu' has no attribute {name!r}")

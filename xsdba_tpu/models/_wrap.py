@@ -1,0 +1,52 @@
+"""Shared glue between labeled DataArrays and the jitted cores."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.container import DataArray, Dataset
+from ..utils.grouper import GroupIndexes, Grouper
+
+__all__ = ["batch_of", "grouped_var", "scen_like", "to_compute"]
+
+
+def to_compute(da: DataArray):
+    """DataArray -> (device array [..., T], batch dims, batch coords)."""
+    da = da.move_dim_last("time")
+    batch_dims = da.dims[:-1]
+    batch_coords = {d: da.coords[d] for d in batch_dims if d in da.coords}
+    return jnp.asarray(da.data), batch_dims, batch_coords
+
+
+def batch_of(da: DataArray):
+    return tuple(s for d, s in zip(da.dims, da.shape) if d != "time")
+
+
+def grouped_var(
+    values,
+    batch_dims,
+    batch_coords,
+    gi: GroupIndexes,
+    extra_dim: tuple[str, np.ndarray] | None = None,
+    attrs=None,
+    name=None,
+) -> DataArray:
+    """Wrap a [..., G(, nq)] core output into a labeled DataArray."""
+    prop = "group" if gi.prop == "group" else gi.prop
+    dims = tuple(batch_dims) + (prop,)
+    coords = dict(batch_coords)
+    coords[prop] = gi.coord
+    if extra_dim is not None:
+        dims = dims + (extra_dim[0],)
+        coords[extra_dim[0]] = extra_dim[1]
+    return DataArray(values, dims, coords, attrs or {}, name)
+
+
+def scen_like(sim: DataArray, values, name: str = "scen") -> DataArray:
+    """Wrap adjusted values (time-last layout) back into sim's dim order."""
+    simc = sim.move_dim_last("time")
+    out = DataArray(values, simc.dims, dict(simc.coords), dict(sim.attrs), name)
+    if simc.dims != sim.dims:
+        out = out.transpose(*sim.dims)
+    return out

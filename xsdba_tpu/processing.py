@@ -1,0 +1,300 @@
+"""Pre/post-processing operations.
+
+TPU re-design of reference ``processing.py`` + ``_processing.py``: jitter,
+frequency adaptation, normalization, standardization, rank reordering —
+all as jitted array cores plus thin labeled wrappers.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.quantile import vecquantiles
+from .ops.rank import average_rank
+from .ops.segment import gather_groups, scatter_back
+from .utils.container import DataArray, Dataset
+from .utils.formatting import update_history
+from .utils.grouper import GroupIndexes, Grouper, parse_group
+from .utils.rng import next_key
+from .utils.units import convert_units_to
+
+__all__ = [
+    "adapt_freq",
+    "jitter",
+    "jitter_over_thresh",
+    "jitter_under_thresh",
+    "normalize",
+    "reordering",
+    "standardize",
+    "uniform_noise_like",
+    "unstandardize",
+]
+
+
+# ---------------------------------------------------------------------------
+# jitter — reference processing.py:124-257
+# ---------------------------------------------------------------------------
+
+
+def _jitter_core(x, lower: float | None, upper: float | None, upper_bnd: float | None, key=None):
+    """Replace values below ``lower`` with U(minimum, lower) noise and values
+    above ``upper`` with U(upper, upper_bnd) noise.  NaN-preserving."""
+    x = jnp.asarray(x)
+    key = next_key() if key is None else key
+    out = x
+    if lower is not None:
+        eps = jnp.finfo(x.dtype).eps
+        k1, key = jax.random.split(key)
+        noise = jax.random.uniform(k1, x.shape, dtype=x.dtype, minval=eps, maxval=lower)
+        out = jnp.where(out < lower, noise, out)
+    if upper is not None:
+        if upper_bnd is None:
+            raise ValueError("`upper_bnd` must be given with `upper`.")
+        k2, _ = jax.random.split(key)
+        noise = jax.random.uniform(k2, x.shape, dtype=x.dtype, minval=upper, maxval=upper_bnd)
+        out = jnp.where(out > upper, noise, out)
+    return jnp.where(jnp.isnan(x), jnp.nan, out)
+
+
+def jitter(
+    x: DataArray,
+    lower: str | None = None,
+    upper: str | None = None,
+    minimum: str | None = None,
+    maximum: str | None = None,
+) -> DataArray:
+    """Jitter under ``lower`` and/or over ``upper`` (reference
+    processing.py:124-224).  ``minimum``/``maximum`` bound the noise."""
+    lo = convert_units_to(lower, x.units) if lower is not None else None
+    up = convert_units_to(upper, x.units) if upper is not None else None
+    mx = convert_units_to(maximum, x.units) if maximum is not None else None
+    out = _jitter_core(x.data, lo, up, mx)
+    res = x.copy(data=out)
+    res.attrs["history"] = update_history(f"jitter(x, lower={lower}, upper={upper})", x)
+    return res
+
+
+def jitter_under_thresh(x: DataArray, thresh: str) -> DataArray:
+    return jitter(x, lower=thresh)
+
+
+def jitter_over_thresh(x: DataArray, thresh: str, upper_bnd: str) -> DataArray:
+    return jitter(x, upper=thresh, maximum=upper_bnd)
+
+
+def uniform_noise_like(x: DataArray, low: float = 1e-6, high: float = 1e-3) -> DataArray:
+    """Uniform noise with x's shape (reference processing.py:304-320)."""
+    data = jax.random.uniform(next_key(), np.shape(x.data), minval=low, maxval=high)
+    return x.copy(data=data.astype(x.dtype))
+
+
+# ---------------------------------------------------------------------------
+# adapt_freq — reference _processing.py:20-142, processing.py:50-121
+# ---------------------------------------------------------------------------
+
+
+def _rank_random_tiebreak(v, key):
+    """Percentile rank in [0,1] with random tie-breaking (reference
+    utils.py:575-638 use_random_tiebreak branch): noise in U(0.1, 0.25) is
+    added to the integer ranks, then re-ranked."""
+    rnk = average_rank(v, axis=-1)
+    noise = jax.random.uniform(key, v.shape, dtype=v.dtype, minval=0.1, maxval=0.25)
+    rnk = average_rank(jnp.where(jnp.isnan(rnk), jnp.nan, rnk + noise), axis=-1)
+    nvalid = jnp.sum(~jnp.isnan(v), axis=-1, keepdims=True).astype(v.dtype)
+    rnk = rnk / jnp.where(nvalid == 0, 1, nvalid)
+    mn = jnp.nanmin(rnk, axis=-1, keepdims=True)
+    mx = jnp.nanmax(rnk, axis=-1, keepdims=True)
+    denom = jnp.where(mx - mn == 0, 1, mx - mn)
+    return mx * (rnk - mn) / denom
+
+
+def _ecdf_lastaxis(v, thresh):
+    le = jnp.nansum(jnp.where(jnp.isnan(v), 0, (v <= thresh).astype(v.dtype)), axis=-1)
+    n = jnp.sum(~jnp.isnan(v), axis=-1)
+    return le / jnp.where(n == 0, 1, n)
+
+
+def _adapt_freq_grouped(refg, simg, thresh, P0_ref=None, P0_hist=None, pth=None, key=None):
+    """Frequency adaptation on gathered group matrices [..., G, L].
+
+    Implements reference ``_processing.py:74-135``: the fraction
+    ``dP0 = (P0_hist - P0_ref)/P0_hist`` of below-threshold sim values with the
+    smallest tie-broken ranks is replaced by U(thresh, pth) noise, where
+    ``pth = ref-quantile at P0_hist``.
+
+    Returns (sim_ad [..., G, L], P0_ref, P0_hist, pth, dP0 each [..., G]).
+    """
+    key = next_key() if key is None else key
+    simg = jnp.asarray(simg)
+    P0_sim = _ecdf_lastaxis(simg, thresh)
+    if P0_hist is None:
+        P0_hist = P0_sim
+    if P0_ref is None:
+        P0_ref = _ecdf_lastaxis(jnp.asarray(refg), thresh)
+    dP0 = jnp.where(P0_hist == 0, jnp.nan, (P0_hist - P0_ref) / jnp.where(P0_hist == 0, 1, P0_hist))
+    if pth is None:
+        pth = vecquantiles(jnp.asarray(refg), P0_hist, axis=-1)
+        pth = jnp.where(dP0 > 0, pth, jnp.nan)
+
+    k1, k2 = jax.random.split(key)
+    rnk = _rank_random_tiebreak(simg, k1)
+    no_adapt = (dP0 <= 0) | jnp.isnan(dP0)
+    ratio = jnp.where(P0_hist == 0, jnp.inf, P0_ref / jnp.where(P0_hist == 0, 1, P0_hist))
+    preserve = (
+        (rnk < (ratio * P0_sim)[..., None])
+        | (rnk > P0_sim[..., None])
+        | jnp.isnan(simg)
+    )
+    noise = (pth[..., None] - thresh) * jax.random.uniform(k2, simg.shape, dtype=simg.dtype) + thresh
+    sim_ad = jnp.where(no_adapt[..., None], simg, jnp.where(preserve, simg, noise))
+    return sim_ad, P0_ref, P0_hist, pth, dP0
+
+
+def _adapt_freq_core(refa, sima, gi: GroupIndexes, thresh, key=None):
+    """Training-path adapt_freq over raw [..., T] arrays: gather by group,
+    adapt, return the *gathered* adapted sim (quantile computation consumes
+    the gathered matrix directly) and per-group P0/pth."""
+    refg = gather_groups(refa, gi.gather_idx)
+    simg = gather_groups(sima, gi.gather_idx)
+    sim_ad, P0_ref, P0_hist, pth, _ = _adapt_freq_grouped(refg, simg, thresh, key=key)
+    return sim_ad, P0_ref, P0_hist, pth
+
+
+def _adapt_freq_apply_core(sima, gi: GroupIndexes, thresh, P0_ref, P0_hist, pth, key=None):
+    """Adjust-path adapt_freq reusing trained P0/pth (reference
+    ``_adjustment.py:639-645``); returns the adapted time series."""
+    simg = gather_groups(sima, gi.gather_idx)
+    sim_ad, *_ = _adapt_freq_grouped(None, simg, thresh, P0_ref=P0_ref, P0_hist=P0_hist, pth=pth, key=key)
+    return scatter_back(sim_ad, gi.group_idx, gi.scatter_slot)
+
+
+@parse_group
+def adapt_freq(
+    ref: DataArray,
+    sim: DataArray,
+    *,
+    group: str | Grouper = "time",
+    thresh: str = "0 mm d-1",
+) -> Dataset:
+    """Adapt the frequency of below-threshold values of sim to match ref
+    (Themessl et al. 2012; reference processing.py:50-121).
+
+    Returns a Dataset with ``sim_ad``, ``pth``, ``dP0``, ``P0_ref``, ``P0_hist``.
+    """
+    group = Grouper(group) if isinstance(group, str) else group
+    th = convert_units_to(thresh, sim.units)
+    gi = group.indexes(sim.time)
+    simc = sim.move_dim_last("time")
+    refc = ref.move_dim_last("time")
+    refg = gather_groups(jnp.asarray(refc.data), gi.gather_idx)
+    simg = gather_groups(jnp.asarray(simc.data), gi.gather_idx)
+    sim_ad_g, P0_ref, P0_hist, pth, dP0 = _adapt_freq_grouped(refg, simg, th)
+    sim_ad = scatter_back(sim_ad_g, gi.group_idx, gi.scatter_slot)
+
+    from .models._wrap import grouped_var, scen_like
+
+    bdims = simc.dims[:-1]
+    bcoords = {d: simc.coords[d] for d in bdims if d in simc.coords}
+    out = Dataset(
+        {
+            "sim_ad": scen_like(sim, sim_ad, name="sim_ad"),
+            "pth": grouped_var(pth, bdims, bcoords, gi, name="pth"),
+            "dP0": grouped_var(dP0, bdims, bcoords, gi, name="dP0"),
+            "P0_ref": grouped_var(P0_ref, bdims, bcoords, gi, name="P0_ref"),
+            "P0_hist": grouped_var(P0_hist, bdims, bcoords, gi, name="P0_hist"),
+        }
+    )
+    out["sim_ad"].attrs.update(sim.attrs)
+    out["sim_ad"].attrs["history"] = update_history(f"adapt_freq(ref, sim, group={group.name!r}, thresh={thresh!r})", sim)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# normalize / standardize — reference processing.py:260-358, _processing.py:145-181
+# ---------------------------------------------------------------------------
+
+
+@parse_group
+def normalize(
+    data: DataArray,
+    norm: DataArray | None = None,
+    *,
+    group: str | Grouper = "time",
+    kind: str = "+",
+) -> tuple[DataArray, DataArray]:
+    """Remove the group-wise mean (kind-aware).  Returns (anomaly, norm)
+    (reference processing.py:260-301)."""
+    from .ops.correction import apply_correction, broadcast_group_factors, invert
+
+    group = Grouper(group) if isinstance(group, str) else group
+    gi = group.indexes(data.time)
+    datac = data.move_dim_last("time")
+    x = jnp.asarray(datac.data)
+    if norm is None:
+        normv = jnp.nanmean(gather_groups(x, gi.gather_idx), axis=-1)
+    else:
+        normv = jnp.asarray(norm.data)
+    factors = broadcast_group_factors(invert(normv, kind), jnp.asarray(gi.frac_idx, dtype=x.dtype), gi.group_idx, jnp.asarray(gi.positions, dtype=x.dtype), "nearest")
+    anom = apply_correction(x, factors, kind)
+
+    from .models._wrap import grouped_var, scen_like
+
+    bdims = datac.dims[:-1]
+    bcoords = {d: datac.coords[d] for d in bdims if d in datac.coords}
+    out = scen_like(data, anom, name=data.name)
+    out.attrs.update(data.attrs)
+    norm_da = grouped_var(normv, bdims, bcoords, gi, name="norm", attrs={"units": data.units})
+    return out, norm_da
+
+
+def standardize(da: DataArray, mean=None, std=None, dim: str = "time"):
+    """(x - mean)/std along dim; returns (standardized, mean, std)
+    (reference processing.py:323-350)."""
+    dac = da.move_dim_last(dim)
+    x = jnp.asarray(dac.data)
+    mu = jnp.nanmean(x, axis=-1, keepdims=True) if mean is None else mean
+    sig = jnp.nanstd(x, axis=-1, keepdims=True) if std is None else std
+    from .models._wrap import scen_like
+
+    out = scen_like(da, (x - mu) / sig, name=da.name)
+    out.attrs.update(da.attrs)
+    return out, mu, sig
+
+
+def unstandardize(da: DataArray, mean, std, dim: str = "time"):
+    dac = da.move_dim_last(dim)
+    from .models._wrap import scen_like
+
+    out = scen_like(da, jnp.asarray(dac.data) * std + mean, name=da.name)
+    out.attrs.update(da.attrs)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# reordering — reference processing.py:361-390, _processing.py:184-247
+# ---------------------------------------------------------------------------
+
+
+def _reordering_core(ref, sim):
+    """sort(sim)[argsort(argsort(ref))] along the last axis."""
+    sim_sorted = jnp.sort(sim, axis=-1)
+    order = jnp.argsort(jnp.argsort(ref, axis=-1), axis=-1)
+    return jnp.take_along_axis(sim_sorted, order, axis=-1)
+
+
+def reordering(ref: DataArray, sim: DataArray, dim: str = "time") -> DataArray:
+    """Reorder sim so its rank structure matches ref's (Schaake shuffle;
+    reference processing.py:361-390)."""
+    refc = ref.move_dim_last(dim)
+    simc = sim.move_dim_last(dim)
+    out = _reordering_core(jnp.asarray(refc.data), jnp.asarray(simc.data))
+    from .models._wrap import scen_like
+
+    res = scen_like(sim, out, name=sim.name)
+    res.attrs.update(sim.attrs)
+    res.attrs["history"] = update_history("reordering(ref, sim)", sim)
+    return res

@@ -1,0 +1,42 @@
+"""CF history / provenance helpers — reference ``formatting.py:69-202``."""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+__all__ = ["gen_call_string", "merge_attributes", "update_history"]
+
+
+def gen_call_string(funcname: str, **kwargs) -> str:
+    """Generate a readable call string like ``name(a=1, b='x')``
+    (reference formatting.py:160-202)."""
+    elements = []
+    for k, v in kwargs.items():
+        if hasattr(v, "name") and getattr(v, "name", None):
+            v = getattr(v, "name")
+        elif hasattr(v, "dims"):
+            v = "<array>"
+        elements.append(f"{k}={v!r}" if isinstance(v, str) else f"{k}={v}")
+    return f"{funcname}({', '.join(elements)})"
+
+
+def merge_attributes(attribute: str, *inputs, new_line: str = "\n", missing_str=None) -> str:
+    """Merge an attribute from several DataArrays (reference formatting.py:20-66)."""
+    parts = []
+    for da in inputs:
+        name = getattr(da, "name", None) or "input"
+        val = getattr(da, "attrs", {}).get(attribute, missing_str)
+        if val is not None:
+            parts.append(f"{name}: {val}")
+    return new_line.join(parts)
+
+
+def update_history(hist_str: str, *inputs, new_name: str | None = None) -> str:
+    """Timestamped CF history line prepended to merged input histories
+    (reference formatting.py:69-115)."""
+    from .. import __version__
+
+    merged = merge_attributes("history", *inputs, missing_str="")
+    now = _dt.datetime.now(_dt.timezone.utc).strftime("%Y-%m-%dT%H:%M:%S")
+    line = f"[{now}] {new_name or ''}: {hist_str} - xsdba_tpu version: {__version__}"
+    return (merged + "\n" if merged else "") + line

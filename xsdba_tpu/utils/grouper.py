@@ -58,6 +58,16 @@ class GroupIndexes:
     def max_members(self) -> int:
         return self.gather_idx.shape[1]
 
+    @property
+    def positions(self) -> np.ndarray:
+        """Numeric group positions on the frac_idx axis (seasons -> 0..3,
+        months -> 1..12, dayofyear -> 1..maxdoy)."""
+        if self.prop in ("season", "5D", "week"):
+            return np.arange(self.n_groups, dtype=np.float64)
+        if self.prop == "group":
+            return np.array([1.0])
+        return np.asarray(self.coord, dtype=np.float64)
+
 
 class Grouper:
     """Parse a group string ("time", "time.month", "time.season",

@@ -1,0 +1,269 @@
+"""Minimal CF-units engine (pint-free).
+
+The reference uses a pint application registry + cf-xarray formatting
+(``units.py:34-201,297-421``).  pint is not available here, so this module
+implements the subset of dimensional analysis bias adjustment actually needs:
+
+- parsing CF-style unit strings ("K", "degC", "mm d-1", "kg m-2 s-1", "%", ...),
+- conversion between commensurable units, incl. temperature offsets and the
+  hydrology equivalence 1 kg m-2 == 1 mm of water,
+- ``convert_units_to`` / ``harmonize_units`` / ``units2str`` analogues,
+- quantity strings ("1 mm/d") for thresholds (reference ``typing.py:22``
+  ``Quantified``).
+
+Conversions happen on host metadata or as a single scalar multiply folded into
+the jitted compute — never a per-element host loop.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from fractions import Fraction
+
+import numpy as np
+
+__all__ = [
+    "Quantity",
+    "Unit",
+    "convert_units_to",
+    "harmonize_units",
+    "infer_sampling_units",
+    "parse_units",
+    "str2quantity",
+    "units2str",
+]
+
+
+# Base dimensions: (length, mass, time, temperature)
+_DIMLESS = (0, 0, 0, 0)
+
+
+def _dims(length=0, mass=0, time=0, temp=0):
+    return (length, mass, time, temp)
+
+
+# name -> (scale_to_SI, dims, offset_to_SI)   offset only for pure temperature
+_UNITS: dict[str, tuple[float, tuple, float]] = {}
+
+
+def _def(names, scale, dims, offset=0.0):
+    for n in names:
+        _UNITS[n] = (scale, dims, offset)
+
+
+_def(["m", "meter", "metre", "meters"], 1.0, _dims(length=1))
+_def(["cm", "centimeter"], 0.01, _dims(length=1))
+_def(["mm", "millimeter", "millimetre"], 0.001, _dims(length=1))
+_def(["km", "kilometer"], 1000.0, _dims(length=1))
+_def(["kg", "kilogram"], 1.0, _dims(mass=1))
+_def(["g", "gram"], 0.001, _dims(mass=1))
+_def(["s", "sec", "second", "seconds"], 1.0, _dims(time=1))
+_def(["min", "minute", "minutes"], 60.0, _dims(time=1))
+_def(["h", "hr", "hour", "hours"], 3600.0, _dims(time=1))
+_def(["d", "day", "days"], 86400.0, _dims(time=1))
+_def(["week", "weeks"], 7 * 86400.0, _dims(time=1))
+_def(["K", "kelvin", "degK"], 1.0, _dims(temp=1))
+_def(["degC", "C", "celsius", "°C"], 1.0, _dims(temp=1), offset=273.15)
+_def(["degF", "°F", "fahrenheit"], 5.0 / 9.0, _dims(temp=1), offset=459.67 * 5.0 / 9.0)
+_def(["delta_degC"], 1.0, _dims(temp=1))
+_def(["delta_degF"], 5.0 / 9.0, _dims(temp=1))
+_def(["Pa", "pascal"], 1.0, _dims(length=-1, mass=1, time=-2))
+_def(["hPa", "mbar", "millibar"], 100.0, _dims(length=-1, mass=1, time=-2))
+_def(["W"], 1.0, _dims(length=2, mass=1, time=-3))
+_def(["J"], 1.0, _dims(length=2, mass=1, time=-2))
+_def(["%", "percent", "pct"], 0.01, _DIMLESS)
+_def(["1", "", "dimensionless", "count"], 1.0, _DIMLESS)
+
+
+@dataclass(frozen=True)
+class Unit:
+    scale: float
+    dims: tuple
+    offset: float = 0.0
+    raw: str = ""
+
+    @property
+    def is_temperature(self) -> bool:
+        return self.dims == _dims(temp=1)
+
+    def __str__(self):
+        return self.raw
+
+
+@dataclass(frozen=True)
+class Quantity:
+    magnitude: float
+    units: Unit
+
+    def to(self, target: "Unit | str") -> "Quantity":
+        tgt = parse_units(target) if isinstance(target, str) else target
+        return Quantity(_convert_scalar(self.magnitude, self.units, tgt), tgt)
+
+
+_TOKEN_RE = re.compile(r"([A-Za-z°%µ]+)(?:\s*\^|\s*\*\*)?\s*(-?\d+(?:/\d+)?)?")
+
+
+def parse_units(s) -> Unit:
+    """Parse a CF unit string ("mm d-1", "kg m-2 s-1", "mm/day", "degC")."""
+    if isinstance(s, Unit):
+        return s
+    raw = str(s).strip()
+    if raw in _UNITS:
+        sc, dims, off = _UNITS[raw]
+        return Unit(sc, dims, off, raw)
+    # split numerator/denominator on '/'
+    parts = raw.split("/")
+    scale = 1.0
+    dims = [0, 0, 0, 0]
+    for pi, part in enumerate(parts):
+        sign = 1 if pi == 0 else -1
+        for m in _TOKEN_RE.finditer(part):
+            name, exp = m.group(1), m.group(2)
+            if name not in _UNITS:
+                raise ValueError(f"Unknown unit {name!r} in {raw!r}")
+            e = Fraction(exp) if exp else Fraction(1)
+            e *= sign
+            usc, udims, uoff = _UNITS[name]
+            if uoff != 0 and (e != 1 or len(parts) > 1 or len(list(_TOKEN_RE.finditer(part))) > 1):
+                # offset units only stand alone
+                uoff = 0.0
+            scale *= float(usc) ** float(e)
+            for i in range(4):
+                dims[i] += udims[i] * e
+    offset = 0.0
+    first = raw.split()[0] if raw.split() else raw
+    if raw in ("degC", "C", "celsius", "°C", "degF", "°F", "fahrenheit") or (
+        first in _UNITS and _UNITS[first][2] != 0 and raw == first
+    ):
+        offset = _UNITS[first][2]
+    return Unit(scale, tuple(dims), offset, raw)
+
+
+_QTY_RE = re.compile(r"^\s*(-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)\s*(.*)$")
+
+
+def str2quantity(s) -> Quantity:
+    """Parse "1 mm d-1"-style quantity strings (reference units.py:120-201)."""
+    if isinstance(s, Quantity):
+        return s
+    m = _QTY_RE.match(str(s))
+    if not m:
+        raise ValueError(f"Cannot parse quantity: {s!r}")
+    return Quantity(float(m.group(1)), parse_units(m.group(2)))
+
+
+def units2str(u) -> str:
+    if isinstance(u, Unit):
+        return u.raw
+    return str(u)
+
+
+# The hydrology identity: 1 kg of water over 1 m^2 is 1 mm deep.
+# Treat mass m-2 <-> length as commensurable by folding density 1000 kg/m3.
+_WATER_DENSITY = 1000.0  # kg/m3
+
+
+def _water_equiv(dims: tuple) -> tuple:
+    """Normalize precip dims: fold mass into length via water density
+    (kg -> m^3 of water), so "kg m-2 s-1" and "mm s-1" become commensurable."""
+    length, mass, time, temp = dims
+    if mass != 0:
+        return (length + 3 * mass, 0, time, temp)
+    return dims
+
+
+def _commensurable(a: Unit, b: Unit) -> tuple[bool, float]:
+    """Check conversion possibility; return (ok, extra_scale a->b)."""
+    if a.dims == b.dims:
+        return True, 1.0
+    wa, wb = _water_equiv(a.dims), _water_equiv(b.dims)
+    if wa == wb:
+        # density factor: each kg m-2 counts as mm; scale mass dim out
+        fac = _WATER_DENSITY ** (-a.dims[1]) * _WATER_DENSITY ** (b.dims[1])
+        return True, fac * 1.0
+    return False, 0.0
+
+
+def _convert_scalar(value, src: Unit, tgt: Unit):
+    ok, extra = _commensurable(src, tgt)
+    if not ok:
+        raise ValueError(f"Cannot convert {src.raw!r} to {tgt.raw!r}")
+    if src.is_temperature and tgt.is_temperature:
+        si = np.multiply(value, src.scale) + src.offset
+        return (si - tgt.offset) / tgt.scale
+    return np.multiply(value, src.scale / tgt.scale * extra)
+
+
+def conversion_factor(src, tgt) -> tuple[float, float]:
+    """Return (scale, offset) such that x_tgt = x_src * scale + offset."""
+    src = parse_units(src) if not isinstance(src, Unit) else src
+    tgt = parse_units(tgt) if not isinstance(tgt, Unit) else tgt
+    ok, extra = _commensurable(src, tgt)
+    if not ok:
+        raise ValueError(f"Cannot convert {src.raw!r} to {tgt.raw!r}")
+    if src.is_temperature and tgt.is_temperature:
+        scale = src.scale / tgt.scale
+        offset = (src.offset - tgt.offset) / tgt.scale
+        return scale, offset
+    return src.scale / tgt.scale * extra, 0.0
+
+
+def convert_units_to(source, target_units):
+    """Convert a DataArray / Quantity / quantity-string to target units.
+
+    Reference ``units.py:297-340``.  Returns the converted object; DataArrays
+    get their ``units`` attr updated.  Scalar path for thresholds.
+    """
+    from .container import DataArray
+
+    tgt_str = units2str(target_units) if not hasattr(target_units, "attrs") else target_units.attrs.get("units", "")
+    tgt = parse_units(tgt_str)
+    if isinstance(source, str):
+        q = str2quantity(source)
+        return q.to(tgt).magnitude
+    if isinstance(source, Quantity):
+        return source.to(tgt).magnitude
+    if isinstance(source, DataArray):
+        src = parse_units(source.units)
+        scale, offset = conversion_factor(src, tgt)
+        if scale == 1.0 and offset == 0.0:
+            out = source.copy()
+        else:
+            out = source.copy(data=source.data * scale + offset)
+        out.attrs["units"] = tgt_str
+        return out
+    # plain number: assume already target units
+    return source
+
+
+def harmonize_units(*arrays, target: str | None = None):
+    """Convert all DataArrays to shared units (the first's, or ``target``).
+
+    Analogue of the reference decorator ``units.py:373-421``; returns
+    (converted_arrays, units_str).
+    """
+    from .container import DataArray
+
+    das = [a for a in arrays if isinstance(a, DataArray)]
+    if not das:
+        return list(arrays), target or ""
+    tgt = target if target not in (None, "") else das[0].units
+    out = [convert_units_to(a, tgt) if isinstance(a, DataArray) else a for a in arrays]
+    return out, units2str(tgt)
+
+
+def infer_sampling_units(time) -> tuple[float, str]:
+    """Return (multiplier, base unit) of the sampling frequency
+    (reference units.py:50-92): daily data -> (1, 'd')."""
+    freq = time.infer_freq() if hasattr(time, "infer_freq") else None
+    if freq == "D":
+        return 1, "d"
+    if freq == "MS":
+        return 1, "month"
+    if freq == "YS":
+        return 1, "a"
+    m = re.match(r"^(\d+)D$", str(freq or ""))
+    if m:
+        return int(m.group(1)), "d"
+    return 1, "d"
