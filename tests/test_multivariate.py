@@ -1,0 +1,157 @@
+import numpy as np
+import pytest
+
+from xsdba_tpu import DataArray, Dataset, date_range, set_options
+from xsdba_tpu.models import MBCn, NpdfTransform
+from xsdba_tpu.ops.escore import escore as escore_core
+from xsdba_tpu.ops.rotation import rand_rot_matrix
+from xsdba_tpu.processing import escore, stack_variables, unstack_variables
+
+
+def bivariate(rng, n, mean, cov, start="2000-01-01"):
+    t = date_range(start, periods=n, freq="D", calendar="noleap")
+    vals = rng.multivariate_normal(mean, cov, size=n).T  # [2, n]
+    ds = Dataset(
+        {
+            "tas": DataArray(vals[0], ("time",), {"time": t}, {"units": "K"}, "tas"),
+            "pr": DataArray(vals[1] + 20, ("time",), {"time": t}, {"units": "mm/d"}, "pr"),
+        }
+    )
+    return stack_variables(ds)
+
+
+def test_rand_rot_matrix_orthogonal():
+    R = np.asarray(rand_rot_matrix(4, num=3))
+    assert R.shape == (3, 4, 4)
+    for r in R:
+        np.testing.assert_allclose(r @ r.T, np.eye(4), atol=1e-5)
+        # Haar-orthogonal (the reference's Mezzadri construction likewise
+        # yields det = +-1, utils.py:963-974)
+        assert abs(np.linalg.det(r)) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_escore_matches_naive(random):
+    from scipy.spatial.distance import cdist
+
+    x = random.normal(size=(3, 40))
+    y = random.normal(0.5, 1, size=(3, 50))
+    got = float(escore_core(x, y))
+    dxy = cdist(x.T, y.T).mean()
+    dxx = cdist(x.T, x.T).sum() / 40**2
+    dyy = cdist(y.T, y.T).sum() / 50**2
+    n1, n2 = 50, 40
+    want = n1 * n2 / (n1 + n2) * (2 * dxy - dxx - dyy) / 2
+    assert got == pytest.approx(want, rel=1e-6)
+
+
+def test_escore_nan_and_identical(random):
+    x = random.normal(size=(2, 30))
+    assert float(escore_core(x, x)) == pytest.approx(0.0, abs=1e-10)
+    y = x.copy()
+    y[0, 3] = np.nan  # column 3 excluded
+    got = float(escore_core(x, y))
+    assert np.isfinite(got)
+
+
+def test_stack_unstack_roundtrip(random):
+    t = date_range("2000-01-01", periods=100, freq="D")
+    ds = Dataset(
+        {
+            "tas": DataArray(random.normal(280, 5, 100), ("time",), {"time": t}, {"units": "K"}, "tas"),
+            "pr": DataArray(random.random(100), ("time",), {"time": t}, {"units": "mm/d"}, "pr"),
+        }
+    )
+    da = stack_variables(ds)
+    assert da.dims == ("multivar", "time")
+    assert list(np.asarray(da.coords["multivar"])) == ["pr", "tas"]  # alphabetical
+    assert da.attrs["units"] == ""
+    back = unstack_variables(da)
+    np.testing.assert_allclose(np.asarray(back["tas"].data), np.asarray(ds["tas"].data))
+    assert back["tas"].attrs["units"] == "K"
+    assert back["pr"].attrs["units"] == "mm/d"
+
+
+class TestNpdfTransform:
+    def test_recovers_multivariate_structure(self, random):
+        n = 2000
+        cov_ref = np.array([[1.0, 0.7], [0.7, 1.0]])
+        cov_hist = np.array([[2.0, -0.4], [-0.4, 1.0]])
+        ref = bivariate(random, n, [0, 0], cov_ref)
+        hist = bivariate(random, n, [2, 1], cov_hist)
+        with set_options(extra_output=True):
+            out = NpdfTransform.adjust(ref, hist, n_iter=15, n_escore=100)
+        assert "scenh" in out and "escores" in out
+        scen = np.asarray(out["scen"].data)
+        refv = np.asarray(ref.data)
+        # correlation structure of scen approaches ref's
+        corr_scen = np.corrcoef(scen)[0, 1]
+        corr_ref = np.corrcoef(refv)[0, 1]
+        assert corr_scen == pytest.approx(corr_ref, abs=0.1)
+        # final escore is well below the raw ref-vs-hist dissimilarity
+        esc = np.asarray(out["escores"].data)
+        e0 = float(np.asarray(escore(ref, hist, N=100, scale=True).data))
+        assert esc[-1] < 0.5 * e0
+
+    def test_plain_output(self, random):
+        ref = bivariate(random, 400, [0, 0], np.eye(2))
+        hist = bivariate(random, 400, [1, 1], np.eye(2))
+        scen = NpdfTransform.adjust(ref, hist, n_iter=5, n_escore=-1)
+        assert scen.dims == ("multivar", "time")
+
+
+class TestMBCn:
+    @pytest.mark.parametrize("group,window", [("time", 1), ("time.dayofyear", 31), ("5D", 3)])
+    def test_train_adjust(self, random, group, window):
+        n = 365 * 3
+        cov_ref = np.array([[1.0, 0.6], [0.6, 1.0]])
+        cov_hist = np.array([[1.5, -0.2], [-0.2, 1.2]])
+        ref = bivariate(random, n, [0, 0], cov_ref)
+        hist = bivariate(random, n, [2, 1], cov_hist)
+        sim = bivariate(random, n, [2.5, 1.2], cov_hist, start="2010-01-01")
+
+        mbcn = MBCn.train(ref, hist, base_kws={"nquantiles": 20, "group": group, "window": window} if window > 1 else {"nquantiles": 20, "group": group}, n_iter=8, n_escore=-1)
+        assert "af_q" in mbcn.ds and "rot_matrices" in mbcn.ds
+        scen = mbcn.adjust(sim, ref, hist)
+        sv = np.asarray(scen.data)
+        assert sv.shape == np.asarray(sim.data).shape
+        assert np.isfinite(sv).all()
+        if group == "time":
+            corr_scen = np.corrcoef(sv)[0, 1]
+            corr_ref = np.corrcoef(np.asarray(ref.data))[0, 1]
+            assert corr_scen == pytest.approx(corr_ref, abs=0.15)
+
+    def test_escore_decreases(self, random):
+        n = 1500
+        ref = bivariate(random, n, [0, 0], np.array([[1.0, 0.8], [0.8, 1.0]]))
+        hist = bivariate(random, n, [1, -1], np.array([[1.0, -0.5], [-0.5, 1.0]]))
+        mbcn = MBCn.train(ref, hist, base_kws={"nquantiles": 30}, n_iter=10, n_escore=150)
+        esc = np.asarray(mbcn.ds["escores"].data)[0]
+        e0 = float(np.asarray(escore(ref, hist, N=150, scale=True).data))
+        assert esc[-1] < 0.5 * e0
+
+    def test_month_group_rejected(self, random):
+        ref = bivariate(random, 365, [0, 0], np.eye(2))
+        hist = bivariate(random, 365, [1, 1], np.eye(2))
+        with pytest.raises(NotImplementedError, match="Monthly"):
+            MBCn.train(ref, hist, base_kws={"group": "time.month"})
+
+    def test_mbcn_recovers_marginals(self, random):
+        """With QDM base, each variable's marginal approaches ref's."""
+        n = 365 * 4
+        ref = bivariate(random, n, [0, 0], np.array([[1.0, 0.5], [0.5, 1.0]]))
+        hist = bivariate(random, n, [3, 2], np.array([[2.0, 0.1], [0.1, 0.5]]))
+        mbcn = MBCn.train(ref, hist, base_kws={"nquantiles": 30}, n_iter=10, n_escore=-1)
+        scen = mbcn.adjust(hist, ref, hist)
+        sv = np.asarray(scen.data)
+        rv = np.asarray(ref.data)
+        for i in range(2):
+            assert sv[i].mean() == pytest.approx(rv[i].mean(), abs=0.2)
+            assert sv[i].std() == pytest.approx(rv[i].std(), rel=0.15)
+
+
+def test_escore_public_wrapper(random):
+    t = date_range("2000-01-01", periods=300, freq="D")
+    a = DataArray(random.normal(size=(2, 300)), ("multivar", "time"), {"time": t, "multivar": np.array(["a", "b"])}, {}, "x")
+    b = DataArray(random.normal(1, 1, size=(2, 300)), ("multivar", "time"), {"time": t, "multivar": np.array(["a", "b"])}, {}, "y")
+    e = escore(a, b, N=50, scale=True)
+    assert np.isfinite(float(np.asarray(e.data)))

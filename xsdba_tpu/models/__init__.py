@@ -3,6 +3,7 @@
 from .base import Adjust, BaseAdjustment, TrainAdjust
 from .dqm import DetrendedQuantileMapping
 from .eqm import EmpiricalQuantileMapping, QuantileDeltaMapping
+from .mbcn import MBCn, NpdfTransform
 from .scaling import LOCI, Scaling
 
 __all__ = [
@@ -11,6 +12,8 @@ __all__ = [
     "DetrendedQuantileMapping",
     "EmpiricalQuantileMapping",
     "LOCI",
+    "MBCn",
+    "NpdfTransform",
     "QuantileDeltaMapping",
     "Scaling",
     "TrainAdjust",

@@ -114,3 +114,49 @@ def _gather(x, gather_idx):
     gi = jnp.asarray(gather_idx)
     vals = x[..., jnp.clip(gi, 0, x.shape[-1] - 1)]
     return jnp.where(gi < 0, jnp.nan, vals)
+
+
+@partial(jax.jit, static_argnames=("kind", "interp", "extrapolation"))
+def qdm_train_adjust_core(
+    ref,
+    hist,
+    sim,
+    gather_idx,
+    group_idx,
+    scatter_slot,
+    frac_idx,
+    positions,
+    quantiles,
+    *,
+    kind: str,
+    interp: str,
+    extrapolation: str,
+):
+    """Fully fused QDM train + adjust — the flagship single-step kernel.
+
+    One jit: grouped quantile estimation of ref & hist (gather->sort->lerp),
+    adjustment factors, per-group pct ranks of sim, factor lookup, correction.
+    Purely batch-parallel over leading dims -> shards over a site mesh with
+    zero collectives.
+    """
+    from ..ops.quantile import nan_quantile
+
+    refg = _gather(ref, gather_idx)
+    histg = _gather(hist, gather_idx)
+    ref_q = nan_quantile(refg, quantiles, axis=-1)
+    hist_q = nan_quantile(histg, quantiles, axis=-1)
+    af = get_correction(hist_q, ref_q, kind)
+    scen, _ = qdm_adjust_core.__wrapped__(
+        sim,
+        af,
+        quantiles,
+        frac_idx,
+        positions,
+        gather_idx,
+        group_idx,
+        scatter_slot,
+        kind=kind,
+        interp=interp,
+        extrapolation=extrapolation,
+    )
+    return scen

@@ -1,0 +1,379 @@
+"""MBCn and NpdfTransform — multivariate bias adjustment.
+
+Reference: ``adjustment.py:1718-1973`` (MBCn), ``adjustment.py:1239-1391`` +
+``_adjustment.py:977-1057`` (NpdfTransform), with the npdft engine in
+``models/_npdft.py``.  Group blocks are static gather matrices; the per-block
+loops of the reference collapse into batched cores (blocks are a leading
+batch axis).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.correction import equally_spaced_nodes
+from ..ops.interp import interp1d_table
+from ..ops.quantile import nan_quantile
+from ..ops.rank import rank_pct_rescaled
+from ..ops.rotation import rand_rot_matrix
+from ..utils.container import DataArray, Dataset
+from ..utils.grouper import Grouper
+from ..utils.options import EXTRA_OUTPUT, get_option
+from ._npdft import npdft_adjust_core, npdft_train_core, standardize_lastaxis
+from ._wrap import scen_like, to_compute
+from .base import Adjust, TrainAdjust
+from .eqm import QuantileDeltaMapping
+
+__all__ = ["MBCn", "NpdfTransform"]
+
+
+def _mbcn_group(group) -> Grouper:
+    group = Grouper(group) if isinstance(group, str) else group
+    if group.prop == "month":
+        raise NotImplementedError(
+            "Monthly grouping is not currently supported in the MBCn class."
+        )
+    if group.add_dims:
+        raise NotImplementedError("`add_dims` is not supported in the MBCn class.")
+    return group
+
+
+def _stacked_to_blocks(da: DataArray, gi, pts_dim: str):
+    """[V, ..., T] stacked array -> gathered blocks [..., G, V, L]."""
+    arr = jnp.asarray(da.move_dim_last("time").data)  # [V, ..., T]
+    from ..ops.segment import gather_groups
+
+    g = gather_groups(arr, gi.gather_idx)             # [V, ..., G, L]
+    return jnp.moveaxis(g, 0, -2)                     # [..., G, V, L]
+
+
+class MBCn(TrainAdjust):
+    r"""N-dimensional pdf transform bias adjustment (Cannon 2018).
+
+    Train: iterative univariate quantile corrections in ``n_iter`` random
+    rotations of the standardized multivariate space, factors stored per
+    (group block, iteration, variable).  Adjust: replay the stored factors on
+    sim, run a univariate base adjustment (QDM) per variable, and reorder it
+    by the npdft ranks.  Parameters mirror reference adjustment.py:1718-1973.
+    """
+
+    _allow_diff_calendars = False
+    _allow_diff_training_times = False
+    _allow_diff_time_sizes = False
+
+    @classmethod
+    def _train(
+        cls,
+        ref: DataArray,
+        hist: DataArray,
+        *,
+        base_kws: dict[str, Any] | None = None,
+        adj_kws: dict[str, Any] | None = None,
+        n_escore: int = -1,
+        n_iter: int = 20,
+        pts_dim: str = "multivar",
+        rot_matrices=None,
+    ):
+        base_kws = dict(base_kws or {})
+        adj_kws = dict(adj_kws or {})
+        base_kws.setdefault("nquantiles", 20)
+        base_kws.setdefault("group", Grouper("time", 1))
+        adj_kws.setdefault("interp", "nearest")
+        adj_kws.setdefault("extrapolation", "constant")
+        group = _mbcn_group(base_kws["group"])
+
+        if np.isscalar(base_kws["nquantiles"]):
+            quantiles = equally_spaced_nodes(int(base_kws["nquantiles"]))
+        else:
+            quantiles = np.asarray(base_kws["nquantiles"])
+
+        V = int(np.shape(ref.data)[ref.dims.index(pts_dim)])
+        if rot_matrices is None:
+            rot = rand_rot_matrix(V, num=max(n_iter, 2))[:n_iter]
+        else:
+            rot = jnp.asarray(rot_matrices if not isinstance(rot_matrices, DataArray) else rot_matrices.data)
+
+        gi = group.indexes(ref.time)
+        refb = _stacked_to_blocks(ref, gi, pts_dim)
+        histb = _stacked_to_blocks(hist, gi, pts_dim)
+        dtype = refb.dtype
+        af_q, escores = npdft_train_core(
+            refb,
+            histb,
+            jnp.asarray(rot, dtype=dtype),
+            jnp.asarray(quantiles, dtype=dtype),
+            interp=adj_kws["interp"],
+            extrap=adj_kws["extrapolation"],
+            n_escore=int(n_escore),
+        )
+
+        gdim = group.prop_name if gi.prop != "group" else "group"
+        vnames = np.asarray(ref.coords.get(pts_dim, np.arange(V)))
+        ds = Dataset(
+            {
+                "af_q": DataArray(
+                    af_q,
+                    (gdim, "iterations", pts_dim + "_prime", "quantiles"),
+                    {gdim: np.arange(gi.n_groups), "quantiles": quantiles, pts_dim + "_prime": vnames},
+                    {"standard_name": "Adjustment factors", "long_name": "Quantile mapping adjustment factors"},
+                    "af_q",
+                ),
+                "escores": DataArray(
+                    escores, (gdim, "iterations"), {gdim: np.arange(gi.n_groups)}, {}, "escores"
+                ),
+                "rot_matrices": DataArray(
+                    rot, ("iterations", pts_dim, pts_dim + "_prime"), {pts_dim: vnames, pts_dim + "_prime": vnames}, {}, "rot_matrices"
+                ),
+            }
+        )
+        params = {
+            "group": group,
+            "quantiles": quantiles,
+            "interp": adj_kws["interp"],
+            "extrapolation": adj_kws["extrapolation"],
+            "pts_dims": [pts_dim, pts_dim + "_prime"],
+            "n_escore": int(n_escore),
+        }
+        return ds, params
+
+    def _adjust(
+        self,
+        sim: DataArray,
+        ref: DataArray,
+        hist: DataArray,
+        *,
+        base: type[TrainAdjust] = QuantileDeltaMapping,
+        base_kws_vars: dict[str, Any] | None = None,
+        adj_kws: dict[str, Any] | None = None,
+        period_dim: str | None = None,
+    ):
+        if period_dim is not None:
+            raise NotImplementedError("period_dim is not implemented yet.")
+        self._check_matching_time_sizes(ref, hist, sim)
+
+        pts_dim = self.pts_dims[0]
+        group: Grouper = self.group
+        vnames = [str(v) for v in np.asarray(sim.coords[pts_dim])]
+        base_kws_vars = {k: dict(v) for k, v in (base_kws_vars or {}).items()}
+        for v in vnames:
+            base_kws_vars.setdefault(v, {})
+            g = base_kws_vars[v].pop("group", group)
+            g = Grouper(g) if isinstance(g, str) else g
+            if g != group:
+                raise ValueError(f"`group` input in _train and _adjust must be the same. Got {group} and {g}")
+            base_kws_vars[v].setdefault("nquantiles", np.asarray(self.ds["af_q"].coords["quantiles"]))
+        adj_kws = dict(adj_kws or {})
+        adj_kws.setdefault("interp", self.interp)
+        adj_kws.setdefault("extrapolation", self.extrapolation)
+
+        gi = group.indexes(ref.time)
+        gi_sim = group.indexes(sim.time)
+
+        # --- 1. univariate base adjustment per variable, per windowed block --
+        from ..utils.units import harmonize_units
+
+        var_attrs = sim.attrs.get("_variable_attrs", {})
+        scen_blocks = []
+        for iv, v in enumerate(vnames):
+            ref_v = _extract_var(ref, iv, pts_dim, var_attrs.get(v, {}), v)
+            hist_v = _extract_var(hist, iv, pts_dim, var_attrs.get(v, {}), v)
+            sim_v = _extract_var(sim, iv, pts_dim, var_attrs.get(v, {}), v)
+            scen_v = _per_block_univariate(
+                base, ref_v, hist_v, sim_v, gi, gi_sim, base_kws_vars[v], adj_kws
+            )
+            scen_blocks.append(scen_v)                       # [..., G, Lw]
+        scen_block = jnp.stack(scen_blocks, axis=-2)         # [..., G, V, Lw]
+
+        # --- 2. npdft adjustment of standardized sim blocks -----------------
+        simb = _stacked_to_blocks(sim, gi_sim, pts_dim)      # [..., G, V, Lw]
+        simb_std = standardize_lastaxis(simb)
+        npdft_block = npdft_adjust_core(
+            simb_std,
+            jnp.asarray(self.ds["af_q"].data, dtype=simb.dtype),
+            jnp.asarray(self.ds["rot_matrices"].data, dtype=simb.dtype),
+            jnp.asarray(self.ds["af_q"].coords["quantiles"], dtype=simb.dtype),
+            interp=self.interp,
+            extrap=self.extrapolation,
+        )
+
+        # --- 3. reorder the univariate scen by the npdft ranks --------------
+        from .. import processing as _proc
+
+        reordered = _proc._reordering_core(npdft_block, scen_block)  # [..., G, V, Lw]
+
+        # write back window centers (reference _adjustment.py:584-589)
+        from ..ops.segment import scatter_back
+
+        reordered = jnp.moveaxis(reordered, -2, 0)           # [V, ..., G, Lw]
+        scen = scatter_back(reordered, gi_sim.group_idx, gi_sim.scatter_slot)  # [V, ..., T]
+
+        simc = sim.move_dim_last("time")
+        out = DataArray(scen, simc.dims, dict(simc.coords), dict(sim.attrs), "scen")
+        if simc.dims != sim.dims:
+            out = out.transpose(*sim.dims)
+        return out
+
+
+def _extract_var(da: DataArray, iv: int, pts_dim: str, attrs: dict, name: str) -> DataArray:
+    ax = da.dims.index(pts_dim)
+    data = jnp.take(jnp.asarray(da.data), iv, axis=ax)
+    dims = tuple(d for d in da.dims if d != pts_dim)
+    coords = {k: v for k, v in da.coords.items() if k != pts_dim}
+    return DataArray(data, dims, coords, dict(attrs), name)
+
+
+def _per_block_univariate(base, ref_v, hist_v, sim_v, gi, gi_sim, base_kws, adj_kws):
+    """Train+adjust the univariate base per windowed group block, batched.
+
+    Reference ``_adjustment.py:552-559``: inside each block the base is
+    trained with group="time" on the block members — i.e. the block axis IS
+    the group axis, so this is one grouped QDM over the gather matrices.
+    Returns gathered scen blocks [..., G, Lw].
+    """
+    from ..ops.segment import gather_groups
+    from ..processing import _adapt_freq_grouped, _jitter_core
+    from ..utils.units import convert_units_to
+
+    kws = dict(base_kws)
+    nquantiles = kws.pop("nquantiles")
+    if np.isscalar(nquantiles):
+        nquantiles = equally_spaced_nodes(int(nquantiles))
+    kind = kws.pop("kind", "+")
+    adapt_freq_thresh = kws.pop("adapt_freq_thresh", None)
+    jitter_under = kws.pop("jitter_under_thresh_value", None)
+    if kws:
+        raise NotImplementedError(f"Unsupported base_kws_vars options: {sorted(kws)}")
+
+    refa = jnp.asarray(ref_v.move_dim_last("time").data)
+    hista = jnp.asarray(hist_v.move_dim_last("time").data)
+    sima = jnp.asarray(sim_v.move_dim_last("time").data)
+    q = jnp.asarray(nquantiles, dtype=refa.dtype)
+
+    if jitter_under is not None:
+        lo = convert_units_to(jitter_under, ref_v.units or "")
+        refa = _jitter_core(refa, lo, None, None)
+        hista = _jitter_core(hista, lo, None, None)
+        sima = _jitter_core(sima, lo, None, None)
+
+    refg = gather_groups(refa, gi.gather_idx)      # [..., G, Lw]
+    histg = gather_groups(hista, gi.gather_idx)
+    simg = gather_groups(sima, gi_sim.gather_idx)
+
+    if adapt_freq_thresh is not None:
+        th = convert_units_to(adapt_freq_thresh, ref_v.units or "")
+        histg, P0r, P0h, pth, _ = _adapt_freq_grouped(refg, histg, th)
+        simg, *_ = _adapt_freq_grouped(None, simg, th, P0_ref=P0r, P0_hist=P0h, pth=pth)
+
+    # QDM train on blocks
+    ref_q = nan_quantile(refg, q, axis=-1)
+    hist_q = nan_quantile(histg, q, axis=-1)
+    if kind == "*":
+        af = ref_q / hist_q
+    else:
+        af = ref_q - hist_q
+    # QDM adjust within each block
+    rnk = rank_pct_rescaled(simg, axis=-1)
+    qtab = jnp.broadcast_to(q, af.shape)
+    af_t = interp1d_table(rnk, qtab, af, adj_kws["interp"], adj_kws["extrapolation"])
+    return simg * af_t if kind == "*" else simg + af_t
+
+
+class NpdfTransform(Adjust):
+    r"""N-dimensional pdf transform (Pitié 2005 / Cannon 2018 step 1).
+
+    One-shot scheme: iterative univariate adjustment of hist & sim toward ref
+    in random rotations of the multivariate space
+    (reference adjustment.py:1239-1391, _adjustment.py:977-1057).
+    Returns scen (the transformed sim); with ``extra_output``, also scenh
+    (transformed hist) and escores.
+    """
+
+    @classmethod
+    def _adjust(
+        cls,
+        ref: DataArray,
+        hist: DataArray,
+        sim: DataArray,
+        *,
+        base: type[TrainAdjust] = QuantileDeltaMapping,
+        base_kws: dict[str, Any] | None = None,
+        adj_kws: dict[str, Any] | None = None,
+        n_escore: int = 0,
+        n_iter: int = 20,
+        pts_dim: str = "multivar",
+        rot_matrices=None,
+    ):
+        import warnings
+
+        base_kws = dict(base_kws or {})
+        adj_kws = dict(adj_kws or {})
+        if "kind" in base_kws:
+            warnings.warn(f'The adjustment kind cannot be controlled when using {cls.__name__}, it defaults to "+".', stacklevel=2)
+        base_kws.setdefault("kind", "+")
+        base_kws.setdefault("nquantiles", 20)
+        group = Grouper(base_kws.pop("group", "time")) if isinstance(base_kws.get("group", "time"), str) else base_kws.pop("group")
+        if np.isscalar(base_kws["nquantiles"]):
+            quantiles = equally_spaced_nodes(int(base_kws["nquantiles"]))
+        else:
+            quantiles = np.asarray(base_kws["nquantiles"])
+        interp = adj_kws.get("interp", "nearest")
+        extrap = adj_kws.get("extrapolation", "constant")
+        if base is not QuantileDeltaMapping:
+            raise NotImplementedError("Only QuantileDeltaMapping base is currently supported.")
+
+        V = int(np.shape(ref.data)[ref.dims.index(pts_dim)])
+        if rot_matrices is None:
+            rot = rand_rot_matrix(V, num=max(n_iter, 2))[:n_iter]
+        else:
+            rot = jnp.asarray(rot_matrices if not isinstance(rot_matrices, DataArray) else rot_matrices.data)
+
+        gi = group.indexes(ref.time)
+        gi_sim = group.indexes(sim.time)
+
+        refa = jnp.asarray(ref.move_dim_last("time").data)   # [V, ..., T]
+        hista = jnp.asarray(hist.move_dim_last("time").data)
+        sima = jnp.asarray(sim.move_dim_last("time").data)
+        refa = jnp.moveaxis(refa, 0, -2)                     # [..., V, T]
+        hista = jnp.moveaxis(hista, 0, -2)
+        sima = jnp.moveaxis(sima, 0, -2)
+
+        from ._npdft import npdf_transform_core
+
+        scenh, scens, escores = npdf_transform_core(
+            refa,
+            hista,
+            sima,
+            jnp.asarray(rot, dtype=refa.dtype),
+            jnp.asarray(quantiles, dtype=refa.dtype),
+            jnp.asarray(gi.gather_idx),
+            jnp.asarray(gi.group_idx),
+            jnp.asarray(gi.scatter_slot),
+            jnp.asarray(gi_sim.gather_idx),
+            jnp.asarray(gi_sim.group_idx),
+            jnp.asarray(gi_sim.scatter_slot),
+            jnp.asarray(gi.frac_idx, dtype=refa.dtype),
+            jnp.asarray(gi.positions, dtype=refa.dtype),
+            jnp.asarray(gi_sim.frac_idx, dtype=refa.dtype),
+            jnp.asarray(gi_sim.positions, dtype=refa.dtype),
+            interp=interp,
+            extrap=extrap,
+            n_escore=int(n_escore),
+        )
+
+        def _wrap(a, like, name):
+            arr = jnp.moveaxis(a, -2, 0)
+            lc = like.move_dim_last("time")
+            da = DataArray(arr, lc.dims, dict(lc.coords), dict(like.attrs), name)
+            return da.transpose(*like.dims) if lc.dims != like.dims else da
+
+        out = Dataset(
+            {
+                "scen": _wrap(scens, sim, "scen"),
+                "scenh": _wrap(scenh, hist, "scenh"),
+                "escores": DataArray(escores, ("iterations",), {}, {}, "escores"),
+            }
+        )
+        return out

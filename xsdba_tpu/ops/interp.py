@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["interp1d_table", "interp_on_quantiles_grouped", "searchsorted_batched"]
 
@@ -124,8 +125,8 @@ def interp_on_quantiles_grouped(
     linearly by the fractional offset.
     """
     v = jnp.asarray(v)
-    xq = jnp.asarray(xq)
-    yq = jnp.asarray(yq)
+    # NaN table pairs compacted per (batch, group) once — cheap on [..., G, nq]
+    xq, yq, nvalid = _compact_nan_pairs(jnp.asarray(xq), jnp.asarray(yq))
     frac = jnp.asarray(frac_idx, dtype=v.dtype)
     pos = jnp.asarray(group_positions, dtype=v.dtype)
     G = xq.shape[-2]
@@ -138,15 +139,14 @@ def interp_on_quantiles_grouped(
         pos_p = jnp.concatenate([pos[:1] - step0, pos, pos[-1:] + step1])
         xq_p = jnp.concatenate([xq[..., -1:, :], xq, xq[..., :1, :]], axis=-2)
         yq_p = jnp.concatenate([yq[..., -1:, :], yq, yq[..., :1, :]], axis=-2)
+        nv_p = jnp.concatenate([nvalid[..., -1:], nvalid, nvalid[..., :1]], axis=-1)
     else:
-        pos_p, xq_p, yq_p = pos, xq, yq
+        pos_p, xq_p, yq_p, nv_p = pos, xq, yq, nvalid
 
     if method == "nearest" or G == 1:
         g = jnp.clip(jnp.searchsorted(pos_p, frac, side="left"), 1, pos_p.shape[0] - 1)
         g = jnp.where(frac - pos_p[g - 1] < pos_p[g] - frac, g - 1, g)
-        xg = jnp.take(xq_p, g, axis=-2)
-        yg = jnp.take(yq_p, g, axis=-2)
-        return _interp_rowwise(v, xg, yg, method, extrap)
+        return _interp_in_group(v, g, xq_p, yq_p, nv_p, method, extrap)
 
     # bracketing pad-space groups and blend weight
     g1 = jnp.clip(jnp.searchsorted(pos_p, frac, side="right"), 1, pos_p.shape[0] - 1)
@@ -155,17 +155,83 @@ def interp_on_quantiles_grouped(
     p1 = pos_p[g1]
     w = jnp.where(p1 > p0, (frac - p0) / jnp.where(p1 == p0, 1, p1 - p0), 0.0)
 
-    lo = _interp_rowwise(v, jnp.take(xq_p, g0, axis=-2), jnp.take(yq_p, g0, axis=-2), method, extrap)
-    hi = _interp_rowwise(v, jnp.take(xq_p, g1, axis=-2), jnp.take(yq_p, g1, axis=-2), method, extrap)
+    lo = _interp_in_group(v, g0, xq_p, yq_p, nv_p, method, extrap)
+    hi = _interp_in_group(v, g1, xq_p, yq_p, nv_p, method, extrap)
     return (1 - w) * lo + w * hi
 
 
-def _interp_rowwise(v, xg, yg, method, extrap):
-    """Per-timestep table interp: v [..., T], xg/yg [..., T, nq] -> [..., T]."""
-    def one(vt, xt, yt):
-        return interp1d_table(vt[None], xt, yt, method, extrap)[0]
+def _gather_gt(tab, g, k):
+    """tab [..., G, nq]; g [T]; k [..., T] -> tab[..., g[t], k[t]] as [..., T].
 
-    fn = jax.vmap(one)  # over T
-    for _ in range(v.ndim - 1):
-        fn = jax.vmap(fn)
-    return fn(v, jnp.broadcast_to(xg, v.shape + (xg.shape[-1],)), jnp.broadcast_to(yg, v.shape + (yg.shape[-1],)))
+    Two-level gather through a flattened (G*nq) axis — memory stays [..., T],
+    never [..., T, nq].
+    """
+    nq = tab.shape[-1]
+    flat = tab.reshape(tab.shape[:-2] + (tab.shape[-2] * nq,))
+    idx = g * nq + k
+    batch = jnp.broadcast_shapes(flat.shape[:-1], idx.shape[:-1])
+    flat = jnp.broadcast_to(flat, batch + flat.shape[-1:])
+    idx = jnp.broadcast_to(idx, batch + idx.shape[-1:])
+    return jnp.take_along_axis(flat, idx, axis=-1)
+
+
+def _interp_in_group(v, g, xq_p, yq_p, nv_p, method, extrap):
+    """Interpolate each v[..., t] on the table of its group g[t].
+
+    Hot path of grouped adjust: an explicit binary search over the quantile
+    axis — log2(nq) sequential [..., T] gathers instead of materializing a
+    [..., T, nq] per-timestep table (which OOMs at production scale).
+    Tables are pre-compacted (NaN pairs sorted to the end as +inf);
+    ``nv_p`` [..., Gp] is the per-group valid count.
+    """
+    nq = xq_p.shape[-1]
+    T = v.shape[-1]
+    shape = jnp.broadcast_shapes(v.shape, xq_p.shape[:-2] + (T,))
+    v = jnp.broadcast_to(v, shape)
+    gT = jnp.broadcast_to(g, (T,))
+
+    # per-timestep valid count of the target group's table
+    nvg = jnp.broadcast_to(nv_p, shape[:-1] + nv_p.shape[-1:])
+    nv_t = jnp.take_along_axis(nvg, jnp.broadcast_to(gT, shape), axis=-1)
+
+    # binary search for rightmost index with xq <= v  (searchsorted 'right' - 1)
+    lo = jnp.full(shape, -1, dtype=jnp.int32)
+    hi = jnp.full(shape, nq, dtype=jnp.int32)
+    steps = max(1, int(np.ceil(np.log2(nq + 1))))
+    for _ in range(steps):
+        mid = (lo + hi) // 2
+        midc = jnp.clip(mid, 0, nq - 1)
+        xm = _gather_gt(xq_p, gT, midc)
+        go_right = (xm <= v) & (mid >= 0) & (mid < nq)
+        lo = jnp.where(go_right, mid, lo)
+        hi = jnp.where(go_right, hi, mid)
+
+    k = jnp.clip(lo, 0, jnp.maximum(nv_t - 2, 0))
+    x0 = _gather_gt(xq_p, gT, k)
+    x1 = _gather_gt(xq_p, gT, jnp.clip(k + 1, 0, nq - 1))
+    y0 = _gather_gt(yq_p, gT, k)
+    y1 = _gather_gt(yq_p, gT, jnp.clip(k + 1, 0, nq - 1))
+    dx = x1 - x0
+    t = jnp.where(dx > 0, (v - x0) / jnp.where(dx == 0, 1, dx), 0.0)
+    t = jnp.where(jnp.isfinite(t), t, 0.0)  # x1=+inf pad -> stick to y0
+    if method == "linear":
+        out = y0 + t * (y1 - y0)
+    elif method == "nearest":
+        out = jnp.where(jnp.abs(v - x0) <= jnp.abs(x1 - v), y0, y1)
+    else:
+        raise NotImplementedError(f"method={method!r}")
+
+    last = jnp.clip(nv_t - 1, 0, nq - 1)
+    x_first = _gather_gt(xq_p, gT, jnp.zeros_like(k))
+    x_last = _gather_gt(xq_p, gT, last)
+    y_first = _gather_gt(yq_p, gT, jnp.zeros_like(k))
+    y_last = _gather_gt(yq_p, gT, last)
+    below = v < x_first
+    above = v > x_last
+    if extrap == "constant":
+        out = jnp.where(below, y_first, out)
+        out = jnp.where(above, y_last, out)
+    else:
+        out = jnp.where(below | above, jnp.nan, out)
+    out = jnp.where(nv_t == 0, jnp.nan, out)
+    return jnp.where(jnp.isnan(v), jnp.nan, out)

@@ -24,13 +24,16 @@ from .utils.units import convert_units_to
 
 __all__ = [
     "adapt_freq",
+    "escore",
     "jitter",
     "jitter_over_thresh",
     "jitter_under_thresh",
     "normalize",
     "reordering",
+    "stack_variables",
     "standardize",
     "uniform_noise_like",
+    "unstack_variables",
     "unstandardize",
 ]
 
@@ -297,4 +300,76 @@ def reordering(ref: DataArray, sim: DataArray, dim: str = "time") -> DataArray:
     res = scen_like(sim, out, name=sim.name)
     res.attrs.update(sim.attrs)
     res.attrs["history"] = update_history("reordering(ref, sim)", sim)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# stack_variables / unstack_variables — reference processing.py:736-826
+# ---------------------------------------------------------------------------
+
+
+def stack_variables(ds: Dataset, dim: str = "multivar") -> DataArray:
+    """Stack Dataset variables into one DataArray along a leading ``dim``
+    (alphabetical order).  Per-variable attrs are preserved for
+    :func:`unstack_variables`; units are blanked on the stacked array."""
+    items = sorted(ds.items(), key=lambda e: e[0])
+    names = [nm for nm, _ in items]
+    first = items[0][1]
+    data = jnp.stack([jnp.asarray(v.data) for _, v in items], axis=0)
+    coords = dict(first.coords)
+    coords[dim] = np.array(names)
+    attrs = dict(ds.attrs)
+    attrs["units"] = ""
+    attrs["_variable_attrs"] = {nm: dict(v.attrs) for nm, v in items}
+    return DataArray(data, (dim,) + first.dims, coords, attrs, "multivariate")
+
+
+def unstack_variables(da: DataArray, dim: str | None = None) -> Dataset:
+    """Inverse of :func:`stack_variables`."""
+    dim = dim or next((d for d in da.dims if d in da.coords and np.asarray(da.coords[d]).dtype.kind in "US"), None)
+    if dim is None:
+        raise ValueError("No variable coordinate found, were attributes removed?")
+    names = [str(n) for n in np.asarray(da.coords[dim])]
+    ax = da.dims.index(dim)
+    var_attrs = da.attrs.get("_variable_attrs", {})
+    out = {}
+    for i, nm in enumerate(names):
+        sub_dims = tuple(d for d in da.dims if d != dim)
+        data = jnp.take(jnp.asarray(da.data), i, axis=ax)
+        coords = {k: v for k, v in da.coords.items() if k != dim}
+        attrs = dict(var_attrs.get(nm, {}))
+        out[nm] = DataArray(data, sub_dims, coords, attrs, nm)
+    ds_attrs = {k: v for k, v in da.attrs.items() if k not in ("units", "_variable_attrs")}
+    return Dataset(out, ds_attrs)
+
+
+def escore(tgt: DataArray, sim: DataArray, dims=("multivar", "time"), N: int = 0, scale: bool = False) -> DataArray:
+    """Energy score between two multivariate arrays (reference
+    processing.py:393-489): optional even subsampling of N points and
+    standardization by tgt's mean/std."""
+    from .ops.escore import escore as escore_core
+
+    tgtc = tgt.move_dim_last(dims[1])
+    simc = sim.move_dim_last(dims[1])
+    tv = jnp.asarray(tgtc.data)
+    sv = jnp.asarray(simc.data)
+    # move the multivar dim to -2
+    vax = tgtc.dims.index(dims[0])
+    tv = jnp.moveaxis(tv, vax, -2)
+    sv = jnp.moveaxis(sv, simc.dims.index(dims[0]), -2)
+    if N > 0:
+        step_t = max(1, int(np.ceil(tv.shape[-1] / N)))
+        step_s = max(1, int(np.ceil(sv.shape[-1] / N)))
+        tv = tv[..., ::step_t]
+        sv = sv[..., ::step_s]
+    if scale:
+        mu = jnp.nanmean(tv, axis=-1, keepdims=True)
+        sd = jnp.nanstd(tv, axis=-1, ddof=1, keepdims=True)
+        tv = (tv - mu) / sd
+        sv = (sv - mu) / sd
+    out = escore_core(tv, sv)
+    bdims = tuple(d for d in tgtc.dims if d not in dims)
+    res = DataArray(out, bdims, {d: tgt.coords[d] for d in bdims if d in tgt.coords}, {}, "escores")
+    res.attrs["long_name"] = "Energy dissimilarity metric"
+    res.attrs["description"] = "Escores computed from paired standardized observations."
     return res

@@ -135,6 +135,9 @@ class Grouper:
             return np.array([1])
         if self.prop == "week":
             return np.arange(1, 54)
+        if self.prop == "5D":
+            # 73 five-day blocks of the year (reference processing.py:884-906)
+            return np.arange(73)
         raise NotImplementedError(f"No coordinate for {self.prop}")
 
     def group_of(self, time: TimeIndex) -> np.ndarray:
@@ -195,7 +198,23 @@ class Grouper:
         counts = np.array([len(m) for m in members], dtype=np.int64)
         L = int(counts.max()) if T else 0
         slot = np.zeros(T, dtype=np.int64)
-        if self.window > 1:
+        if self.prop == "5D" and self.window > 1:
+            # MBCn "5D" grouping: the window counts 5-day *blocks*, not
+            # timesteps (reference processing.py:884-910) — group b's windowed
+            # members are the member days of blocks b-h..b+h, no wraparound.
+            if self.window % 2 == 0:
+                raise ValueError(f"Group 5D only works with an odd window, got window={self.window}")
+            h = (self.window - 1) // 2
+            Lb = L
+            rows = np.full((G, Lb * self.window), -1, dtype=np.int64)
+            for b in range(G):
+                for k, o in enumerate(range(-h, h + 1)):
+                    bo = b + o
+                    if 0 <= bo < G:
+                        m = members[bo]
+                        rows[b, k * Lb : k * Lb + len(m)] = m
+                slot[members[b]] = h * Lb + np.arange(len(members[b]))
+        elif self.window > 1:
             L *= self.window
             rows = np.full((G, L), -1, dtype=np.int64)
             offs = np.arange(-half, half + 1)
