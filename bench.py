@@ -33,24 +33,36 @@ def main():
     args = _example_problem(n_sites=n_sites, n_years=n_years)
 
     @jax.jit
-    def step_sum(*a):
+    def step_sum(ref, *a):
         # scalar summary fused into the step: forcing its transfer to host is
         # the only reliable sync point through the remote-TPU relay
         # (block_until_ready returns early there).
         out = qdm_train_adjust_core.__wrapped__(
-            *a, kind="+", interp="linear", extrapolation="constant"
+            ref, *a, kind="+", interp="linear", extrapolation="constant"
         )
         return jnp.nansum(out)
 
-    # compile + first run
-    float(step_sum(*args))
+    ref, rest = args[0], args[1:]
 
-    n_iter = 3
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        s = float(step_sum(*args))
-    dt = (time.perf_counter() - t0) / n_iter
+    # compile + first run
+    s = float(step_sum(ref, *rest))
     assert np.isfinite(s)
+
+    def timed(n):
+        # chain iterations through the data so they can't be elided, fetch once:
+        # amortizes the relay's fetch latency out of the per-step time.
+        t0 = time.perf_counter()
+        r = ref
+        acc = None
+        for _ in range(n):
+            acc = step_sum(r, *rest)
+            r = ref + 0 * acc
+        float(acc)
+        return time.perf_counter() - t0
+
+    t1 = timed(1)
+    t9 = timed(9)
+    dt = max((t9 - t1) / 8, 1e-9)
 
     gp_years = n_sites * n_years
     value = gp_years / dt

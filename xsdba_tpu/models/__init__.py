@@ -3,7 +3,9 @@
 from .base import Adjust, BaseAdjustment, TrainAdjust
 from .dqm import DetrendedQuantileMapping
 from .eqm import EmpiricalQuantileMapping, QuantileDeltaMapping
+from .extremes import ExtremeValues
 from .mbcn import MBCn, NpdfTransform
+from .pca import PrincipalComponents
 from .scaling import LOCI, Scaling
 
 __all__ = [
@@ -11,9 +13,11 @@ __all__ = [
     "BaseAdjustment",
     "DetrendedQuantileMapping",
     "EmpiricalQuantileMapping",
+    "ExtremeValues",
     "LOCI",
     "MBCn",
     "NpdfTransform",
+    "PrincipalComponents",
     "QuantileDeltaMapping",
     "Scaling",
     "TrainAdjust",
