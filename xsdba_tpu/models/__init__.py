@@ -5,6 +5,7 @@ from .dqm import DetrendedQuantileMapping
 from .eqm import EmpiricalQuantileMapping, QuantileDeltaMapping
 from .extremes import ExtremeValues
 from .mbcn import MBCn, NpdfTransform
+from .otc import OTC, dOTC
 from .pca import PrincipalComponents
 from .scaling import LOCI, Scaling
 
@@ -17,8 +18,10 @@ __all__ = [
     "LOCI",
     "MBCn",
     "NpdfTransform",
+    "OTC",
     "PrincipalComponents",
     "QuantileDeltaMapping",
     "Scaling",
     "TrainAdjust",
+    "dOTC",
 ]
