@@ -1,0 +1,177 @@
+import numpy as np
+import pytest
+from scipy import stats as sps
+
+import xsdba_tpu as xt
+from xsdba_tpu import measures, properties
+
+
+def series(values, units="K", start="2000-01-01", calendar="noleap"):
+    t = xt.date_range(start, periods=np.shape(values)[-1], freq="D", calendar=calendar)
+    dims = ("time",) if np.ndim(values) == 1 else ("site", "time")
+    return xt.DataArray(np.asarray(values, dtype=np.float64), dims, {"time": t}, {"units": units}, "tas")
+
+
+class TestMarginal:
+    def test_mean_var_std_skew_quantile(self, random):
+        x = random.gamma(3, 2, 365 * 4)
+        da = series(x)
+        assert float(np.asarray(properties.mean(da).data)) == pytest.approx(x.mean(), rel=1e-9)
+        assert float(np.asarray(properties.var(da).data)) == pytest.approx(x.var(), rel=1e-9)
+        assert float(np.asarray(properties.std(da).data)) == pytest.approx(x.std(), rel=1e-9)
+        assert float(np.asarray(properties.skewness(da).data)) == pytest.approx(sps.skew(x), rel=1e-6)
+        assert float(np.asarray(properties.quantile(da, q=0.9).data)) == pytest.approx(np.quantile(x, 0.9), rel=1e-6)
+
+    def test_monthly_grouping(self, random):
+        x = random.normal(10, 2, 365 * 3)
+        da = series(x)
+        m = properties.mean(da, group="time.month")
+        assert m.dims[-1] == "month" and m.shape[-1] == 12
+        jan = np.asarray(m.data)[0]
+        assert jan == pytest.approx(x[np.asarray(da.time.month) == 1].mean(), rel=1e-9)
+
+    def test_var_units(self, random):
+        da = series(random.normal(0, 1, 100))
+        assert properties.var(da).attrs["units"] == "(K)2"
+
+
+class TestTemporal:
+    def test_spell_length(self, random):
+        # deterministic: 3-day spells every 10 days
+        x = np.zeros(360)
+        for s in range(0, 360, 10):
+            x[s : s + 3] = 5.0
+        da = series(x, units="mm/d")
+        out = properties.spell_length_distribution(da, thresh="1 mm/d", op=">=", stat="mean")
+        assert float(np.asarray(out.data)) == pytest.approx(3.0, abs=0.1)
+
+    def test_acf(self, random):
+        n = 365 * 6
+        # AR(1) with rho=0.7
+        rho = 0.7
+        eps = random.normal(0, 1, n)
+        x = np.zeros(n)
+        for i in range(1, n):
+            x[i] = rho * x[i - 1] + eps[i]
+        da = series(x)
+        out = properties.acf(da, lag=1, group="time.season")
+        vals = np.asarray(out.data)
+        assert vals.shape == (4,)
+        np.testing.assert_allclose(vals, rho, atol=0.12)
+
+    def test_acf_group_validation(self, random):
+        da = series(random.normal(0, 1, 365))
+        with pytest.raises(ValueError, match="not allowed"):
+            properties.acf(da, group="time")
+
+    def test_annual_cycle(self, random):
+        n = 365 * 5
+        doy = np.arange(n) % 365
+        x = 10 + 5 * np.sin(2 * np.pi * (doy - 90) / 365) + random.normal(0, 0.3, n)
+        da = series(x)
+        amp = float(np.asarray(properties.annual_cycle_amplitude(da).data))
+        assert amp == pytest.approx(10, abs=0.7)
+        phase = float(np.asarray(properties.annual_cycle_phase(da).data))
+        assert phase == pytest.approx(90 + 365 / 4 + 1, abs=10)
+        mx = float(np.asarray(properties.annual_cycle_maximum(da).data))
+        assert mx == pytest.approx(15, abs=0.5)
+
+    def test_relative_frequency_and_transition(self, random):
+        x = (random.random(3650) < 0.3) * 5.0
+        da = series(x, units="mm/d")
+        f = float(np.asarray(properties.relative_frequency(da, op=">=", thresh="1 mm/d").data))
+        assert f == pytest.approx(0.3, abs=0.03)
+        p = float(np.asarray(properties.transition_probability(da, thresh="1 mm/d").data))
+        assert p == pytest.approx(0.09, abs=0.02)  # independent days: 0.3^2
+
+    def test_trend(self, random):
+        n = 365 * 10
+        x = 10 + 0.01 * np.arange(n) / 365 + random.normal(0, 0.5, n)
+        da = series(x)
+        slope = float(np.asarray(properties.trend(da).data))
+        assert slope == pytest.approx(0.01, abs=0.05)
+        r = float(np.asarray(properties.trend(da, output="pvalue").data))
+        assert 0 <= r <= 1
+
+    def test_return_value(self, random):
+        n = 365 * 30
+        x = sps.genextreme.rvs(0.1, loc=30, scale=3, size=n, random_state=42)
+        da = series(x)
+        rv = float(np.asarray(properties.return_value(da, period=20, op="max").data))
+        assert rv > np.quantile(x, 0.99)
+
+
+class TestMultivariateSpatial:
+    def test_corr_btw_var(self, random):
+        n = 2000
+        x = random.normal(0, 1, n)
+        y = 0.8 * x + 0.2 * random.normal(0, 1, n)
+        da1, da2 = series(x), series(y, units="mm/d")
+        r = float(np.asarray(properties.corr_btw_var(da1, da2, corr_type="Pearson").data))
+        want = np.corrcoef(x, y)[0, 1]
+        assert r == pytest.approx(want, abs=0.01)
+        rs = float(np.asarray(properties.corr_btw_var(da1, da2, corr_type="Spearman").data))
+        want_s = sps.spearmanr(x, y)[0]
+        assert rs == pytest.approx(want_s, abs=0.01)
+
+    def test_pairwise_haversine(self):
+        lon = np.array([0.0, 0.0])
+        lat = np.array([0.0, 1.0])
+        d = np.asarray(properties.pairwise_haversine(lon, lat))
+        assert d[0, 1] == pytest.approx(111.15, rel=0.01)
+
+    def test_spatial_correlogram(self, random):
+        nsite, nt = 12, 500
+        lon = random.uniform(0, 5, nsite)
+        lat = random.uniform(40, 45, nsite)
+        base = random.normal(0, 1, nt)
+        x = base[None, :] + random.normal(0, 0.5, (nsite, nt))
+        t = xt.date_range("2000-01-01", periods=nt, freq="D", calendar="noleap")
+        da = xt.DataArray(x, ("site", "time"), {"time": t, "lon": lon, "lat": lat}, {"units": "K"}, "tas")
+        out = properties.spatial_correlogram(da, bins=5)
+        v = np.asarray(out.data)
+        assert np.nanmax(v) > 0.5  # strongly correlated sites
+
+
+class TestMeasures:
+    def test_bias_family(self, random):
+        s = series(np.array([12.0]), units="K")
+        s.coords.pop("time")
+        s = xt.DataArray(np.array(12.0), (), {}, {"units": "K"}, "x")
+        r = xt.DataArray(np.array(10.0), (), {}, {"units": "K"}, "x")
+        assert float(np.asarray(measures.bias(s, r).data)) == 2.0
+        assert float(np.asarray(measures.relative_bias(s, r).data)) == pytest.approx(0.2)
+        assert float(np.asarray(measures.ratio(s, r).data)) == pytest.approx(1.2)
+
+    def test_circular_bias(self):
+        s = xt.DataArray(np.array(360.0), (), {}, {"units": ""}, "x")
+        r = xt.DataArray(np.array(5.0), (), {}, {"units": ""}, "x")
+        assert float(np.asarray(measures.circular_bias(s, r).data)) == pytest.approx(-10.0)
+
+    def test_rmse_mae(self, random):
+        x = random.normal(10, 1, 500)
+        y = x + 1
+        assert float(np.asarray(measures.rmse(series(y), series(x)).data)) == pytest.approx(1.0, abs=1e-9)
+        assert float(np.asarray(measures.mae(series(y), series(x)).data)) == pytest.approx(1.0, abs=1e-9)
+
+    def test_annual_cycle_correlation(self, random):
+        n = 365 * 4
+        doy = np.arange(n) % 365
+        x = 10 + 5 * np.sin(2 * np.pi * doy / 365) + random.normal(0, 0.2, n)
+        y = 12 + 4 * np.sin(2 * np.pi * doy / 365) + random.normal(0, 0.2, n)
+        r = float(np.asarray(measures.annual_cycle_correlation(series(x), series(y)).data))
+        assert r > 0.99
+
+    def test_taylordiagram(self, random):
+        x = random.normal(0, 2, 1000)
+        y = x + random.normal(0, 0.5, 1000)
+        out = measures.taylordiagram(series(y), series(x))
+        v = np.asarray(out.data)
+        assert v.shape == (3,)
+        assert v[0] == pytest.approx(2, abs=0.2)  # ref std
+        assert v[2] > 0.9  # corr
+
+    def test_units_mismatch_handled(self, random):
+        s = xt.DataArray(np.array(285.0), (), {}, {"units": "K"}, "x")
+        r = xt.DataArray(np.array(10.0), (), {}, {"units": "degC"}, "x")
+        assert float(np.asarray(measures.bias(s, r).data)) == pytest.approx(285.0 - 283.15)

@@ -32,7 +32,7 @@ def __getattr__(name):
 
     if name.startswith("_"):
         raise AttributeError(f"module 'xsdba_tpu' has no attribute {name!r}")
-    for modname in ("models", "processing", "detrending"):
+    for modname in ("models", "processing", "detrending", "properties", "measures"):
         try:
             mod = importlib.import_module(f".{modname}", __name__)
         except ModuleNotFoundError:

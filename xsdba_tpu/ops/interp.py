@@ -27,11 +27,24 @@ __all__ = ["interp1d_table", "interp_on_quantiles_grouped", "searchsorted_batche
 
 
 def searchsorted_batched(sorted_x, v, side: str = "right"):
-    """searchsorted vectorized over matching leading dims."""
-    fn = lambda s, q: jnp.searchsorted(s, q, side=side)
-    for _ in range(sorted_x.ndim - 1):
-        fn = jax.vmap(fn)
-    return fn(sorted_x, v)
+    """Batched searchsorted as an explicit binary search of take_along_axis
+    gathers — log2(n) fully-vectorized steps.  (jnp.searchsorted's scan
+    lowering is orders of magnitude slower on TPU at production sizes.)"""
+    n = sorted_x.shape[-1]
+    batch = jnp.broadcast_shapes(sorted_x.shape[:-1], v.shape[:-1])
+    sx = jnp.broadcast_to(sorted_x, batch + (n,))
+    vv = jnp.broadcast_to(v, batch + v.shape[-1:])
+    lo = jnp.full(vv.shape, -1, dtype=jnp.int32)
+    hi = jnp.full(vv.shape, n, dtype=jnp.int32)
+    for _ in range(max(1, int(np.ceil(np.log2(n + 1))))):
+        mid = (lo + hi) // 2
+        midc = jnp.clip(mid, 0, n - 1)
+        xm = jnp.take_along_axis(sx, midc, axis=-1)
+        cmp = xm <= vv if side == "right" else xm < vv
+        go = cmp & (mid >= 0) & (mid < n)
+        lo = jnp.where(go, mid, lo)
+        hi = jnp.where(go, hi, mid)
+    return lo + 1
 
 
 def _compact_nan_pairs(xq, yq):

@@ -6,10 +6,11 @@ ranks start at 1, NaNs stay NaN; ``pct`` divides by the valid count.  The
 reference then rescales pct ranks to span [0, 1] exactly
 (``rnk = mx*(rnk-mn)/(mx-mn)``, ``utils.py:631-634``), which we reproduce.
 
-Implementation: instead of bottleneck's sequential scan, ranks are computed
-as ``(left + right + 1) / 2`` where ``left``/``right`` are the insertion points
-of each value in its own sorted row — two searchsorteds over one sort, fully
-batched and XLA-fusable.
+Implementation: one argsort + cumulative-max run labeling.  Equal values form
+contiguous runs in the sorted order, and the average of consecutive integer
+positions a..b is just (a+b)/2 — so tie-averaged ranks come from two
+cummax scans over the sorted row, with no searchsorted (whose scan lowering
+is pathologically slow on TPU: 12 s vs 0.1 s at production size).
 """
 
 from __future__ import annotations
@@ -20,26 +21,24 @@ import jax.numpy as jnp
 __all__ = ["average_rank", "pct_rank", "rank_pct_rescaled"]
 
 
-def _searchsorted_rows(sorted_x, v, side):
-    # jnp.searchsorted is 1-D; vectorize over leading dims.
-    fn = lambda s, q: jnp.searchsorted(s, q, side=side)
-    for _ in range(sorted_x.ndim - 1):
-        fn = jax.vmap(fn)
-    return fn(sorted_x, v)
-
-
 def average_rank(x, axis: int = -1):
     """Average rank along ``axis``; NaNs -> NaN; ranks start at 1."""
     x = jnp.asarray(x)
     x = jnp.moveaxis(x, axis, -1)
+    n = x.shape[-1]
     nan = jnp.isnan(x)
     key = jnp.where(nan, jnp.inf, x)
-    sorted_x = jnp.sort(key, axis=-1)
-    left = _searchsorted_rows(sorted_x, key, "left")
-    right = _searchsorted_rows(sorted_x, key, "right")
-    # clip `right` so NaN entries (inf key) don't overcount other infs — they
-    # are masked to NaN below anyway.
-    rnk = (left + right + 1).astype(x.dtype) / 2
+    idx = jnp.argsort(key, axis=-1)
+    s = jnp.take_along_axis(key, idx, axis=-1)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    prev = jnp.concatenate([jnp.full_like(s[..., :1], jnp.nan), s[..., :-1]], axis=-1)
+    starts = s != prev  # first slot of each tie-run (NaN != anything -> True)
+    a = jax.lax.cummax(jnp.where(starts, pos, -1), axis=x.ndim - 1)
+    nxt = jnp.concatenate([starts[..., 1:], jnp.ones_like(starts[..., :1])], axis=-1)
+    b = -jax.lax.cummax(-jnp.where(nxt, pos, n)[..., ::-1], axis=x.ndim - 1)[..., ::-1]
+    avg_sorted = (a + b).astype(x.dtype) / 2 + 1
+    inv = jnp.argsort(idx, axis=-1)
+    rnk = jnp.take_along_axis(avg_sorted, inv, axis=-1)
     rnk = jnp.where(nan, jnp.nan, rnk)
     return jnp.moveaxis(rnk, -1, axis)
 

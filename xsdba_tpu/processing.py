@@ -25,14 +25,20 @@ from .utils.units import convert_units_to
 __all__ = [
     "adapt_freq",
     "escore",
+    "from_additive_space",
+    "grouped_time_indexes",
     "jitter",
     "jitter_over_thresh",
     "jitter_under_thresh",
     "normalize",
     "reordering",
+    "spectral_filter",
+    "stack_periods",
     "stack_variables",
     "standardize",
+    "to_additive_space",
     "uniform_noise_like",
+    "unstack_periods",
     "unstack_variables",
     "unstandardize",
 ]
@@ -373,3 +379,309 @@ def escore(tgt: DataArray, sim: DataArray, dims=("multivar", "time"), N: int = 0
     res.attrs["long_name"] = "Energy dissimilarity metric"
     res.attrs["description"] = "Escores computed from paired standardized observations."
     return res
+
+
+# ---------------------------------------------------------------------------
+# additive-space transforms — reference processing.py:492-733
+# ---------------------------------------------------------------------------
+
+
+def to_additive_space(
+    data: DataArray,
+    lower_bound: str,
+    upper_bound: str | None = None,
+    trans: str = "log",
+    clip_next_to_bounds: str | None = None,
+) -> DataArray:
+    """Map a bounded variable into an additive space via log/logit
+    (Alavoine & Grenier 2022; reference processing.py:492-612)."""
+    lb = convert_units_to(lower_bound, data.units)
+    ub = convert_units_to(upper_bound, data.units) if upper_bound is not None else None
+    x = jnp.asarray(data.data)
+
+    if clip_next_to_bounds is not None:
+        if clip_next_to_bounds == "strict":
+            lo = float(jnp.nanmin(x))
+            hi = float(jnp.nanmax(x))
+            if lo < lb or (ub is not None and hi > ub):
+                raise ValueError("Data exceeds the given bounds and clip_next_to_bounds='strict'.")
+        elif clip_next_to_bounds != "permissive":
+            raise ValueError("clip_next_to_bounds must be None, 'strict' or 'permissive'.")
+        eps = jnp.finfo(jnp.float32).eps
+        span = (ub - lb) if ub is not None else max(abs(lb), 1.0)
+        x = jnp.clip(x, lb + eps * span, (ub - eps * span) if ub is not None else None)
+
+    if trans == "log":
+        out = jnp.log(x - lb)
+    elif trans == "logit":
+        if ub is None:
+            raise ValueError("`upper_bound` is required for the logit transform.")
+        xp = (x - lb) / (ub - lb)
+        out = jnp.log(xp / (1 - xp))
+    else:
+        raise NotImplementedError("`trans` must be one of 'log' or 'logit'.")
+
+    res = data.copy(data=out)
+    res.attrs["xsdba_transform"] = trans
+    res.attrs["xsdba_transform_lower"] = float(lb)
+    if ub is not None:
+        res.attrs["xsdba_transform_upper"] = float(ub)
+    if "units" in res.attrs:
+        res.attrs["xsdba_transform_units"] = res.attrs.pop("units")
+        res.attrs["units"] = ""
+    res.attrs["history"] = update_history(f"to_additive_space(data, trans={trans!r})", data)
+    return res
+
+
+def from_additive_space(
+    data: DataArray,
+    lower_bound: str | None = None,
+    upper_bound: str | None = None,
+    trans: str | None = None,
+    units: str | None = None,
+) -> DataArray:
+    """Inverse of :func:`to_additive_space` (reference processing.py:615-733)."""
+    if trans is None and lower_bound is None and units is None:
+        try:
+            trans = data.attrs["xsdba_transform"]
+            units = data.attrs["xsdba_transform_units"]
+            lb = float(data.attrs["xsdba_transform_lower"])
+            ub = float(data.attrs["xsdba_transform_upper"]) if trans == "logit" else None
+        except KeyError as err:
+            raise ValueError(
+                f"Attribute {err!s} must be present on the input data or all parameters must be given as arguments."
+            ) from err
+    elif trans is not None and lower_bound is not None and units is not None and (upper_bound is not None or trans == "log"):
+        lb = convert_units_to(lower_bound, units)
+        ub = convert_units_to(upper_bound, units) if trans == "logit" else None
+    else:
+        raise ValueError("Either all parameters are attributes of data, or all are given as arguments.")
+
+    x = jnp.asarray(data.data)
+    if trans == "log":
+        out = jnp.exp(x) + lb
+    elif trans == "logit":
+        xp = 1 / (1 + jnp.exp(-x))
+        out = xp * (ub - lb) + lb
+    else:
+        raise NotImplementedError("`trans` must be one of 'log' or 'logit'.")
+
+    res = data.copy(data=out)
+    for k in ("xsdba_transform", "xsdba_transform_lower", "xsdba_transform_upper", "xsdba_transform_units"):
+        res.attrs.pop(k, None)
+    res.attrs["units"] = units
+    res.attrs["history"] = update_history(f"from_additive_space(data, trans={trans!r})", data)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# stack_periods / unstack_periods — reference base.py:1072-1381
+# ---------------------------------------------------------------------------
+
+
+def stack_periods(
+    da: DataArray,
+    window: int = 30,
+    stride: int | None = None,
+    min_length: int | None = None,
+    freq: str = "YS",
+    dim: str = "period",
+) -> DataArray:
+    """Stack overlapping multi-year windows into a new ``period`` dimension
+    (reference base.py:1072-1270; ``freq='YS'`` supported).
+
+    Reversible with :func:`unstack_periods` when ``stride`` divides ``window``
+    into an odd number of parts.  Parameters are stored in attrs.
+    """
+    if freq != "YS":
+        raise NotImplementedError("Only freq='YS' is currently supported.")
+    stride = stride or window
+    min_length = min_length or window
+    time = da.time
+    dac = da.move_dim_last("time")
+    x = np.asarray(dac.data)
+    T = x.shape[-1]
+
+    years = np.unique(time.year)
+    # index of the first timestep of each year
+    year_start = {y: int(np.argmax(time.year == y)) for y in years}
+    starts = []
+    for i0 in range(0, len(years), stride):
+        if len(years) - i0 < min_length:
+            break
+        starts.append(i0)
+    segments = []
+    lengths = []
+    ybounds = []
+    for i0 in starts:
+        s = year_start[years[i0]]
+        e = year_start[years[i0 + window]] if i0 + window < len(years) else T
+        segments.append((s, e))
+        lengths.append(e - s)
+        # absolute timestep index of each year boundary inside this window
+        yb = [year_start[years[i]] for i in range(i0, min(i0 + window, len(years)))]
+        yb.append(e)
+        ybounds.append(yb)
+    L = max(lengths)
+    out = np.full(x.shape[:-1] + (len(segments), L), np.nan, dtype=x.dtype)
+    for p, (s, e) in enumerate(segments):
+        out[..., p, : e - s] = x[..., s:e]
+
+    coords = {k: v for k, v in dac.coords.items() if k != "time"}
+    coords[dim] = np.array([time.year[s] for s, _ in segments])
+    res = DataArray(out, dac.dims[:-1] + (dim, "time"), coords, dict(da.attrs), da.name)
+    res.attrs["_stack_periods"] = {
+        "window": window,
+        "stride": stride,
+        "freq": freq,
+        "segments": [list(se) for se in segments],
+        "ybounds": [[int(v) for v in yb] for yb in ybounds],
+        "T": T,
+    }
+    return res
+
+
+def unstack_periods(da: DataArray, dim: str = "period") -> DataArray:
+    """Inverse of :func:`stack_periods`: keep the center-most stride of each
+    window (ends come from the first/last windows; reference base.py:1274-1381)."""
+    params = da.attrs.get("_stack_periods")
+    if params is None:
+        raise ValueError("`da` must have been created by stack_periods (missing params attr).")
+    window, stride = params["window"], params["stride"]
+    if (window / stride) % 2 != 1:
+        raise ValueError("`unstack_periods` can only work with a stride that divides window in an odd number of parts.")
+    segments = params["segments"]
+    T = params["T"]
+    dac = da.move_dim_last("time")
+    ax = dac.dims.index(dim)
+    x = np.asarray(dac.data)
+    out = np.full(x.shape[:ax] + x.shape[ax + 1 : -1] + (T,), np.nan, dtype=x.dtype)
+    half = (window // stride) // 2  # number of stride-sections before the center
+
+    nseg = len(segments)
+    ybounds = params["ybounds"]
+    for p, (s, e) in enumerate(segments):
+        seg = np.take(x, p, axis=ax)
+        length = e - s
+        yb = ybounds[p]
+        # keep the center-most stride-year section; first/last periods also
+        # cover the leading/trailing sections (reference base.py:1291-1310)
+        keep0 = 0 if p == 0 else (yb[half * stride] - s if half * stride < len(yb) else length)
+        keep1 = length if p == nseg - 1 else (yb[(half + 1) * stride] - s if (half + 1) * stride < len(yb) else length)
+        out[..., s + keep0 : s + keep1] = seg[..., keep0:keep1]
+
+
+    dims = tuple(d for d in dac.dims if d != dim)
+    coords = {k: v for k, v in dac.coords.items() if k not in (dim,)}
+    res = DataArray(out, dims, coords, {k: v for k, v in da.attrs.items() if k != "_stack_periods"}, da.name)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# spectral filter — reference processing.py:921-1161
+# ---------------------------------------------------------------------------
+
+
+def _dct2(x, axis):
+    """Type-II DCT along ``axis`` (orthonormal), via FFT (Makhoul 1980)."""
+    x = jnp.moveaxis(x, axis, -1)
+    N = x.shape[-1]
+    v = jnp.concatenate([x[..., ::2], x[..., 1::2][..., ::-1]], axis=-1)
+    V = jnp.fft.fft(v, axis=-1)
+    k = jnp.arange(N)
+    factor = 2 * jnp.exp(-1j * jnp.pi * k / (2 * N))
+    out = jnp.real(V * factor)
+    # orthonormalization
+    scale = jnp.where(k == 0, jnp.sqrt(1 / (4 * N)), jnp.sqrt(1 / (2 * N)))
+    return jnp.moveaxis(out * scale, -1, axis)
+
+
+def _idct2(X, axis):
+    """Inverse of :func:`_dct2` (type-III DCT, orthonormal), via FFT."""
+    X = jnp.moveaxis(X, axis, -1)
+    N = X.shape[-1]
+    k = jnp.arange(N)
+    scale = jnp.where(k == 0, jnp.sqrt(1 / (4 * N)), jnp.sqrt(1 / (2 * N)))
+    Xu = X / scale
+    Xrev = jnp.concatenate([jnp.zeros_like(Xu[..., :1]), Xu[..., :0:-1]], axis=-1)
+    V = (Xu - 1j * Xrev) * jnp.exp(1j * jnp.pi * k / (2 * N)) / 2
+    v = jnp.fft.ifft(V, axis=-1)
+    h = (N + 1) // 2
+    x = jnp.zeros_like(X)
+    x = x.at[..., ::2].set(jnp.real(v[..., :h]))
+    x = x.at[..., 1::2].set(jnp.real(v[..., h:][..., ::-1]))
+    return jnp.moveaxis(x, -1, axis)
+
+
+def cos2_mask_func(alpha, low, high):
+    """Cosine-squared low-pass mask (reference processing.py:950-984):
+    1 below ``low``, cos^2 ramp between, 0 above ``high``."""
+    ramp = jnp.cos(((alpha - low) / (high - low)) * (jnp.pi / 2)) ** 2
+    return jnp.where(alpha < low, 1.0, jnp.where(alpha > high, 0.0, ramp))
+
+
+def spectral_filter(
+    da: DataArray,
+    dims: list[str],
+    lam_long: str | None = None,
+    lam_short: str | None = None,
+    delta: str | None = None,
+    alpha_low_high: tuple[float, float] | None = None,
+    mask_func=cos2_mask_func,
+) -> DataArray:
+    """DCT low-pass filter over spatial dims (Denis et al. 2002; reference
+    processing.py:1063-1161).  Bounds given either as wavelengths + grid
+    resolution ``delta``, or directly as normalized wavenumbers."""
+    if isinstance(dims, str):
+        dims = [dims]
+    if alpha_low_high is not None:
+        alpha_low, alpha_high = alpha_low_high
+    else:
+        if lam_long is None or lam_short is None or delta is None:
+            raise ValueError("Either `alpha_low_high` or (`lam_long`, `lam_short`, `delta`) must be given.")
+        from .utils.units import str2quantity
+
+        d = str2quantity(delta).to("m").magnitude
+        alpha_low = 2 * d / str2quantity(lam_long).to("m").magnitude
+        alpha_high = 2 * d / str2quantity(lam_short).to("m").magnitude
+
+    x = jnp.asarray(da.data)
+    axes = [da.dims.index(d) for d in dims]
+    # normalized radial wavenumber alpha = sqrt(sum (i_d/N_d)^2)
+    alpha2 = jnp.zeros(tuple(x.shape[a] for a in axes))
+    for pos, a in enumerate(axes):
+        N = x.shape[a]
+        idx = (jnp.arange(N) / N) ** 2
+        shape = [1] * len(axes)
+        shape[pos] = N
+        alpha2 = alpha2 + idx.reshape(shape)
+    alpha = jnp.sqrt(alpha2)
+    mask = mask_func(alpha, alpha_low, alpha_high)
+
+    coeffs = x
+    for a in axes:
+        coeffs = _dct2(coeffs, a)
+    # broadcast mask onto the full array shape
+    full = [1] * x.ndim
+    for pos, a in enumerate(axes):
+        full[a] = x.shape[a]
+    coeffs = coeffs * mask.reshape(full)
+    out = coeffs
+    for a in axes:
+        out = _idct2(out, a)
+
+    res = da.copy(data=out)
+    res.attrs["history"] = update_history(
+        f"spectral_filter(da, dims={dims}, alpha=({float(alpha_low):.4g}, {float(alpha_high):.4g}))", da
+    )
+    return res
+
+
+def grouped_time_indexes(time, group):
+    """Integer time-index blocks per group and windowed group (reference
+    processing.py:829-918): returns (g_idxs [G, L], gw_idxs [G, Lw]) with -1
+    padding.  On TPU this is just the Grouper's static lowering."""
+    group = Grouper(group) if isinstance(group, str) else group
+    gi_w = group.indexes(time)
+    gi = Grouper(group.name).indexes(time) if group.window > 1 else gi_w
+    return gi.gather_idx, gi_w.gather_idx

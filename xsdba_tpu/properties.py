@@ -1,0 +1,597 @@
+"""Statistical properties — the diagnostics layer (reference ``properties.py``).
+
+The reference builds these on xclim's Indicator machinery; here a light
+:class:`StatisticalProperty` wrapper carries the same metadata contract
+(aspect, allowed groups, default measure) around plain compute functions over
+:class:`~xsdba_tpu.utils.container.DataArray`.  Marginal/temporal properties
+are one fused gather + reduction on device; spatial ones use all-site
+matrices (the lone collective pattern of this domain, SURVEY §2.10).
+"""
+
+from __future__ import annotations
+
+import operator
+
+import jax.numpy as jnp
+import numpy as np
+
+from .models._wrap import grouped_var
+from .ops.segment import gather_groups
+from .utils.container import DataArray
+from .utils.grouper import Grouper, period_blocks
+from .utils.units import convert_units_to
+
+__all__ = [
+    "StatisticalProperty",
+    "acf",
+    "annual_cycle_amplitude",
+    "annual_cycle_asymmetry",
+    "annual_cycle_maximum",
+    "annual_cycle_minimum",
+    "annual_cycle_phase",
+    "corr_btw_var",
+    "decorrelation_length",
+    "mean",
+    "mean_annual_phase",
+    "mean_annual_range",
+    "mean_annual_relative_range",
+    "quantile",
+    "relative_annual_cycle_amplitude",
+    "relative_frequency",
+    "return_value",
+    "skewness",
+    "spatial_correlogram",
+    "spell_length_distribution",
+    "spectral_variance",
+    "std",
+    "transition_probability",
+    "trend",
+    "var",
+]
+
+_OPS = {">": operator.gt, "<": operator.lt, ">=": operator.ge, "<=": operator.le, "==": operator.eq, "!=": operator.ne,
+        "gt": operator.gt, "lt": operator.lt, "ge": operator.ge, "le": operator.le, "eq": operator.eq, "ne": operator.ne}
+
+
+class StatisticalProperty:
+    """Wraps a compute function with the reference Indicator contract
+    (``properties.py:41-113``): aspect in {marginal, temporal, multivariate,
+    spatial}, allowed groups, a default measure name."""
+
+    def __init__(self, identifier, aspect, compute, allowed_groups=None, measure="bias", units=None):
+        self.identifier = identifier
+        self.aspect = aspect
+        self._compute = compute
+        self.allowed_groups = allowed_groups
+        self.measure = measure
+        self.__doc__ = compute.__doc__
+
+    def __call__(self, da, *args, **kwargs):
+        group = kwargs.get("group", "time")
+        group = Grouper(group) if isinstance(group, str) else group
+        if self.allowed_groups is not None and group.prop not in self.allowed_groups:
+            raise ValueError(
+                f"Grouping period {group.prop} is not allowed for property {self.identifier} "
+                f"(needs one of {self.allowed_groups})."
+            )
+        kwargs["group"] = group
+        out = self._compute(da, *args, **kwargs)
+        out.attrs.setdefault("long_name", self.identifier)
+        out.attrs["aspect"] = self.aspect
+        return out
+
+    def get_measure(self):
+        from . import measures
+
+        return getattr(measures, self.measure)
+
+
+def _grouped_reduce(da: DataArray, group: Grouper, fn, units=None, name=None):
+    gi = group.indexes(da.time)
+    dac = da.move_dim_last("time")
+    vals = fn(gather_groups(jnp.asarray(dac.data), gi.gather_idx))
+    bdims = dac.dims[:-1]
+    bcoords = {d: dac.coords[d] for d in bdims if d in dac.coords}
+    out = grouped_var(vals, bdims, bcoords, gi, name=name)
+    if gi.prop == "group":
+        out = DataArray(jnp.asarray(out.data)[..., 0], bdims, bcoords, out.attrs, name)
+    out.attrs["units"] = units if units is not None else da.units
+    return out
+
+
+# -- marginal ---------------------------------------------------------------
+
+
+def _mean(da, *, group="time"):
+    """Mean of the variable (reference properties.py:116-155)."""
+    return _grouped_reduce(da, group, lambda v: jnp.nanmean(v, axis=-1), name="mean")
+
+
+def _var(da, *, group="time"):
+    """Variance (reference properties.py:158-196)."""
+    u = da.units
+    out = _grouped_reduce(da, group, lambda v: jnp.nanvar(v, axis=-1), name="var")
+    out.attrs["units"] = f"({u})2" if u else ""
+    return out
+
+
+def _std(da, *, group="time"):
+    """Standard deviation (reference properties.py:199-235)."""
+    return _grouped_reduce(da, group, lambda v: jnp.nanstd(v, axis=-1), name="std")
+
+
+def _skewness(da, *, group="time"):
+    """Fisher-Pearson skewness (scipy.stats.skew semantics; reference
+    properties.py:238-257)."""
+
+    def fn(v):
+        mu = jnp.nanmean(v, axis=-1, keepdims=True)
+        sd = jnp.nanstd(v, axis=-1, keepdims=True)
+        return jnp.nanmean(((v - mu) / sd) ** 3, axis=-1)
+
+    out = _grouped_reduce(da, group, fn, units="", name="skewness")
+    return out
+
+
+def _quantile(da, *, q=0.98, group="time"):
+    """Quantile q of the variable (reference properties.py:260-294)."""
+    from .ops.quantile import nan_quantile
+
+    def fn(v):
+        return nan_quantile(v, jnp.asarray([q], v.dtype), axis=-1)[..., 0]
+
+    return _grouped_reduce(da, group, fn, name="quantile")
+
+
+mean = StatisticalProperty("mean", "marginal", _mean)
+var = StatisticalProperty("var", "marginal", _var)
+std = StatisticalProperty("std", "marginal", _std)
+skewness = StatisticalProperty("skewness", "marginal", _skewness)
+quantile = StatisticalProperty("quantile", "marginal", _quantile)
+
+
+# -- temporal ---------------------------------------------------------------
+
+
+def _run_lengths(cond):
+    """Per-row run lengths of True runs, -1 padded to L//2 (static)."""
+    # positions where runs end; length computed via cumulative run ids
+    L = cond.shape[-1]
+    idx = jnp.arange(L)
+    prev = jnp.concatenate([jnp.zeros_like(cond[..., :1]), cond[..., :-1]], axis=-1)
+    starts = cond & ~prev
+    rid = jnp.cumsum(starts, axis=-1) * cond  # 1-based run id
+    C = L // 2 + 1
+
+    import jax
+
+    def per_row(c, r):
+        seg = jnp.where(c, r, C + 1)
+        ones = jnp.ones_like(r)
+        ln = jax.ops.segment_sum(jnp.where(c, ones, 0), seg, num_segments=C + 2)
+        return ln[1 : C + 1]
+
+    fn = per_row
+    for _ in range(cond.ndim - 1):
+        fn = jax.vmap(fn)
+    lengths = fn(cond, rid)
+    return jnp.where(lengths > 0, lengths, -1)
+
+
+def _stat_reduce(x, stat, axis=-1):
+    x = jnp.where(x < 0, jnp.nan, x)  # -1 pads
+    if stat == "mean":
+        return jnp.nanmean(x, axis=axis)
+    if stat == "sum":
+        return jnp.nansum(jnp.where(jnp.isnan(x), 0, x), axis=axis)
+    if stat == "max":
+        return jnp.nanmax(x, axis=axis)
+    if stat == "min":
+        return jnp.nanmin(x, axis=axis)
+    raise ValueError(f"Unknown stat {stat!r}")
+
+
+def _spell_length_distribution(da, *, method="amount", op=">=", thresh="1 mm d-1", window=1,
+                               stat="mean", stat_resample=None, group="time"):
+    """Statistic of the spell-length distribution (reference
+    properties.py:297-422): per resample period, lengths of runs where the
+    condition holds for at least ``window`` days; ``stat_resample`` over the
+    spells of each period, ``stat`` over the periods of each group."""
+    stat_resample = stat_resample or stat
+    dac = da.move_dim_last("time")
+    x = jnp.asarray(dac.data)
+    if method == "amount":
+        t = convert_units_to(thresh, da.units)
+    elif method == "quantile":
+        t = jnp.nanquantile(x, float(thresh), axis=-1, keepdims=True)
+    else:
+        raise ValueError(f"Unknown method {method!r}")
+    cond = _OPS[op](x, t)
+
+    gather, period_group = period_blocks(da.time, group.prop)
+    condp = jnp.where(gather >= 0, cond[..., jnp.clip(gather, 0, x.shape[-1] - 1)], False)  # [..., P, L]
+    lengths = _run_lengths(condp).astype(x.dtype)                                           # [..., P, C]
+    lengths = jnp.where((lengths > 0) & (lengths < window), -1, lengths)
+    per_period = _stat_reduce(lengths, stat_resample, axis=-1)                              # [..., P]
+
+    G = group.n_groups(da.time)
+    out = []
+    for g in range(G):
+        sel = np.flatnonzero(period_group == g)
+        out.append(_stat_reduce(jnp.where(jnp.isnan(per_period[..., sel]), -1, per_period[..., sel]), stat, axis=-1))
+    vals = jnp.stack(out, axis=-1)
+
+    bdims = dac.dims[:-1]
+    bcoords = {d: dac.coords[d] for d in bdims if d in dac.coords}
+    gi = group.indexes(da.time)
+    res = grouped_var(vals, bdims, bcoords, gi, name="spell_length_distribution")
+    if gi.prop == "group":
+        res = DataArray(jnp.asarray(res.data)[..., 0], bdims, bcoords, res.attrs, res.name)
+    res.attrs["units"] = "d"
+    return res
+
+
+def _acf(da, *, lag=1, group="time.season"):
+    """Lag-k autocorrelation per resample period, averaged over periods
+    (statsmodels.acf semantics: overall-mean anomalies, n denominator;
+    reference properties.py:485-545)."""
+    dac = da.move_dim_last("time")
+    x = jnp.asarray(dac.data)
+    gather, period_group = period_blocks(da.time, group.prop)
+    xp = jnp.where(gather >= 0, x[..., jnp.clip(gather, 0, x.shape[-1] - 1)], jnp.nan)  # [..., P, L]
+
+    mu = jnp.nanmean(xp, axis=-1, keepdims=True)
+    a = xp - mu
+    n = jnp.sum(~jnp.isnan(xp), axis=-1)
+    var = jnp.nansum(jnp.where(jnp.isnan(a), 0, a * a), axis=-1)
+    a0 = jnp.where(jnp.isnan(a), 0, a)
+    cov = jnp.sum(a0[..., lag:] * a0[..., :-lag], axis=-1)
+    r = cov / jnp.where(var == 0, 1, var)
+
+    G = group.n_groups(da.time)
+    out = jnp.stack([jnp.nanmean(r[..., np.flatnonzero(period_group == g)], axis=-1) for g in range(G)], axis=-1)
+    bdims = dac.dims[:-1]
+    bcoords = {d: dac.coords[d] for d in bdims if d in dac.coords}
+    res = grouped_var(out, bdims, bcoords, group.indexes(da.time), name="acf")
+    res.attrs["units"] = ""
+    return res
+
+
+def _doy_climatology(da, window):
+    """Daily climatology [..., 365] with circular rolling mean."""
+    gi = Grouper("time.dayofyear").indexes(da.time)
+    dac = da.move_dim_last("time")
+    x = jnp.asarray(dac.data)
+    clim = jnp.nanmean(gather_groups(x, gi.gather_idx), axis=-1)  # [..., maxdoy]
+    clim = clim[..., :365]
+    if window > 1:
+        h = window // 2
+        pad = jnp.concatenate([clim[..., -h:], clim, clim[..., :h]], axis=-1)
+        idx = jnp.arange(365)[:, None] + jnp.arange(window)[None, :]
+        clim = jnp.nanmean(pad[..., idx], axis=-1)
+    return clim, dac
+
+
+def _annual_cycle(da, *, stat="absamp", window=31, group="time"):
+    """Annual-cycle statistics from the smoothed daily climatology
+    (reference properties.py:548-676)."""
+    clim, dac = _doy_climatology(da, window)
+    mx = jnp.nanmax(clim, axis=-1)
+    mn = jnp.nanmin(clim, axis=-1)
+    units = da.units
+    if stat == "absamp":
+        out = mx - mn
+    elif stat == "relamp":
+        out = (mx - mn) * 100 / jnp.nanmean(clim, axis=-1)
+        units = "%"
+    elif stat == "phase":
+        out = jnp.nanargmax(clim, axis=-1) + 1
+        units = ""
+    elif stat == "min":
+        out = mn
+    elif stat == "max":
+        out = mx
+    elif stat == "asymmetry":
+        out = ((jnp.nanargmax(clim, axis=-1) - jnp.nanargmin(clim, axis=-1)) % 365) / 365
+        units = "yr"
+    else:
+        raise ValueError(f"Unknown stat {stat!r}")
+    bdims = dac.dims[:-1]
+    bcoords = {d: dac.coords[d] for d in bdims if d in dac.coords}
+    res = DataArray(out, bdims, bcoords, {"units": units}, f"annual_cycle_{stat}")
+    return res
+
+
+def _annual_statistic(da, *, stat="absamp", window=31, group="time"):
+    """Mean annual range statistics from the rolling-smoothed series
+    (reference properties.py:679-756): per-year max/min stats averaged."""
+    dac = da.move_dim_last("time")
+    x = jnp.asarray(dac.data)
+    if window > 1:
+        h = window // 2
+        idx = jnp.clip(jnp.arange(x.shape[-1])[:, None] + jnp.arange(window)[None, :] - h, 0, x.shape[-1] - 1)
+        x = jnp.nanmean(x[..., idx], axis=-1)
+    gather, _ = period_blocks(da.time, "group")  # yearly blocks
+    xp = jnp.where(gather >= 0, x[..., jnp.clip(gather, 0, x.shape[-1] - 1)], jnp.nan)  # [..., Y, L]
+    mx = jnp.nanmax(xp, axis=-1)
+    mn = jnp.nanmin(xp, axis=-1)
+    units = da.units
+    if stat == "absamp":
+        out = jnp.nanmean(mx - mn, axis=-1)
+    elif stat == "relamp":
+        out = jnp.nanmean((mx - mn) * 100 / jnp.nanmean(xp, axis=-1), axis=-1)
+        units = "%"
+    elif stat == "phase":
+        doy = jnp.asarray(da.time.dayofyear)
+        doyp = jnp.where(gather >= 0, doy[jnp.clip(gather, 0, x.shape[-1] - 1)], 0)
+        am = jnp.nanargmax(jnp.where(jnp.isnan(xp), -jnp.inf, xp), axis=-1)
+        out = jnp.mean(jnp.take_along_axis(jnp.broadcast_to(doyp, xp.shape).astype(x.dtype), am[..., None], axis=-1)[..., 0], axis=-1)
+        units = ""
+    else:
+        raise ValueError(f"Unknown stat {stat!r}")
+    bdims = dac.dims[:-1]
+    bcoords = {d: dac.coords[d] for d in bdims if d in dac.coords}
+    return DataArray(out, bdims, bcoords, {"units": units}, f"mean_annual_{stat}")
+
+
+def _relative_frequency(da, *, op=">=", thresh="1 mm d-1", group="time"):
+    """Relative frequency of the condition per group (reference
+    properties.py:1072-1127)."""
+    t = convert_units_to(thresh, da.units)
+
+    def fn(v):
+        cond = _OPS[op](v, t)
+        n = jnp.sum(~jnp.isnan(v), axis=-1)
+        return jnp.sum(jnp.where(jnp.isnan(v), False, cond), axis=-1) / jnp.where(n == 0, 1, n)
+
+    return _grouped_reduce(da, group, fn, units="", name="relative_frequency")
+
+
+def _transition_probability(da, *, initial_op=">=", final_op=">=", thresh="1 mm d-1", group="time"):
+    """P(state(t) & state(t+1)) per group (reference properties.py:1130-1186)."""
+    t = convert_units_to(thresh, da.units)
+    dac = da.move_dim_last("time")
+    x = jnp.asarray(dac.data)
+    today = x[..., :-1]
+    tomorrow = x[..., 1:]
+    cond = (_OPS[initial_op](today, t) & _OPS[final_op](tomorrow, t)).astype(x.dtype)
+    cond = jnp.where(jnp.isnan(today) | jnp.isnan(tomorrow), jnp.nan, cond)
+    sub = DataArray(cond, dac.dims, {**{d: dac.coords[d] for d in dac.dims[:-1] if d in dac.coords}, "time": da.time.isel(slice(0, -1))}, {"units": ""}, da.name)
+    return _grouped_reduce(sub, group, lambda v: jnp.nanmean(v, axis=-1), units="", name="transition_probability")
+
+
+def _trend(da, *, group="time", output="slope"):
+    """Interannual linear trend of per-period means (scipy.linregress
+    attributes; reference properties.py:1189-1255)."""
+    from scipy import stats as sps
+
+    dac = da.move_dim_last("time")
+    x = np.asarray(dac.data)
+    gather, period_group = period_blocks(da.time, group.prop)
+    xg = np.where(gather >= 0, x[..., np.clip(gather, 0, x.shape[-1] - 1)], np.nan)
+    pm = np.nanmean(xg, axis=-1)  # [..., P]
+
+    G = group.n_groups(da.time)
+    outs = []
+    for g in range(G):
+        sel = np.flatnonzero(period_group == g)
+        y = pm[..., sel]
+        t = np.arange(len(sel), dtype=float)
+
+        def lr(row):
+            m = ~np.isnan(row)
+            if m.sum() < 3:
+                return np.nan
+            res = sps.linregress(t[m], row[m])
+            if output == "intercept_stderr":
+                return res.intercept_stderr
+            return getattr(res, output)
+
+        outs.append(np.apply_along_axis(lr, -1, y))
+    vals = np.stack(outs, axis=-1)
+    bdims = dac.dims[:-1]
+    bcoords = {d: dac.coords[d] for d in bdims if d in dac.coords}
+    gi = group.indexes(da.time)
+    res = grouped_var(vals, bdims, bcoords, gi, name="trend")
+    if gi.prop == "group":
+        res = DataArray(np.asarray(res.data)[..., 0], bdims, bcoords, res.attrs, res.name)
+    res.attrs["units"] = f"{da.units}/year" if output == "slope" else ""
+    return res
+
+
+def _return_value(da, *, period=20, op="max", method="ML", group="time"):
+    """T-year return value from a GEV fit on annual extremes (reference
+    properties.py:1258-1307)."""
+    from scipy import stats as sps
+
+    from .ops.fitting import fit_scipy
+
+    dac = da.move_dim_last("time")
+    x = np.asarray(dac.data)
+    gather, _ = period_blocks(da.time, "group")
+    xg = np.where(gather >= 0, x[..., np.clip(gather, 0, x.shape[-1] - 1)], np.nan)
+    extremes = np.nanmax(xg, axis=-1) if op == "max" else np.nanmin(xg, axis=-1)
+    q = 1 - 1.0 / period if op == "max" else 1.0 / period
+
+    def rv(row):
+        params = fit_scipy(row, sps.genextreme, method=method)
+        if np.any(np.isnan(params)):
+            return np.nan
+        return sps.genextreme.ppf(q, *params)
+
+    vals = np.apply_along_axis(rv, -1, extremes)
+    bdims = dac.dims[:-1]
+    bcoords = {d: dac.coords[d] for d in bdims if d in dac.coords}
+    return DataArray(vals, bdims, bcoords, {"units": da.units}, "return_value")
+
+
+# -- multivariate / spatial -------------------------------------------------
+
+
+def _corr_btw_var(da1, da2, *, corr_type="Spearman", group="time", output="correlation"):
+    """Correlation between two variables (reference properties.py:759-827)."""
+    from .ops.rank import average_rank
+
+    gi = group.indexes(da1.time)
+    x = jnp.asarray(da1.move_dim_last("time").data)
+    y = jnp.asarray(da2.move_dim_last("time").data)
+    xg = gather_groups(x, gi.gather_idx)
+    yg = gather_groups(y, gi.gather_idx)
+    if corr_type == "Spearman":
+        xg = average_rank(xg, axis=-1)
+        yg = average_rank(yg, axis=-1)
+    elif corr_type != "Pearson":
+        raise ValueError(f"corr_type must be Spearman or Pearson, got {corr_type}")
+
+    m = ~jnp.isnan(xg) & ~jnp.isnan(yg)
+    n = jnp.sum(m, axis=-1)
+    x0 = jnp.where(m, xg, 0.0)
+    y0 = jnp.where(m, yg, 0.0)
+    mx = jnp.sum(x0, axis=-1, keepdims=True) / jnp.maximum(n[..., None], 1)
+    my = jnp.sum(y0, axis=-1, keepdims=True) / jnp.maximum(n[..., None], 1)
+    xc = jnp.where(m, xg - mx, 0.0)
+    yc = jnp.where(m, yg - my, 0.0)
+    r = jnp.sum(xc * yc, axis=-1) / jnp.sqrt(jnp.sum(xc * xc, axis=-1) * jnp.sum(yc * yc, axis=-1))
+
+    dac = da1.move_dim_last("time")
+    bdims = dac.dims[:-1]
+    bcoords = {d: dac.coords[d] for d in bdims if d in dac.coords}
+    res = grouped_var(r, bdims, bcoords, gi, name="corr_btw_var")
+    if gi.prop == "group":
+        res = DataArray(jnp.asarray(res.data)[..., 0], bdims, bcoords, res.attrs, res.name)
+    res.attrs["units"] = ""
+    return res
+
+
+def pairwise_haversine(lon, lat):
+    """All-pairs great-circle distances in km (reference nbutils.py:419-445)."""
+    lon = jnp.deg2rad(jnp.asarray(lon))
+    lat = jnp.deg2rad(jnp.asarray(lat))
+    dlon = lon[None, :] - lon[:, None]
+    a = (jnp.cos(lat[None, :]) * jnp.sin(dlon)) ** 2 + (
+        jnp.cos(lat[:, None]) * jnp.sin(lat[None, :])
+        - jnp.sin(lat[:, None]) * jnp.cos(lat[None, :]) * jnp.cos(dlon)
+    ) ** 2
+    b = jnp.sin(lat[:, None]) * jnp.sin(lat[None, :]) + jnp.cos(lat[:, None]) * jnp.cos(lat[None, :]) * jnp.cos(dlon)
+    return 6367 * jnp.arctan2(jnp.sqrt(a), b)
+
+
+def _pairwise_spearman(x):
+    """Inter-site Spearman correlation matrix; x [N, T] (reference
+    utils.py:977-1025)."""
+    from .ops.rank import average_rank
+
+    r = average_rank(x, axis=-1)
+    r = r - jnp.nanmean(r, axis=-1, keepdims=True)
+    r0 = jnp.where(jnp.isnan(r), 0.0, r)
+    cov = r0 @ r0.T
+    d = jnp.sqrt(jnp.diagonal(cov))
+    return cov / (d[:, None] * d[None, :])
+
+
+def _spatial_correlogram(da, *, dims=None, bins=100, group="time", method=1):
+    """Mean inter-site Spearman correlation binned by distance (reference
+    properties.py:1321-1409).  Requires ``lon``/``lat`` coords on the site dim."""
+    dac = da.move_dim_last("time")
+    x = jnp.asarray(dac.data).reshape(-1, dac.shape[-1])
+    lon = np.asarray(da.coords["lon"]).ravel()
+    lat = np.asarray(da.coords["lat"]).ravel()
+    dists = pairwise_haversine(lon, lat)
+    corr = _pairwise_spearman(x)
+    dmax = float(jnp.nanmax(dists))
+    dmin = float(jnp.nanmin(jnp.where(dists == 0, jnp.nan, dists)))
+    edges = np.linspace(dmin, dmax, bins + 1)
+    centers = (edges[:-1] + edges[1:]) / 2
+    iu = np.triu_indices(dists.shape[0], k=1)
+    dv = np.asarray(dists)[iu]
+    cv = np.asarray(corr)[iu]
+    which = np.clip(np.digitize(dv, edges) - 1, 0, bins - 1)
+    sums = np.bincount(which, weights=np.nan_to_num(cv), minlength=bins)
+    cnts = np.bincount(which, weights=(~np.isnan(cv)).astype(float), minlength=bins)
+    vals = np.where(cnts > 0, sums / np.where(cnts == 0, 1, cnts), np.nan)
+    return DataArray(vals, ("distance_bins",), {"distance_bins": centers}, {"units": ""}, "spatial_correlogram")
+
+
+def _decorrelation_length(da, *, radius=300, thresh=0.50, dims=None, bins=100, group="time"):
+    """Distance at which inter-site correlation drops below ``thresh``
+    within ``radius`` (reference properties.py:1412-1537)."""
+    dac = da.move_dim_last("time")
+    x = jnp.asarray(dac.data).reshape(-1, dac.shape[-1])
+    lon = np.asarray(da.coords["lon"]).ravel()
+    lat = np.asarray(da.coords["lat"]).ravel()
+    dists = np.asarray(pairwise_haversine(lon, lat))
+    corr = np.asarray(_pairwise_spearman(x))
+    edges = np.linspace(0, radius, bins + 1)
+    centers = (edges[:-1] + edges[1:]) / 2
+    N = dists.shape[0]
+    out = np.full(N, np.nan)
+    for i in range(N):
+        m = (dists[i] > 0) & (dists[i] <= radius)
+        if not m.any():
+            continue
+        which = np.clip(np.digitize(dists[i][m], edges) - 1, 0, bins - 1)
+        sums = np.bincount(which, weights=np.nan_to_num(corr[i][m]), minlength=bins)
+        cnts = np.bincount(which, weights=(~np.isnan(corr[i][m])).astype(float), minlength=bins)
+        prof = np.where(cnts > 0, sums / np.where(cnts == 0, 1, cnts), np.nan)
+        below = np.nonzero(prof < thresh)[0]
+        out[i] = centers[below[0]] if len(below) else radius
+    return DataArray(out, ("site",), {}, {"units": "km"}, "decorrelation_length")
+
+
+def _spectral_variance(da, *, wavelength_range=None, dims=("lat", "lon"), delta=None, group="time"):
+    """Mean DCT spectral variance over a normalized wavenumber band
+    (reference properties.py:1557-1649)."""
+    from .processing import _dct2
+
+    x = jnp.asarray(da.data)
+    axes = [da.dims.index(d) for d in dims]
+    coeffs = x
+    for a in axes:
+        coeffs = _dct2(coeffs, a)
+    var2 = coeffs**2
+    alpha2 = jnp.zeros(tuple(x.shape[a] for a in axes))
+    for pos, a in enumerate(axes):
+        N = x.shape[a]
+        shape = [1] * len(axes)
+        shape[pos] = N
+        alpha2 = alpha2 + ((jnp.arange(N) / N) ** 2).reshape(shape)
+    alpha = jnp.sqrt(alpha2)
+    if wavelength_range is not None and delta is not None:
+        from .utils.units import str2quantity
+
+        d = str2quantity(delta).to("m").magnitude
+        lam0 = str2quantity(wavelength_range[0]).to("m").magnitude
+        lam1 = str2quantity(wavelength_range[1]).to("m").magnitude
+        lo, hi = 2 * d / lam0, 2 * d / lam1
+        lo, hi = min(lo, hi), max(lo, hi)
+    else:
+        lo, hi = 0.0, 1.0
+    full = [1] * x.ndim
+    for pos, a in enumerate(axes):
+        full[a] = x.shape[a]
+    mask = ((alpha >= lo) & (alpha <= hi)).reshape(full)
+    out = jnp.sum(jnp.where(mask, var2, 0.0), axis=tuple(axes)) / jnp.maximum(mask.sum(), 1)
+    bdims = tuple(d for d in da.dims if d not in dims)
+    bcoords = {d: da.coords[d] for d in bdims if d in da.coords}
+    return DataArray(out, bdims, bcoords, {"units": f"({da.units})2" if da.units else ""}, "spectral_variance")
+
+
+spell_length_distribution = StatisticalProperty("spell_length_distribution", "temporal", _spell_length_distribution, allowed_groups=["group", "season", "month"])
+acf = StatisticalProperty("acf", "temporal", _acf, allowed_groups=["season", "month"])
+annual_cycle_amplitude = StatisticalProperty("annual_cycle_amplitude", "temporal", lambda da, **kw: _annual_cycle(da, stat="absamp", **{k: v for k, v in kw.items() if k != "stat"}), allowed_groups=["group"])
+relative_annual_cycle_amplitude = StatisticalProperty("relative_annual_cycle_amplitude", "temporal", lambda da, **kw: _annual_cycle(da, stat="relamp", **{k: v for k, v in kw.items() if k != "stat"}), allowed_groups=["group"], measure="ratio")
+annual_cycle_phase = StatisticalProperty("annual_cycle_phase", "temporal", lambda da, **kw: _annual_cycle(da, stat="phase", **{k: v for k, v in kw.items() if k != "stat"}), allowed_groups=["group"], measure="circular_bias")
+annual_cycle_asymmetry = StatisticalProperty("annual_cycle_asymmetry", "temporal", lambda da, **kw: _annual_cycle(da, stat="asymmetry", **{k: v for k, v in kw.items() if k != "stat"}), allowed_groups=["group"])
+annual_cycle_minimum = StatisticalProperty("annual_cycle_minimum", "temporal", lambda da, **kw: _annual_cycle(da, stat="min", **{k: v for k, v in kw.items() if k != "stat"}), allowed_groups=["group"])
+annual_cycle_maximum = StatisticalProperty("annual_cycle_maximum", "temporal", lambda da, **kw: _annual_cycle(da, stat="max", **{k: v for k, v in kw.items() if k != "stat"}), allowed_groups=["group"])
+mean_annual_range = StatisticalProperty("mean_annual_range", "temporal", lambda da, **kw: _annual_statistic(da, stat="absamp", **{k: v for k, v in kw.items() if k != "stat"}), allowed_groups=["group"])
+mean_annual_relative_range = StatisticalProperty("mean_annual_relative_range", "temporal", lambda da, **kw: _annual_statistic(da, stat="relamp", **{k: v for k, v in kw.items() if k != "stat"}), allowed_groups=["group"], measure="ratio")
+mean_annual_phase = StatisticalProperty("mean_annual_phase", "temporal", lambda da, **kw: _annual_statistic(da, stat="phase", **{k: v for k, v in kw.items() if k != "stat"}), allowed_groups=["group"], measure="circular_bias")
+relative_frequency = StatisticalProperty("relative_frequency", "temporal", _relative_frequency)
+transition_probability = StatisticalProperty("transition_probability", "temporal", _transition_probability)
+trend = StatisticalProperty("trend", "temporal", _trend)
+return_value = StatisticalProperty("return_value", "temporal", _return_value, allowed_groups=["group"])
+corr_btw_var = StatisticalProperty("corr_btw_var", "multivariate", _corr_btw_var)
+spatial_correlogram = StatisticalProperty("spatial_correlogram", "spatial", _spatial_correlogram, allowed_groups=["group"])
+decorrelation_length = StatisticalProperty("decorrelation_length", "spatial", _decorrelation_length, allowed_groups=["group"])
+spectral_variance = StatisticalProperty("spectral_variance", "spatial", _spectral_variance, allowed_groups=["group"])

@@ -247,6 +247,45 @@ class Grouper:
         return out
 
 
+def period_blocks(time: TimeIndex, prop: str):
+    """Static indexes of *resample periods* within groups.
+
+    For diagnostics that first reduce each calendar period (one specific
+    January, one specific season instance, one year) then aggregate periods
+    within a group (the reference's ``resample(freq).map`` + groupby pattern,
+    e.g. properties.py:354-380): returns (gather [P, L] int32 -1-padded,
+    period_group [P] int32) where P runs over individual periods.
+    """
+    T = len(time)
+    if prop == "month":
+        keys = time.year * 12 + (time.month - 1)
+        groups = (time.month - 1).astype(np.int64)
+    elif prop == "season":
+        # DJF belongs to the year of its January (Dec rolls forward)
+        yr = time.year + (time.month == 12)
+        keys = yr * 4 + time.season
+        groups = time.season.astype(np.int64)
+    elif prop in ("group", "time"):
+        keys = time.year
+        groups = np.zeros(T, dtype=np.int64)
+    else:
+        raise NotImplementedError(f"period_blocks for {prop!r}")
+    uniq, inv = np.unique(keys, return_inverse=True)
+    P = len(uniq)
+    counts = np.bincount(inv, minlength=P)
+    L = int(counts.max())
+    gather = np.full((P, L), -1, dtype=np.int32)
+    fill = np.zeros(P, dtype=np.int64)
+    for t in range(T):
+        p = inv[t]
+        gather[p, fill[p]] = t
+        fill[p] += 1
+    period_group = np.zeros(P, dtype=np.int32)
+    for t in range(T):
+        period_group[inv[t]] = groups[t]
+    return gather, period_group
+
+
 def parse_group(func=None, *, kwargs=None):
     """Decorator converting a ``group=str`` kwarg into a :class:`Grouper`.
 
