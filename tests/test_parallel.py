@@ -1,0 +1,86 @@
+"""Sharded-vs-single-device parity — the TPU analogue of the reference's
+dask-parity tests (SURVEY §4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from xsdba_tpu.parallel.mesh import SITE_AXIS, shard_sites, site_mesh, site_sharding
+
+
+@pytest.fixture
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return site_mesh(jax.devices()[:8])
+
+
+def _problem(n_sites=16, n_years=2):
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from __graft_entry__ import _example_problem
+
+    return _example_problem(n_sites=n_sites, n_years=n_years, dtype=np.float64)
+
+
+def test_mesh_construction(mesh):
+    assert mesh.axis_names == (SITE_AXIS,)
+    assert mesh.devices.size == 8
+
+
+def test_sharded_qdm_matches_unsharded(mesh):
+    from functools import partial
+
+    from xsdba_tpu.models._algos import qdm_train_adjust_core
+
+    args = _problem()
+    fn = partial(qdm_train_adjust_core.__wrapped__, kind="+", interp="linear", extrapolation="constant")
+
+    # unsharded
+    want = np.asarray(jax.jit(fn)(*args))
+
+    # sharded over sites
+    data_sharding = site_sharding(mesh, 2)
+    repl = NamedSharding(mesh, P())
+    ref, hist, sim, *rest = args
+    ref_s, hist_s, sim_s = (jax.device_put(a, data_sharding) for a in (ref, hist, sim))
+    rest_s = tuple(jax.device_put(a, repl) for a in rest)
+    with mesh:
+        got = jax.jit(fn, out_shardings=data_sharding)(ref_s, hist_s, sim_s, *rest_s)
+        got.block_until_ready()
+    assert got.sharding.spec[0] == SITE_AXIS
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12)
+
+
+def test_shard_sites_layout(mesh):
+    x = jnp.arange(8.0 * 10).reshape(8, 10)
+    xs = shard_sites(x, mesh)
+    assert xs.sharding.spec[0] == SITE_AXIS
+    np.testing.assert_array_equal(np.asarray(xs), np.asarray(x))
+
+
+def test_graft_dryrun():
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as g
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    g.dryrun_multichip(8)
+
+
+def test_graft_entry_compiles():
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == args[0].shape
+    assert bool(jnp.isfinite(out).any())

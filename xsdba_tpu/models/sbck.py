@@ -1,0 +1,72 @@
+"""SBCK wrapper gateway (reference ``adjustment.py:1976-2076``).
+
+The reference auto-generates one ``Adjust`` class per SBCK (Eigen/C++)
+bias-correction class with a fit/predict interface.  SBCK is an optional
+PyPI dependency there and is not available here; the same auto-generation
+machinery is provided, activating when an SBCK-compatible module is
+importable and raising a clear error otherwise.  The core SBCK algorithms
+(OTC, dOTC, QM...) have native equivalents in this package.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils.container import DataArray
+from .base import Adjust
+
+__all__ = ["generate_sbck_classes"]
+
+
+def _wrap_sbck_class(sbck_cls) -> type:
+    """Build an Adjust subclass around an SBCK fit/predict class
+    (reference adjustment.py:1984-2052)."""
+
+    class _SBCKAdjust(Adjust):
+        sbck = sbck_cls
+
+        @classmethod
+        def _adjust(cls, ref: DataArray, hist: DataArray, sim: DataArray, *, multi_dim=None, **kwargs):
+            def _apply(r, h, s):
+                obj = cls.sbck(**kwargs)
+                obj.fit(Y0=r, X0=h, X1=s)
+                out = obj.predict(X1=s)
+                return out[:, 0] if (out.ndim == 2 and np.ndim(s) == 1) else out
+
+            r = np.asarray(ref.move_dim_last("time").data)
+            h = np.asarray(hist.move_dim_last("time").data)
+            s = np.asarray(sim.move_dim_last("time").data)
+            if multi_dim is not None:
+                ax = ref.dims.index(multi_dim)
+                # SBCK expects [time, variables]
+                r, h, s = (np.moveaxis(a, ax, -1).T if a.ndim == 2 else a.T for a in (r, h, s))
+                out = _apply(r, h, s).T
+                simc = sim.move_dim_last("time")
+                return DataArray(out, simc.dims, dict(simc.coords), dict(sim.attrs), "scen")
+            out = _apply(r[:, None] if r.ndim == 1 else r.T, h[:, None] if h.ndim == 1 else h.T, s[:, None] if s.ndim == 1 else s.T)
+            out = out.ravel() if np.ndim(sim.data) == 1 else out.T
+            simc = sim.move_dim_last("time")
+            return DataArray(out, simc.dims, dict(simc.coords), dict(sim.attrs), "scen")
+
+    return _SBCKAdjust
+
+
+def generate_sbck_classes() -> list[tuple[str, type]]:
+    """Discover SBCK classes with a fit/predict interface and wrap them
+    (reference ``__init__.py:45-47`` activation)."""
+    try:
+        import SBCK  # noqa: N811
+    except ImportError as err:
+        raise ImportError(
+            "The optional dependency SBCK is not installed in this environment. "
+            "Native equivalents of its main methods are available: OTC, dOTC, "
+            "EmpiricalQuantileMapping, QuantileDeltaMapping..."
+        ) from err
+    out = []
+    for name in dir(SBCK):
+        obj = getattr(SBCK, name)
+        if isinstance(obj, type) and hasattr(obj, "fit") and hasattr(obj, "predict"):
+            cls = _wrap_sbck_class(obj)
+            cls.__name__ = f"SBCK_{name}"
+            out.append((cls.__name__, cls))
+    return out

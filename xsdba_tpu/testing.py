@@ -1,0 +1,71 @@
+"""Synthetic-data factories for tests and examples (reference
+``testing/helpers.py``, ``testing/sdba_utils.py``)."""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy import stats
+
+from .ops.correction import equally_spaced_nodes
+from .utils.calendar import date_range
+from .utils.container import DataArray
+
+__all__ = ["cannon_2015_dist", "cannon_2015_rvs", "nancov", "timelonlatseries", "timeseries"]
+
+
+def timeseries(values, name: str = "tas", start: str = "2000-01-01", units: str | None = None, freq: str = "D", calendar: str = "standard") -> DataArray:
+    """1-D daily series factory (reference testing/helpers.py:48-113)."""
+    values = np.asarray(values)
+    t = date_range(start, periods=values.shape[-1], freq=freq, calendar=calendar)
+    if units is None:
+        units = {"tas": "K", "tasmax": "K", "tasmin": "K", "pr": "kg m-2 s-1"}.get(name, "")
+    attrs = {"units": units}
+    if name in ("tas", "tasmax", "tasmin"):
+        attrs["kind"] = "+"
+    elif name == "pr":
+        attrs["kind"] = "*"
+    return DataArray(values, ("time",), {"time": t}, attrs, name)
+
+
+def timelonlatseries(values, name: str = "tas", start: str = "2000-01-01") -> DataArray:
+    """[time(, lon, lat)] series factory (reference testing/sdba_utils.py:17-64)."""
+    values = np.asarray(values)
+    dims = ("time", "lon", "lat")[: values.ndim]
+    t = date_range(start, periods=values.shape[0], freq="D")
+    coords = {"time": t}
+    for i, d in enumerate(dims[1:], start=1):
+        coords[d] = np.arange(values.shape[i])
+    attrs = (
+        {"standard_name": "air_temperature", "units": "K", "kind": "+"}
+        if name == "tas"
+        else {"standard_name": "precipitation_flux", "units": "kg m-2 s-1", "kind": "*"}
+    )
+    return DataArray(values, dims, coords, attrs, name)
+
+
+def cannon_2015_dist():
+    """The three gamma distributions of Cannon et al. 2015 (reference
+    testing/sdba_utils.py:68-86): ref G(4, 7.5), hist G(8.15, 3.68),
+    sim G(16, 2.63)."""
+    return stats.gamma(4, scale=7.5), stats.gamma(8.15, scale=3.68), stats.gamma(16, scale=2.63)
+
+
+def cannon_2015_rvs(n: int, random: bool = True, seed: int | None = None):
+    """Draws (or deterministic quantile samples) from the Cannon 2015
+    distributions, as 'pr' DataArrays (reference testing/sdba_utils.py:88-114)."""
+    dists = cannon_2015_dist()
+    if random:
+        rng = np.random.default_rng(seed)
+        r = [d.rvs(n, random_state=rng) for d in dists]
+    else:
+        u = equally_spaced_nodes(n, None)
+        r = [d.ppf(u) for d in dists]
+    return [timelonlatseries(v, "pr") for v in r]
+
+
+def nancov(X):
+    """np.cov dropping any observation with NaNs (reference
+    tests/test_adjustment.py:54-57)."""
+    X = np.asarray(X)
+    mask = np.isnan(X).any(axis=0)
+    return np.cov(X[:, ~mask])
