@@ -22,14 +22,19 @@ __all__ = ["average_rank", "pct_rank", "rank_pct_rescaled"]
 
 
 def average_rank(x, axis: int = -1):
-    """Average rank along ``axis``; NaNs -> NaN; ranks start at 1."""
+    """Average rank along ``axis``; NaNs -> NaN; ranks start at 1.
+
+    Two multi-operand ``lax.sort`` calls: the first sorts (value, position),
+    the second sorts (position, rank) to scatter ranks back — no gathers at
+    all (element-wise gathers are ~100x slower than sorts on TPU v5e).
+    """
     x = jnp.asarray(x)
     x = jnp.moveaxis(x, axis, -1)
     n = x.shape[-1]
     nan = jnp.isnan(x)
     key = jnp.where(nan, jnp.inf, x)
-    idx = jnp.argsort(key, axis=-1)
-    s = jnp.take_along_axis(key, idx, axis=-1)
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), x.shape)
+    s, perm = jax.lax.sort((key, iota), dimension=x.ndim - 1, num_keys=1)
     pos = jnp.arange(n, dtype=jnp.int32)
     prev = jnp.concatenate([jnp.full_like(s[..., :1], jnp.nan), s[..., :-1]], axis=-1)
     starts = s != prev  # first slot of each tie-run (NaN != anything -> True)
@@ -37,8 +42,7 @@ def average_rank(x, axis: int = -1):
     nxt = jnp.concatenate([starts[..., 1:], jnp.ones_like(starts[..., :1])], axis=-1)
     b = -jax.lax.cummax(-jnp.where(nxt, pos, n)[..., ::-1], axis=x.ndim - 1)[..., ::-1]
     avg_sorted = (a + b).astype(x.dtype) / 2 + 1
-    inv = jnp.argsort(idx, axis=-1)
-    rnk = jnp.take_along_axis(avg_sorted, inv, axis=-1)
+    _, rnk = jax.lax.sort((perm, avg_sorted), dimension=x.ndim - 1, num_keys=1)
     rnk = jnp.where(nan, jnp.nan, rnk)
     return jnp.moveaxis(rnk, -1, axis)
 
