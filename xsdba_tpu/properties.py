@@ -595,3 +595,76 @@ corr_btw_var = StatisticalProperty("corr_btw_var", "multivariate", _corr_btw_var
 spatial_correlogram = StatisticalProperty("spatial_correlogram", "spatial", _spatial_correlogram, allowed_groups=["group"])
 decorrelation_length = StatisticalProperty("decorrelation_length", "spatial", _decorrelation_length, allowed_groups=["group"])
 spectral_variance = StatisticalProperty("spectral_variance", "spatial", _spectral_variance, allowed_groups=["group"])
+
+
+def _make_cond(da, method, op, thresh):
+    dac = da.move_dim_last("time")
+    x = jnp.asarray(dac.data)
+    if method == "amount":
+        t = convert_units_to(thresh, da.units)
+    elif method == "quantile":
+        t = jnp.nanquantile(x, float(thresh), axis=-1, keepdims=True)
+    else:
+        raise ValueError(f"Unknown method {method!r}")
+    return _OPS[op](x, t), dac
+
+
+def _periods_to_groups(per_period, period_group, group, da, stat, name, units):
+    G = group.n_groups(da.time)
+    out = jnp.stack(
+        [_stat_reduce(jnp.where(jnp.isnan(per_period[..., np.flatnonzero(period_group == g)]), -1, per_period[..., np.flatnonzero(period_group == g)]), stat, axis=-1) for g in range(G)],
+        axis=-1,
+    )
+    dac = da.move_dim_last("time")
+    bdims = dac.dims[:-1]
+    bcoords = {d: dac.coords[d] for d in bdims if d in dac.coords}
+    gi = group.indexes(da.time)
+    res = grouped_var(out, bdims, bcoords, gi, name=name)
+    if gi.prop == "group":
+        res = DataArray(jnp.asarray(res.data)[..., 0], bdims, bcoords, res.attrs, res.name)
+    res.attrs["units"] = units
+    return res
+
+
+def _threshold_count(da, *, method="amount", op=">=", thresh="1 mm d-1", stat="mean",
+                     stat_resample=None, group="time"):
+    """{stat} number of days per period meeting the condition (reference
+    properties.py:422-482)."""
+    stat_resample = stat_resample or "sum"
+    cond, _ = _make_cond(da, method, op, thresh)
+    gather, period_group = period_blocks(da.time, group.prop)
+    condp = jnp.where(gather >= 0, cond[..., jnp.clip(gather, 0, cond.shape[-1] - 1)], False)
+    counts = jnp.sum(condp, axis=-1).astype(jnp.float32)
+    return _periods_to_groups(counts, period_group, group, da, stat, "threshold_count", "d")
+
+
+def _bivariate_spell_length_distribution(da1, da2, *, method1="amount", method2="amount",
+                                         op1=">=", op2=">=", thresh1="1 mm d-1",
+                                         thresh2="1 mm d-1", window=1, stat="mean",
+                                         stat_resample=None, group="time"):
+    """Spell lengths where BOTH variables' conditions hold (reference
+    properties.py:830-977)."""
+    stat_resample = stat_resample or stat
+    cond1, _ = _make_cond(da1, method1, op1, thresh1)
+    cond2, _ = _make_cond(da2, method2, op2, thresh2)
+    cond = cond1 & cond2
+    gather, period_group = period_blocks(da1.time, group.prop)
+    condp = jnp.where(gather >= 0, cond[..., jnp.clip(gather, 0, cond.shape[-1] - 1)], False)
+    lengths = _run_lengths(condp).astype(jnp.float32)
+    lengths = jnp.where((lengths > 0) & (lengths < window), -1, lengths)
+    per_period = _stat_reduce(lengths, stat_resample, axis=-1)
+    return _periods_to_groups(per_period, period_group, group, da1, stat, "bivariate_spell_length_distribution", "d")
+
+
+def _first_eof(*args, **kwargs):
+    """Removed (reference properties.py:1540-1554 is an informative stub)."""
+    raise NotImplementedError(
+        "The `first_eof` property is not implemented (it was removed from the "
+        "reference as well, pending an eofs-equivalent)."
+    )
+
+
+threshold_count = StatisticalProperty("threshold_count", "temporal", _threshold_count, allowed_groups=["group", "season", "month"])
+bivariate_spell_length_distribution = StatisticalProperty("bivariate_spell_length_distribution", "temporal", _bivariate_spell_length_distribution, allowed_groups=["group", "season", "month"])
+first_eof = StatisticalProperty("first_eof", "spatial", _first_eof, allowed_groups=["group"])
+__all__ += ["bivariate_spell_length_distribution", "first_eof", "threshold_count"]

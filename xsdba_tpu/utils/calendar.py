@@ -307,3 +307,64 @@ def date_range(start: str, periods: int, freq: str = "D", calendar: str = "stand
     mm = np.full(periods, m0 if False else 1, dtype=np.int64)
     dd = np.ones(periods, dtype=np.int64)
     return TimeIndex(yy, mm, dd, cal, freq)
+
+
+# ---------------------------------------------------------------------------
+# frequency-offset helpers — reference base.py:935-1066
+# ---------------------------------------------------------------------------
+
+_FREQ_RE = re.compile(r"^(\d*)([A-Za-z]+?)(?:-(\w+))?$")
+
+_BASE_LENGTH_DAYS = {"D": 1, "W": 7, "M": 30.44, "Q": 91.3, "Y": 365.25, "A": 365.25, "H": 1 / 24, "T": 1 / 1440, "min": 1 / 1440, "S": 1 / 86400}
+
+
+def parse_offset(freq: str) -> tuple[int, str, bool, str | None]:
+    """Parse a frequency string into (multiplier, base, is_start_anchored,
+    anchor) — reference base.py:935-990.  "nW" becomes "7n D"."""
+    m = _FREQ_RE.match(str(freq))
+    if not m:
+        raise ValueError(f"Invalid frequency: {freq!r}")
+    mult = int(m.group(1)) if m.group(1) else 1
+    base = m.group(2)
+    anchor = m.group(3)
+    start = base.endswith("S") or base[0] not in "AYQM"
+    if base.endswith(("S", "E")):
+        base = base[:-1]
+    if base == "W":
+        mult *= 7
+        base = "D"
+    return mult, base, start, anchor
+
+
+def construct_offset(mult: int, base: str, start_anchored: bool, anchor: str | None) -> str:
+    """Inverse of :func:`parse_offset` — reference base.py:993-1028."""
+    start = ("S" if start_anchored else "") if base in "YAQM" else ""
+    if base == "W":
+        mult = mult // 7
+        base = "D"
+    return f"{mult if mult > 1 else ''}{base}{start}{'-' + anchor if anchor else ''}"
+
+
+def compare_offsets(freq_a: str, op: str, freq_b: str) -> bool:
+    """Compare two frequency strings by approximate period length
+    (reference base.py:1031-1043)."""
+    import operator as _operator
+
+    ops = {"<": _operator.lt, "<=": _operator.le, ">": _operator.gt, ">=": _operator.ge, "==": _operator.eq, "!=": _operator.ne}
+    ma, ba, _, _ = parse_offset(freq_a)
+    mb, bb, _, _ = parse_offset(freq_b)
+    la = ma * _BASE_LENGTH_DAYS.get(ba, 1)
+    lb = mb * _BASE_LENGTH_DAYS.get(bb, 1)
+    return ops[op](la, lb)
+
+
+def interpolate_doy_calendar(source, target_doy_max: int, target_doy_min: int = 1, axis: int = -1):
+    """Linearly interpolate a dayofyear-indexed array onto another calendar's
+    dayofyear range (reference base.py:895-931): 365 <-> 360 <-> 366."""
+    source = np.asarray(source)
+    n = source.shape[axis]
+    src = np.moveaxis(source, axis, -1)
+    old = np.linspace(target_doy_min, target_doy_max, n)
+    new = np.arange(target_doy_min, target_doy_max + 1)
+    out = np.apply_along_axis(lambda row: np.interp(new, old, row), -1, src)
+    return np.moveaxis(out, -1, axis)

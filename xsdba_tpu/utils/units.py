@@ -267,3 +267,37 @@ def infer_sampling_units(time) -> tuple[float, str]:
     if m:
         return int(m.group(1)), "d"
     return 1, "d"
+
+
+def str2pint(s) -> Quantity:
+    """Alias of :func:`str2quantity` (reference units.py:120-201 name)."""
+    return str2quantity(s)
+
+
+def units2pint(obj) -> Unit:
+    """Extract/parse the units of a DataArray or string (reference name)."""
+    if hasattr(obj, "attrs"):
+        return parse_units(obj.attrs.get("units", ""))
+    return parse_units(obj)
+
+
+def pint_multiply(da, q, out_units: str | None = None):
+    """Multiply a DataArray by a quantity (string or Quantity), scaling data
+    and composing units (reference units.py analogue used in tests)."""
+    from .container import DataArray
+
+    q = str2quantity(q) if isinstance(q, str) else q
+    src = parse_units(da.units)
+    new_dims = tuple(s + o for s, o in zip(src.dims, q.units.dims))
+    new_scale = src.scale * q.units.scale
+    out = DataArray(da.data * q.magnitude, da.dims, dict(da.coords), dict(da.attrs), da.name)
+    if out_units is not None:
+        tgt = parse_units(out_units)
+        ok, extra = _commensurable(Unit(new_scale, new_dims), tgt)
+        if not ok:
+            raise ValueError(f"Cannot express result in {out_units!r}")
+        out = DataArray(out.data * (new_scale / tgt.scale * extra), da.dims, dict(da.coords), dict(da.attrs), da.name)
+        out.attrs["units"] = out_units
+    else:
+        out.attrs["units"] = f"{da.units} {q.units.raw}".strip()
+    return out
