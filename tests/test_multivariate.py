@@ -155,3 +155,30 @@ def test_escore_public_wrapper(random):
     b = DataArray(random.normal(1, 1, size=(2, 300)), ("multivar", "time"), {"time": t, "multivar": np.array(["a", "b"])}, {}, "y")
     e = escore(a, b, N=50, scale=True)
     assert np.isfinite(float(np.asarray(e.data)))
+
+
+def test_mbcn_period_dim(random):
+    """MBCn with sim stacked into overlapping periods (reference
+    tests/test_adjustment.py:1188-1219 period_dim path)."""
+    from xsdba_tpu.processing import stack_periods
+
+    n_hist = 365 * 4
+    ref = bivariate(random, n_hist, [0, 0], np.array([[1.0, 0.5], [0.5, 1.0]]))
+    hist = bivariate(random, n_hist, [1, 1], np.eye(2))
+    # a long simulation, stacked into 4-year windows with 2-year stride... use
+    # window=4, stride=4 (non-overlapping, reversible trivially)
+    n_sim = 365 * 12
+    sim_long = bivariate(random, n_sim, [1.5, 1.2], np.eye(2), start="2010-01-01")
+    sim = stack_periods(sim_long, window=4, stride=4)
+    # keep ref-length windows
+    sim = sim.isel(time=np.arange(n_hist))
+    assert sim.dims == ("multivar", "period", "time")
+
+    mbcn = MBCn.train(ref, hist, base_kws={"nquantiles": 20, "group": "time"}, n_iter=5, n_escore=-1)
+    scen = mbcn.adjust(sim, ref, hist, period_dim="period")
+    assert scen.dims == sim.dims
+    sv = np.asarray(scen.data)
+    assert np.isfinite(sv).all()
+    # marginals move toward ref's
+    rv = np.asarray(ref.data)
+    assert abs(sv[1].mean() - rv[1].mean()) < 0.5

@@ -150,9 +150,13 @@ class MBCn(TrainAdjust):
         adj_kws: dict[str, Any] | None = None,
         period_dim: str | None = None,
     ):
-        if period_dim is not None:
-            raise NotImplementedError("period_dim is not implemented yet.")
-        self._check_matching_time_sizes(ref, hist, sim)
+        # With period_dim, sim is a stack_periods output whose extra dim flows
+        # through every core as a leading batch axis (the reference's
+        # apply_ufunc dims=[period_dim, "time"] path, _adjustment.py:539-541);
+        # sim's time length must still match ref's.
+        self._check_matching_time_sizes(ref, hist)
+        if sim.sizes["time"] != ref.sizes["time"]:
+            raise ValueError("`sim` must have the same time length as `ref` (slice stacked periods accordingly).")
 
         pts_dim = self.pts_dims[0]
         group: Grouper = self.group

@@ -15,9 +15,8 @@ diagnostics (all-gather of site vectors; see ``properties``).
 
 from __future__ import annotations
 
-from contextlib import contextmanager
-
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -53,3 +52,41 @@ def site_sharding(mesh: Mesh, ndim: int, site_axis: int = 0) -> NamedSharding:
 def shard_sites(arr, mesh: Mesh, site_axis: int = 0):
     """Place ``arr`` on the mesh, partitioned along its site axis."""
     return jax.device_put(arr, site_sharding(mesh, np.ndim(arr), site_axis))
+
+
+def sharded_rotation_apply(rot, x, mesh: Mesh):
+    """Apply a rotation matrix over a var-sharded multivariate axis.
+
+    The MBCn/NpdfTransform rotation ``y = R @ x`` contracts over the
+    multivariate axis — the one place this domain has genuine tensor
+    parallelism.  ``x`` [..., V, L] is sharded on V over the ``var`` mesh
+    axis; each shard holds the matching column block of R, computes its
+    partial product on the MXU and a ``psum`` over ICI reduces the partials.
+
+    Returns y [..., V, L] sharded like x.
+    """
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+
+    V = x.shape[-2]
+    nvar = mesh.shape[VAR_AXIS]
+    if V % nvar:
+        raise ValueError(f"V={V} not divisible by var axis size {nvar}")
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, VAR_AXIS), P(SITE_AXIS, VAR_AXIS, None)),
+        out_specs=P(SITE_AXIS, VAR_AXIS, None),
+    )
+    def _apply(r_cols, x_rows):
+        # r_cols [V, V/p]; x_rows [B_loc, V/p, L] -> partial [B_loc, V, L]
+        part = jnp.einsum("ij,...jl->...il", r_cols, x_rows)
+        full = jax.lax.psum(part, VAR_AXIS)
+        # keep this shard's rows of the result
+        k = jax.lax.axis_index(VAR_AXIS)
+        rows = full.shape[-2] // jax.lax.axis_size(VAR_AXIS)
+        return jax.lax.dynamic_slice_in_dim(full, k * rows, rows, axis=-2)
+
+    return _apply(rot, x)

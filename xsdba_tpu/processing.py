@@ -529,6 +529,11 @@ def stack_periods(
 
     coords = {k: v for k, v in dac.coords.items() if k != "time"}
     coords[dim] = np.array([time.year[s] for s, _ in segments])
+    # placeholder time coordinate starting 1970 (reference base.py:1078:
+    # `start` arg) so grouped methods can consume stacked periods
+    from .utils.calendar import date_range as _date_range
+
+    coords["time"] = _date_range("1970-01-01", periods=L, freq="D", calendar=time.calendar)
     res = DataArray(out, dac.dims[:-1] + (dim, "time"), coords, dict(da.attrs), da.name)
     res.attrs["_stack_periods"] = {
         "window": window,
