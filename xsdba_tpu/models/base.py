@@ -129,8 +129,12 @@ class TrainAdjust(BaseAdjustment):
         scen.attrs["bias_adjustment"] = infostr
         if "multivar" not in sim.coords:
             scen.attrs["units"] = self.train_units
+        from ..utils.options import AS_DATASET
+
         if get_option(EXTRA_OUTPUT):
             return out
+        if get_option(AS_DATASET):
+            return Dataset({"scen": scen})
         return scen
 
     def set_dataset(self, ds: Dataset):
@@ -183,8 +187,12 @@ class Adjust(BaseAdjustment):
         scen.attrs["bias_adjustment"] = infostr
         if "multivar" not in sim.coords:
             scen.attrs["units"] = ref.units
+        from ..utils.options import AS_DATASET
+
         if get_option(EXTRA_OUTPUT):
             return out
+        if get_option(AS_DATASET):
+            return Dataset({"scen": scen})
         return scen
 
     @classmethod

@@ -24,6 +24,10 @@ from .utils.units import convert_units_to
 
 __all__ = [
     "adapt_freq",
+    "get_clusters",
+    "interp_on_quantiles",
+    "rank",
+    "sort_along_dim",
     "escore",
     "from_additive_space",
     "grouped_time_indexes",
@@ -690,3 +694,96 @@ def grouped_time_indexes(time, group):
     gi_w = group.indexes(time)
     gi = Grouper(group.name).indexes(time) if group.window > 1 else gi_w
     return gi.gather_idx, gi_w.gather_idx
+
+
+# ---------------------------------------------------------------------------
+# public array utilities mirrored from reference utils.py
+# ---------------------------------------------------------------------------
+
+
+def rank(da: DataArray, dim: str = "time", pct: bool = False, use_random_tiebreak: bool = False) -> DataArray:
+    """Rank data along a dimension (reference utils.py:575-638): average ranks
+    starting at 1; with ``pct`` rescaled to span [0, 1]."""
+    from .ops.rank import average_rank, rank_pct_rescaled
+
+    dac = da.move_dim_last(dim)
+    x = jnp.asarray(dac.data)
+    if use_random_tiebreak:
+        # noise in U(0.1, 0.25) breaks ties on the integer ranks without
+        # reordering distinct values (reference utils.py:619-627)
+        r0 = average_rank(x, axis=-1)
+        noise = jax.random.uniform(next_key(), x.shape, dtype=x.dtype, minval=0.1, maxval=0.25)
+        out = average_rank(jnp.where(jnp.isnan(r0), jnp.nan, r0 + noise), axis=-1)
+        if pct:
+            nvalid = jnp.sum(~jnp.isnan(x), axis=-1, keepdims=True).astype(out.dtype)
+            out = out / jnp.where(nvalid == 0, 1, nvalid)
+            mn = jnp.nanmin(out, axis=-1, keepdims=True)
+            mx = jnp.nanmax(out, axis=-1, keepdims=True)
+            out = mx * (out - mn) / jnp.where(mx - mn == 0, 1, mx - mn)
+    else:
+        out = rank_pct_rescaled(x, axis=-1) if pct else average_rank(x, axis=-1)
+    from .models._wrap import scen_like
+
+    res = scen_like(da, out, name=da.name)
+    res.attrs["units"] = ""
+    return res
+
+
+def sort_along_dim(da: DataArray, dim: str = "time") -> DataArray:
+    """Sort values along a dimension (reference utils.py:516-542)."""
+    dac = da.move_dim_last(dim)
+    from .models._wrap import scen_like
+
+    out = scen_like(da, jnp.sort(jnp.asarray(dac.data), axis=-1), name=da.name)
+    out.attrs.update(da.attrs)
+    return out
+
+
+def get_clusters(da: DataArray, u1, u2, dim: str = "time") -> Dataset:
+    """Cluster count/max/positions along ``dim`` (reference utils.py:844-921)."""
+    from .ops.clusters import cluster_fields
+
+    dac = da.move_dim_last(dim)
+    x = jnp.asarray(dac.data)
+    fields = cluster_fields(x, u1, u2, max_clusters=x.shape[-1] // 2)
+    bdims = dac.dims[:-1]
+    bcoords = {d: dac.coords[d] for d in bdims if d in dac.coords}
+    C = fields["start"].shape[-1]
+    mk = lambda v, nm: DataArray(v, bdims + ("cluster",), {**bcoords, "cluster": np.arange(C)}, {}, nm)
+    return Dataset(
+        {
+            "start": mk(fields["start"], "start"),
+            "end": mk(fields["end"], "end"),
+            "maxpos": mk(fields["maxpos"], "maxpos"),
+            "maximum": mk(fields["maximum"], "maximum"),
+            "nclusters": DataArray(fields["nclusters"], bdims, bcoords, {}, "nclusters"),
+        }
+    )
+
+
+@parse_group
+def interp_on_quantiles(newx: DataArray, xq: DataArray, yq: DataArray, *, group: str | Grouper = "time", method: str = "linear", extrapolation: str = "constant") -> DataArray:
+    """Public grouped/ungrouped quantile-table interpolation (reference
+    utils.py:409-513)."""
+    from .ops.interp import interp1d_table, interp_on_quantiles_grouped
+
+    group = Grouper(group) if isinstance(group, str) else group
+    v = jnp.asarray(newx.move_dim_last("time").data)
+    xqv = jnp.asarray(xq.data)
+    yqv = jnp.asarray(yq.data)
+    if group.prop == "group" or xq.dims[-2:-1] == ():
+        out = interp1d_table(v, xqv, yqv, method, extrapolation)
+    else:
+        gi = group.indexes(newx.time)
+        out = interp_on_quantiles_grouped(
+            v,
+            jnp.asarray(gi.frac_idx, dtype=v.dtype),
+            xqv,
+            yqv,
+            jnp.asarray(gi.positions, dtype=v.dtype),
+            method,
+            extrapolation,
+        )
+    from .models._wrap import scen_like
+
+    return scen_like(newx, out, name=newx.name)
