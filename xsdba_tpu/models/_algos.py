@@ -4,6 +4,13 @@ Each core is a pure function over dense device arrays (time last) plus static
 group-index arrays — the TPU equivalent of the reference's decorated compute
 functions (``_adjustment.py``).  Cores are jitted once per (scheme, kind,
 interp, extrapolation, shapes) signature; everything inside fuses under XLA.
+
+Grouped lookups and broadcasts use *bracket partitions*
+(``GroupIndexes.bracket_partitions``): static -1-padded partitions of the
+time axis by bracketing padded group, so every device-side step is either a
+vectorized per-partition table evaluation or a gather from a long source
+axis — never an element-wise gather from a small table (pathologically slow
+on TPU, see docs/PERFORMANCE.md).
 """
 
 from __future__ import annotations
@@ -13,18 +20,51 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..ops.correction import apply_correction, broadcast_group_factors, get_correction
-from ..ops.interp import interp1d_table, interp_on_quantiles_grouped
-from ..ops.quantile import grouped_nan_quantile
+from ..ops.correction import apply_correction, get_correction
+from ..ops.interp import interp_grouped_partitioned
 from ..ops.segment import grouped_rank
 
 __all__ = [
+    "broadcast_groups_core",
     "eqm_train_core",
     "qdm_adjust_core",
     "qm_adjust_core",
+    "qdm_train_adjust_core",
     "scaling_adjust_core",
     "scaling_train_core",
 ]
+
+
+def _pad_cyclic_factors(f):
+    """[..., G] -> [..., G+2] with one wrapped group on each side."""
+    if f.shape[-1] > 1:
+        return jnp.concatenate([f[..., -1:], f, f[..., :1]], axis=-1)
+    return f
+
+
+def broadcast_groups_core(f, brackets):
+    """Map per-group factors [..., G] onto the time axis [..., T] using
+    bracket partitions (reference ``u.broadcast``, utils.py:180-248).
+
+    The factor grid is tiled over the partition columns so the final step is
+    a (row, col) gather from a long source — cheap on TPU.
+    """
+    part0, g0, slot0, part1, g1, slot1, w = brackets
+    f = jnp.asarray(f)
+    # partitions index padded groups (G+2) unless G == 1
+    f_p = _pad_cyclic_factors(f) if part0.shape[0] != f.shape[-1] else f
+
+    def eval_part(part, grp, slot):
+        Lp = part.shape[-1]
+        grid = jnp.broadcast_to(f_p[..., None], f_p.shape + (Lp,))
+        return grid[..., jnp.asarray(grp), jnp.asarray(slot)]
+
+    v0 = eval_part(jnp.asarray(part0), g0, slot0)
+    if part1 is None:
+        return v0
+    v1 = eval_part(jnp.asarray(part1), g1, slot1)
+    ww = jnp.asarray(w, dtype=v0.dtype)
+    return (1 - ww) * v0 + ww * v1
 
 
 @partial(jax.jit, static_argnames=("kind",))
@@ -44,24 +84,18 @@ def eqm_train_core(refg, histg, quantiles, *, kind: str):
 
 
 @partial(jax.jit, static_argnames=("kind", "interp", "extrapolation"))
-def qm_adjust_core(
-    sim,
-    hist_q,
-    af,
-    frac_idx,
-    positions,
-    *,
-    kind: str,
-    interp: str,
-    extrapolation: str,
-):
+def qm_adjust_core(sim, hist_q, af, brackets, *, kind: str, interp: str, extrapolation: str):
     """QM adjust (reference ``_adjustment.py:594-676``): look up each sim value
     in the per-group (hist_q -> af) table, apply the correction."""
-    G = hist_q.shape[-2]
-    if G == 1:
+    from ..ops.interp import interp1d_table
+
+    if hist_q.shape[-2] == 1:
         af_t = interp1d_table(sim, hist_q[..., 0, :], af[..., 0, :], interp, extrapolation)
     else:
-        af_t = interp_on_quantiles_grouped(sim, frac_idx, hist_q, af, positions, interp, extrapolation)
+        part0, g0, slot0, part1, g1, slot1, w = brackets
+        af_t = interp_grouped_partitioned(
+            sim, hist_q, af, part0, g0, slot0, part1, g1, slot1, w, interp, extrapolation
+        )
     return apply_correction(sim, af_t, kind)
 
 
@@ -70,8 +104,7 @@ def qdm_adjust_core(
     sim,
     af,
     quantiles,
-    frac_idx,
-    positions,
+    brackets,
     gather_sim,
     group_idx,
     scatter_slot,
@@ -84,6 +117,8 @@ def qdm_adjust_core(
     sim, then af looked up at (rank, group) and applied.
 
     Returns (scen, sim_q)."""
+    from ..ops.interp import interp1d_table
+
     sim_q = grouped_rank(sim, gather_sim, group_idx, scatter_slot, pct=True)
     G = af.shape[-2]
     nq = af.shape[-1]
@@ -91,7 +126,10 @@ def qdm_adjust_core(
     if G == 1:
         af_t = interp1d_table(sim_q, qtab[..., 0, :], af[..., 0, :], interp, extrapolation)
     else:
-        af_t = interp_on_quantiles_grouped(sim_q, frac_idx, qtab, af, positions, interp, extrapolation)
+        part0, g0, slot0, part1, g1, slot1, w = brackets
+        af_t = interp_grouped_partitioned(
+            sim_q, qtab, af, part0, g0, slot0, part1, g1, slot1, w, interp, extrapolation
+        )
     return apply_correction(sim, af_t, kind), sim_q
 
 
@@ -103,10 +141,10 @@ def scaling_train_core(ref, hist, gather_ref, gather_hist, *, kind: str):
     return get_correction(mu_hist, mu_ref, kind)
 
 
-@partial(jax.jit, static_argnames=("kind", "interp"))
-def scaling_adjust_core(sim, af, frac_idx, group_idx, positions, *, kind: str, interp: str):
+@partial(jax.jit, static_argnames=("kind",))
+def scaling_adjust_core(sim, af, brackets, *, kind: str):
     """Scaling adjust (reference ``_adjustment.py:961-974``)."""
-    af_t = broadcast_group_factors(af, frac_idx, group_idx, positions, interp)
+    af_t = broadcast_groups_core(af, brackets)
     return apply_correction(sim, af_t, kind)
 
 
@@ -124,8 +162,7 @@ def qdm_train_adjust_core(
     gather_idx,
     group_idx,
     scatter_slot,
-    frac_idx,
-    positions,
+    brackets,
     quantiles,
     *,
     kind: str,
@@ -150,8 +187,7 @@ def qdm_train_adjust_core(
         sim,
         af,
         quantiles,
-        frac_idx,
-        positions,
+        brackets,
         gather_idx,
         group_idx,
         scatter_slot,

@@ -8,7 +8,33 @@ import numpy as np
 from ..utils.container import DataArray, Dataset
 from ..utils.grouper import GroupIndexes, Grouper
 
-__all__ = ["batch_of", "grouped_var", "scen_like", "to_compute"]
+__all__ = ["batch_of", "device_brackets", "grouped_var", "scen_like", "to_compute"]
+
+
+def device_brackets(gi: GroupIndexes, method: str = "linear"):
+    """Device-ready bracket-partition tuple for the jitted cores.
+
+    Collapsed brackets (nearest method, integer fractional indexes like
+    dayofyear) drop the second partition entirely (None is static pytree
+    structure, so the cores compile the single-partition path).
+    """
+    import jax.numpy as jnp
+
+    b = gi.bracket_partitions(method)
+    part0 = jnp.asarray(b["part0"])
+    g0 = jnp.asarray(b["g0"])
+    slot0 = jnp.asarray(b["slot0"])
+    if bool((b["g0"] == b["g1"]).all()):
+        return (part0, g0, slot0, None, None, None, None)
+    return (
+        part0,
+        g0,
+        slot0,
+        jnp.asarray(b["part1"]),
+        jnp.asarray(b["g1"]),
+        jnp.asarray(b["slot1"]),
+        jnp.asarray(b["w"]),
+    )
 
 
 def to_compute(da: DataArray):

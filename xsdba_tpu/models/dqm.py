@@ -22,7 +22,7 @@ from ..utils.container import DataArray, Dataset
 from ..utils.grouper import Grouper
 from ..utils.options import EXTRA_OUTPUT, get_option
 from . import _algos
-from ._wrap import grouped_var, scen_like, to_compute
+from ._wrap import device_brackets, grouped_var, scen_like, to_compute
 from .base import TrainAdjust
 from .eqm import _preprocess
 
@@ -130,12 +130,8 @@ class DetrendedQuantileMapping(TrainAdjust):
         # scale sim by the group scaling factor (doy groups use nearest;
         # reference _adjustment.py:745-753)
         interp_b = interp if gi.prop != "dayofyear" else "nearest"
-        scaling_t = broadcast_group_factors(
-            jnp.asarray(self.ds["scaling"].data),
-            jnp.asarray(gi.frac_idx, dtype=sima.dtype),
-            gi.group_idx,
-            jnp.asarray(gi.positions, dtype=sima.dtype),
-            interp_b,
+        scaling_t = _algos.broadcast_groups_core(
+            jnp.asarray(self.ds["scaling"].data), device_brackets(gi, interp_b)
         )
         scaled = apply_correction(sima, scaling_t, self.kind)
         scaled_da = scen_like(sim, scaled)
@@ -153,8 +149,7 @@ class DetrendedQuantileMapping(TrainAdjust):
             deta,
             jnp.asarray(self.ds["hist_q"].data),
             jnp.asarray(self.ds["af"].data),
-            jnp.asarray(gi.frac_idx, dtype=sima.dtype),
-            jnp.asarray(gi.positions, dtype=sima.dtype),
+            device_brackets(gi, interp),
             kind=self.kind,
             interp=interp,
             extrapolation=extrapolation,

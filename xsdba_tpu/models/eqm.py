@@ -16,7 +16,7 @@ from ..ops.correction import ADDITIVE, equally_spaced_nodes
 from ..utils.container import DataArray, Dataset
 from ..utils.grouper import Grouper
 from . import _algos
-from ._wrap import grouped_var, scen_like, to_compute
+from ._wrap import device_brackets, grouped_var, scen_like, to_compute
 from .base import TrainAdjust
 
 __all__ = ["EmpiricalQuantileMapping", "QuantileDeltaMapping"]
@@ -117,8 +117,7 @@ class EmpiricalQuantileMapping(TrainAdjust):
             sima,
             hist_q,
             af,
-            jnp.asarray(gi.frac_idx, dtype=sima.dtype),
-            jnp.asarray(gi.positions, dtype=sima.dtype),
+            device_brackets(gi, interp),
             kind=self.kind,
             interp=interp,
             extrapolation=extrapolation,
@@ -164,11 +163,10 @@ class QuantileDeltaMapping(EmpiricalQuantileMapping):
             sima,
             af,
             quantiles,
-            jnp.asarray(gi.frac_idx, dtype=sima.dtype),
-            jnp.asarray(gi.positions, dtype=sima.dtype),
-            gi_rank.gather_idx,
-            gi_rank.group_idx,
-            gi_rank.scatter_slot,
+            device_brackets(gi, interp),
+            jnp.asarray(gi_rank.gather_idx),
+            jnp.asarray(gi_rank.group_idx),
+            jnp.asarray(gi_rank.scatter_slot),
             kind=self.kind,
             interp=interp,
             extrapolation=extrapolation,
@@ -246,12 +244,10 @@ def _apply_max_tail_mask(obj, sima, scen, gi, interp):
     hist quantile (reference ``_adjustment.py:647-673``)."""
     if obj.get("max_tail_factor") is None:
         return scen
-    from ..ops.correction import broadcast_group_factors
+    from ._algos import broadcast_groups_core
 
     last_q = jnp.asarray(obj.ds["hist_q_raw"].data)[..., -1]
     interp_b = interp if gi.prop != "dayofyear" else "nearest"
-    last_q_t = broadcast_group_factors(
-        last_q, jnp.asarray(gi.frac_idx, dtype=scen.dtype), gi.group_idx, jnp.asarray(gi.positions, dtype=scen.dtype), interp_b
-    )
+    last_q_t = broadcast_groups_core(last_q, device_brackets(gi, interp_b))
     mask = sima > obj.max_tail_factor * last_q_t
     return jnp.where(mask, sima, scen)

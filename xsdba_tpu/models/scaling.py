@@ -18,7 +18,7 @@ from ..ops.segment import gather_groups
 from ..utils.container import DataArray, Dataset
 from ..utils.grouper import Grouper
 from . import _algos
-from ._wrap import grouped_var, scen_like, to_compute
+from ._wrap import device_brackets, grouped_var, scen_like, to_compute
 from .base import TrainAdjust
 
 __all__ = ["LOCI", "Scaling"]
@@ -46,11 +46,8 @@ class Scaling(TrainAdjust):
         scen = _algos.scaling_adjust_core(
             sima,
             jnp.asarray(self.ds["af"].data),
-            jnp.asarray(gi.frac_idx, dtype=sima.dtype),
-            gi.group_idx,
-            jnp.asarray(gi.positions, dtype=sima.dtype),
+            device_brackets(gi, interp),
             kind=self.kind,
-            interp=interp,
         )
         return scen_like(sim, scen)
 
@@ -69,12 +66,14 @@ def _loci_train_core(refg, histg, thresh):
     return af, s_thresh
 
 
-@partial(jax.jit, static_argnames=("interp",))
-def _loci_adjust_core(sima, af, hist_thresh, thresh, frac_idx, group_idx, positions, *, interp: str):
+@jax.jit
+def _loci_adjust_core(sima, af, hist_thresh, thresh, brackets):
     """LOCI adjust (reference ``_adjustment.py:918-935``):
     ``(af * (sim - sth) + thresh).clip(0)``."""
-    sth = broadcast_group_factors(hist_thresh, frac_idx, group_idx, positions, interp)
-    fac = broadcast_group_factors(af, frac_idx, group_idx, positions, interp)
+    from ._algos import broadcast_groups_core
+
+    sth = broadcast_groups_core(hist_thresh, brackets)
+    fac = broadcast_groups_core(af, brackets)
     return jnp.clip(fac * (sima - sth) + thresh, 0, None)
 
 
@@ -113,9 +112,6 @@ class LOCI(TrainAdjust):
             jnp.asarray(self.ds["af"].data),
             jnp.asarray(self.ds["hist_thresh"].data),
             jnp.asarray(self.thresh, dtype=sima.dtype),
-            jnp.asarray(gi.frac_idx, dtype=sima.dtype),
-            gi.group_idx,
-            jnp.asarray(gi.positions, dtype=sima.dtype),
-            interp=interp,
+            device_brackets(gi, interp),
         )
         return scen_like(sim, scen)

@@ -30,7 +30,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["interp1d_table", "interp_on_quantiles_grouped", "searchsorted_batched"]
+__all__ = [
+    "interp1d_table",
+    "interp_grouped_partitioned",
+    "interp_on_quantiles_grouped",
+    "searchsorted_batched",
+]
 
 
 def searchsorted_batched(sorted_x, v, side: str = "right"):
@@ -147,6 +152,61 @@ def interp1d_table(v, xq, yq, method: str = "linear", extrap: str = "constant"):
     v = jnp.asarray(v)
     xs, ys, nvalid = _compact_nan_pairs(jnp.asarray(xq), jnp.asarray(yq))
     return _interp_unrolled(v, xs, ys, nvalid, method, extrap)
+
+
+def _pad_cyclic_tables(xq, yq):
+    """Compact NaN pairs and add the cyclic group padding (one group wrapped
+    on each side; reference utils.py:284-314)."""
+    xq, yq, nvalid = _compact_nan_pairs(jnp.asarray(xq), jnp.asarray(yq))
+    G = xq.shape[-2]
+    if G > 1:
+        xq_p = jnp.concatenate([xq[..., -1:, :], xq, xq[..., :1, :]], axis=-2)
+        yq_p = jnp.concatenate([yq[..., -1:, :], yq, yq[..., :1, :]], axis=-2)
+        nv_p = jnp.concatenate([nvalid[..., -1:], nvalid, nvalid[..., :1]], axis=-1)
+    else:
+        xq_p, yq_p, nv_p = xq, yq, nvalid
+    return xq_p, yq_p, nv_p
+
+
+def interp_grouped_partitioned(
+    v,
+    xq,
+    yq,
+    part0,
+    g0,
+    slot0,
+    part1,
+    g1,
+    slot1,
+    w,
+    method: str = "linear",
+    extrap: str = "constant",
+):
+    """Grouped table lookup via static bracketing partitions.
+
+    The fast form of :func:`interp_on_quantiles_grouped` when the caller has
+    ``GroupIndexes.bracket_partitions``: the time axis is partitioned by
+    bracketing padded group (``part0/part1`` [Gp, Lp], -1-padded), each
+    partition row is evaluated against its *own* table in one vectorized
+    ``_interp_unrolled`` call, and results scatter back through cheap
+    long-axis gathers.  Work is 2·nq·T regardless of the group count
+    (the fori_loop form is G·nq·T).
+    """
+    v = jnp.asarray(v)
+    xq_p, yq_p, nv_p = _pad_cyclic_tables(xq, yq)
+
+    def eval_partition(part, grp, slot):
+        pi = jnp.asarray(part)
+        vals = jnp.where(pi >= 0, v[..., jnp.clip(pi, 0, v.shape[-1] - 1)], jnp.nan)  # [..., Gp, Lp]
+        out = _interp_unrolled(vals, xq_p, yq_p, nv_p, method, extrap)                 # [..., Gp, Lp]
+        return out[..., jnp.asarray(grp), jnp.asarray(slot)]                            # [..., T]
+
+    val0 = eval_partition(part0, g0, slot0)
+    if part1 is None:  # collapsed brackets (nearest method / integer indexes)
+        return val0
+    val1 = eval_partition(part1, g1, slot1)
+    ww = jnp.asarray(w, dtype=v.dtype)
+    return (1 - ww) * val0 + ww * val1
 
 
 def interp_on_quantiles_grouped(

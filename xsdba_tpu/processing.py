@@ -241,7 +241,9 @@ def normalize(
 ) -> tuple[DataArray, DataArray]:
     """Remove the group-wise mean (kind-aware).  Returns (anomaly, norm)
     (reference processing.py:260-301)."""
-    from .ops.correction import apply_correction, broadcast_group_factors, invert
+    from .models._algos import broadcast_groups_core
+    from .models._wrap import device_brackets
+    from .ops.correction import apply_correction, invert
 
     group = Grouper(group) if isinstance(group, str) else group
     gi = group.indexes(data.time)
@@ -251,7 +253,7 @@ def normalize(
         normv = jnp.nanmean(gather_groups(x, gi.gather_idx), axis=-1)
     else:
         normv = jnp.asarray(norm.data)
-    factors = broadcast_group_factors(invert(normv, kind), jnp.asarray(gi.frac_idx, dtype=x.dtype), gi.group_idx, jnp.asarray(gi.positions, dtype=x.dtype), "nearest")
+    factors = broadcast_groups_core(invert(normv, kind), device_brackets(gi, "nearest"))
     anom = apply_correction(x, factors, kind)
 
     from .models._wrap import grouped_var, scen_like

@@ -68,6 +68,68 @@ class GroupIndexes:
             return np.array([1.0])
         return np.asarray(self.coord, dtype=np.float64)
 
+    def bracket_partitions(self, method: str = "linear"):
+        """Static partitions of the time axis by *bracketing padded group*.
+
+        For grouped adjust-time interpolation: each timestep's fractional
+        index falls between two cyclically-padded groups g0 <= frac < g1 with
+        blend weight w (reference add_cyclic_bounds + .interp semantics,
+        utils.py:222-232).  The bracketing is a pure function of the calendar,
+        so it is computed here once on host, and returned as two -1-padded
+        gather matrices over the padded-group axis plus per-timestep
+        (row, col) scatter coordinates — turning the device-side lookup into
+        two vectorized per-partition table evaluations with only cheap
+        long-axis gathers (see ops/interp.interp_grouped_partitioned).
+
+        Returns dict with g0/g1 [T], w [T], part0/part1 [Gp, Lp],
+        slot0/slot1 [T], n_padded.
+        """
+        pos = self.positions
+        G = self.n_groups
+        frac = self.frac_idx
+        if G > 1:
+            pos_p = np.concatenate([[pos[0] - (pos[1] - pos[0])], pos, [pos[-1] + (pos[-1] - pos[-2])]])
+        else:
+            pos_p = pos
+        Gp = len(pos_p)
+        if method == "nearest" or G == 1:
+            g = np.clip(np.searchsorted(pos_p, frac, side="left"), 1, Gp - 1)
+            g0 = np.where(frac - pos_p[g - 1] < pos_p[g] - frac, g - 1, g)
+            g1 = g0
+            w = np.zeros_like(frac)
+        else:
+            g1 = np.clip(np.searchsorted(pos_p, frac, side="right"), 1, Gp - 1)
+            g0 = g1 - 1
+            p0v, p1v = pos_p[g0], pos_p[g1]
+            w = np.where(p1v > p0v, (frac - p0v) / np.where(p1v == p0v, 1, p1v - p0v), 0.0)
+
+        def partition(gsel):
+            T = len(gsel)
+            counts = np.bincount(gsel, minlength=Gp)
+            L = max(int(counts.max()), 1)
+            order = np.argsort(gsel, kind="stable")
+            sorted_g = gsel[order]
+            start = np.searchsorted(sorted_g, np.arange(Gp), side="left")
+            within = np.arange(T) - start[sorted_g]
+            part = np.full((Gp, L), -1, dtype=np.int32)
+            part[sorted_g, within] = order
+            slot = np.zeros(T, dtype=np.int32)
+            slot[order] = within
+            return part, slot
+
+        part0, slot0 = partition(g0)
+        part1, slot1 = partition(g1)
+        return {
+            "g0": g0.astype(np.int32),
+            "g1": g1.astype(np.int32),
+            "w": w.astype(np.float64),
+            "part0": part0,
+            "slot0": slot0,
+            "part1": part1,
+            "slot1": slot1,
+            "n_padded": Gp,
+        }
+
 
 class Grouper:
     """Parse a group string ("time", "time.month", "time.season",
