@@ -38,6 +38,124 @@ def _gaussian(u):
 _WEIGHT_FUNCS = {"tricube": _tricube, "gaussian": _gaussian}
 
 
+def _fft_conv(signal, kernel):
+    """Linear convolution of signal [..., n] with kernel [K] via FFT,
+    returning the 'same'-aligned full window sums: out[i] = sum_j
+    kernel[j] * signal[i + j - K//2] (zero padded)."""
+    n = signal.shape[-1]
+    K = kernel.shape[0]
+    L = n + K - 1
+    # next power of two for FFT efficiency
+    Lp = 1 << (L - 1).bit_length()
+    S = jnp.fft.rfft(signal, n=Lp, axis=-1)
+    Kf = jnp.fft.rfft(kernel, n=Lp)
+    conv = jnp.fft.irfft(S * Kf, n=Lp, axis=-1)[..., : L]
+    h = K // 2
+    return conv[..., h : h + n]
+
+
+@partial(jax.jit, static_argnames=("f", "niter", "d", "weights"))
+def _loess_equal_fft_core(y, x, *, f: float, niter: int, d: int, weights: str):
+    """Interior-by-convolution LOESS for equally spaced x.
+
+    For equal spacing, interior weights depend only on the *relative* offset,
+    so each weighted sum in the local regression factors into a convolution of
+    (robustness-weighted) signals with fixed kernels — O(n log n) by FFT with
+    O(n) memory, instead of materializing the [n, window] gather (2.4 GB/site
+    at 150-year daily with f=0.2).  Boundary points (where the bandwidth
+    shrinks, reference loess.py:138-147) are recomputed exactly with the
+    windowed path.
+    """
+    y = jnp.asarray(y)
+    n = y.shape[-1]
+    x = jnp.asarray(x, dtype=y.dtype)
+    dx = x[1] - x[0] if n > 1 else jnp.asarray(1.0, y.dtype)
+    wfunc = _WEIGHT_FUNCS[weights]
+
+    r = min(int(2 * (int(f * n) // 2) + 1), n)
+    hw = (r - 1) // 2
+    HW = hw + 2
+
+    # interior kernels over relative offsets -HW..HW (entries beyond the
+    # bandwidth h get zero weight from the kernel function itself)
+    offs = (jnp.arange(2 * HW + 1, dtype=y.dtype) - HW) * dx
+    h_int = (hw + 1) * dx
+    w_k = wfunc(jnp.abs(offs) / h_int)
+    # reversed kernels: conv in "gather" orientation
+    ku = offs
+    nan = jnp.isnan(y)
+    y0 = jnp.where(nan, 0.0, y)
+    valid = (~nan).astype(y.dtype)
+
+    def smooth_interior(delta):
+        dv = delta * valid
+        dy = dv * y0
+        s_w = _fft_conv(dv, w_k)
+        s_wy = _fft_conv(dy, w_k)
+        if d == 0:
+            return s_wy / s_w
+        s_wu = _fft_conv(dv, w_k * ku)
+        s_wu2 = _fft_conv(dv, w_k * ku * ku)
+        s_wuy = _fft_conv(dy, w_k * ku)
+        det = s_w * s_wu2 - s_wu * s_wu
+        # value at u=0 is the intercept
+        return (s_wu2 * s_wy - s_wu * s_wuy) / det
+
+    # boundary evaluation via the exact windowed path, one point per loop
+    # step (keeps memory at O(batch * window) instead of O(batch * edge * window))
+    edge = min(n, HW + 1)
+    R = min(r + 4, n)
+
+    def smooth_edges(delta, est):
+        dv = delta * valid
+
+        def one_point(i):
+            start = jnp.clip(i - HW, 0, n - R)
+            xw = jax.lax.dynamic_slice_in_dim(x, start, R)
+            yw = jax.lax.dynamic_slice_in_dim(y0, start, R, axis=-1)
+            ww = jax.lax.dynamic_slice_in_dim(dv, start, R, axis=-1)
+            xi = x[i]
+            diffs = jnp.abs(xw - xi)
+            hbound = jnp.where(
+                i < hw,
+                (r - i) * dx,
+                jnp.where(i >= n - hw, (i - (n - r) + 1) * dx, h_int),
+            )
+            w = wfunc(diffs / hbound) * ww
+            if d == 0:
+                return jnp.sum(w * yw, axis=-1) / jnp.sum(w, axis=-1)
+            sw = jnp.sum(w, axis=-1)
+            swx = jnp.sum(w * xw, axis=-1)
+            swx2 = jnp.sum(w * xw * xw, axis=-1)
+            swy = jnp.sum(w * yw, axis=-1)
+            swxy = jnp.sum(w * xw * yw, axis=-1)
+            det = sw * swx2 - swx * swx
+            b1 = (sw * swxy - swx * swy) / det
+            b0 = (swy - b1 * swx) / sw
+            return b0 + b1 * xi
+
+        def body(k, acc):
+            # left edge point k and right edge point n-1-k
+            vl = one_point(k)
+            vr = one_point(n - 1 - k)
+            acc = jax.lax.dynamic_update_index_in_dim(acc, vl, k, axis=-1)
+            acc = jax.lax.dynamic_update_index_in_dim(acc, vr, n - 1 - k, axis=-1)
+            return acc
+
+        return jax.lax.fori_loop(0, edge, body, est)
+
+    delta = jnp.ones_like(y)
+    est = smooth_edges(delta, smooth_interior(delta))
+    for _ in range(niter - 1):
+        resid = y - est
+        s = jnp.nanmedian(jnp.abs(resid), axis=-1, keepdims=True)
+        xres = jnp.where(s == 0, (resid != 0).astype(y.dtype), resid / jnp.where(s == 0, 1, 6.0 * s))
+        delta = jnp.where(jnp.abs(xres) >= 1, 0.0, (1 - xres**2) ** 2)
+        delta = jnp.where(jnp.isnan(delta), 0.0, delta)
+        est = smooth_edges(delta, smooth_interior(delta))
+    return jnp.where(nan, jnp.nan, est)
+
+
 @partial(jax.jit, static_argnames=("f", "niter", "d", "weights"))
 def _loess_equal_core(y, x, *, f: float, niter: int, d: int, weights: str):
     """y: [..., n]; x: [n] equally spaced.  Returns smoothed y."""
@@ -115,4 +233,11 @@ def loess_smoothing(
         raise NotImplementedError("Only d=0 and d=1 are implemented.")
     if weights not in _WEIGHT_FUNCS:
         raise ValueError(f"weights must be one of {sorted(_WEIGHT_FUNCS)}")
-    return _loess_equal_core(jnp.asarray(y), x, f=float(f), niter=int(niter), d=int(d), weights=weights)
+    y = jnp.asarray(y)
+    n = y.shape[-1]
+    r = int(2 * (int(f * n) // 2) + 1)
+    # Wide windows: the interior factors into FFT convolutions (O(n log n),
+    # O(n) memory); the gather form materializes [n, r+4] which blows up.
+    if n > 4096 or r > 512:
+        return _loess_equal_fft_core(y, x, f=float(f), niter=int(niter), d=int(d), weights=weights)
+    return _loess_equal_core(y, x, f=float(f), niter=int(niter), d=int(d), weights=weights)
