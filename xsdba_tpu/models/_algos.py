@@ -196,3 +196,62 @@ def qdm_train_adjust_core(
         extrapolation=extrapolation,
     )
     return scen
+
+@partial(jax.jit, static_argnames=("kind",))
+def eqm_train_from_raw(ref, hist, gather_idx, quantiles, *, kind: str):
+    """EQM train straight from [..., T] arrays with memory-bounded chunking
+    over groups (no full [..., G, L] gather materialized) — the path used
+    when no frequency adaptation is requested."""
+    from ..ops.quantile import grouped_nan_quantile
+
+    ref_q = grouped_nan_quantile(ref, gather_idx, quantiles)
+    hist_q = grouped_nan_quantile(hist, gather_idx, quantiles)
+    return get_correction(hist_q, ref_q, kind), hist_q
+
+
+@partial(jax.jit, static_argnames=("kind",))
+def dqm_train_from_raw(ref, hist, gather_idx, quantiles, *, kind: str):
+    """DQM train (normalized quantiles + scaling factor) with memory-bounded
+    chunking over groups, straight from [..., T] arrays."""
+    from ..ops.correction import invert
+    from ..ops.quantile import nan_quantile
+
+    G, L = gather_idx.shape
+    batch = 1
+    for d in ref.shape[:-1]:
+        batch *= d
+    chunk = max(1, min(G, (1 << 28) // max(batch * L, 1)))
+
+    def one(gidx):
+        refg = _gather(ref, gidx)
+        histg = _gather(hist, gidx)
+        mu_ref = jnp.nanmean(refg, axis=-1)
+        mu_hist = jnp.nanmean(histg, axis=-1)
+        refn = apply_correction(refg, invert(mu_ref[..., None], kind), kind)
+        histn = apply_correction(histg, invert(mu_hist[..., None], kind), kind)
+        ref_q = nan_quantile(refn, quantiles, axis=-1)
+        hist_q = nan_quantile(histn, quantiles, axis=-1)
+        return get_correction(hist_q, ref_q, kind), hist_q, mu_ref, mu_hist
+
+    if chunk >= G:
+        af, hist_q, mu_ref, mu_hist = one(gather_idx)
+        return af, hist_q, get_correction(mu_hist, mu_ref, kind)
+
+    n_chunks = -(-G // chunk)
+    pad = n_chunks * chunk - G
+    gi = jnp.concatenate([gather_idx, jnp.full((pad, L), -1, gather_idx.dtype)], axis=0) if pad else gather_idx
+    af, hist_q, mu_ref, mu_hist = jax.lax.map(one, gi.reshape(n_chunks, chunk, L))
+
+    def combine(a, has_nq):
+        # [n_chunks, ..., C(, nq)] -> [..., G(, nq)]
+        move_to = a.ndim - (3 if has_nq else 2)
+        a = jnp.moveaxis(a, 0, move_to)
+        tail = (a.shape[-1],) if has_nq else ()
+        a = a.reshape(a.shape[:move_to] + (n_chunks * chunk,) + tail)
+        return a[..., :G, :] if has_nq else a[..., :G]
+
+    af = combine(af, True)
+    hist_q = combine(hist_q, True)
+    mu_ref = combine(mu_ref, False)
+    mu_hist = combine(mu_hist, False)
+    return af, hist_q, get_correction(mu_hist, mu_ref, kind)

@@ -24,7 +24,6 @@ from ..utils.options import EXTRA_OUTPUT, get_option
 from . import _algos
 from ._wrap import device_brackets, grouped_var, scen_like, to_compute
 from .base import TrainAdjust
-from .eqm import _preprocess
 
 __all__ = ["DetrendedQuantileMapping"]
 
@@ -74,22 +73,29 @@ class DetrendedQuantileMapping(TrainAdjust):
 
             hist_q_raw = grouped_nan_quantile(hista, gi.gather_idx, quantiles)
 
-        refg, histg, P0_ref, P0_hist, pth = _preprocess(
-            refa, hista, gi, hist,
-            adapt_freq_thresh, jitter_under_thresh_value,
-            jitter_over_thresh_value, jitter_over_thresh_upper_bnd,
-        )
+        from .eqm import _apply_jitter, _preprocess
 
-        # mean-normalize within each group (reference _adjustment.py:165-168)
-        mu_ref = jnp.nanmean(refg, axis=-1)
-        mu_hist = jnp.nanmean(histg, axis=-1)
-        refn = apply_correction(refg, invert(mu_ref[..., None], kind), kind)
-        histn = apply_correction(histg, invert(mu_hist[..., None], kind), kind)
+        hista = _apply_jitter(hista, hist, jitter_under_thresh_value, jitter_over_thresh_value, jitter_over_thresh_upper_bnd)
+        if adapt_freq_thresh is None:
+            # memory-bounded chunked path
+            af, hist_q, scaling = _algos.dqm_train_from_raw(
+                refa, hista, jnp.asarray(gi.gather_idx), jnp.asarray(quantiles), kind=kind
+            )
+            P0_ref = P0_hist = pth = None
+        else:
+            refg, histg, P0_ref, P0_hist, pth = _preprocess(
+                refa, hista, gi, hist, adapt_freq_thresh, None, None, None
+            )
+            # mean-normalize within each group (reference _adjustment.py:165-168)
+            mu_ref = jnp.nanmean(refg, axis=-1)
+            mu_hist = jnp.nanmean(histg, axis=-1)
+            refn = apply_correction(refg, invert(mu_ref[..., None], kind), kind)
+            histn = apply_correction(histg, invert(mu_hist[..., None], kind), kind)
 
-        ref_q = nan_quantile(refn, quantiles, axis=-1)
-        hist_q = nan_quantile(histn, quantiles, axis=-1)
-        af = get_correction(hist_q, ref_q, kind)
-        scaling = get_correction(mu_hist, mu_ref, kind)
+            ref_q = nan_quantile(refn, quantiles, axis=-1)
+            hist_q = nan_quantile(histn, quantiles, axis=-1)
+            af = get_correction(hist_q, ref_q, kind)
+            scaling = get_correction(mu_hist, mu_ref, kind)
 
         qdim = ("quantiles", quantiles)
         ds = Dataset(

@@ -70,18 +70,16 @@ class EmpiricalQuantileMapping(TrainAdjust):
 
             hist_q_raw = grouped_nan_quantile(hista, gi.gather_idx, quantiles)
 
-        refg, histg, P0_ref, P0_hist, pth = _preprocess(
-            refa,
-            hista,
-            gi,
-            hist,
-            adapt_freq_thresh,
-            jitter_under_thresh_value,
-            jitter_over_thresh_value,
-            jitter_over_thresh_upper_bnd,
-        )
-
-        af, hist_q = _algos.eqm_train_core(refg, histg, quantiles, kind=kind)
+        hista = _apply_jitter(hista, hist, jitter_under_thresh_value, jitter_over_thresh_value, jitter_over_thresh_upper_bnd)
+        if adapt_freq_thresh is None:
+            # memory-bounded path: no full [..., G, L] gather materialized
+            af, hist_q = _algos.eqm_train_from_raw(refa, hista, jnp.asarray(gi.gather_idx), jnp.asarray(quantiles), kind=kind)
+            P0_ref = P0_hist = pth = None
+        else:
+            refg, histg, P0_ref, P0_hist, pth = _preprocess(
+                refa, hista, gi, hist, adapt_freq_thresh, None, None, None
+            )
+            af, hist_q = _algos.eqm_train_core(refg, histg, quantiles, kind=kind)
 
         qdim = ("quantiles", quantiles)
         ds = Dataset(
@@ -180,6 +178,24 @@ class QuantileDeltaMapping(EmpiricalQuantileMapping):
         return out["scen"]
 
 
+def _apply_jitter(hista, hist_da, jitter_under_thresh_value, jitter_over_thresh_value, jitter_over_thresh_upper_bnd):
+    """Optional jitter preprocessing of hist (reference _adjustment.py:55-68)."""
+    from ..processing import _jitter_core
+    from ..utils.units import convert_units_to
+
+    if (jitter_over_thresh_value is None) ^ (jitter_over_thresh_upper_bnd is None):
+        raise ValueError(
+            "`jitter_over_thresh_value` and `jitter_over_thresh_upper_bnd` must both "
+            "be specified or both be `None`."
+        )
+    if jitter_under_thresh_value or jitter_over_thresh_value:
+        lower = convert_units_to(jitter_under_thresh_value, hist_da.units) if jitter_under_thresh_value else None
+        upper = convert_units_to(jitter_over_thresh_value, hist_da.units) if jitter_over_thresh_value else None
+        bnd = convert_units_to(jitter_over_thresh_upper_bnd, hist_da.units) if jitter_over_thresh_value else None
+        hista = _jitter_core(hista, lower, upper, bnd)
+    return hista
+
+
 def _preprocess(
     refa,
     hista,
@@ -199,16 +215,7 @@ def _preprocess(
     from ..processing import _adapt_freq_grouped, _jitter_core
     from ..utils.units import convert_units_to
 
-    if (jitter_over_thresh_value is None) ^ (jitter_over_thresh_upper_bnd is None):
-        raise ValueError(
-            "`jitter_over_thresh_value` and `jitter_over_thresh_upper_bnd` must both "
-            "be specified or both be `None`."
-        )
-    if jitter_under_thresh_value or jitter_over_thresh_value:
-        lower = convert_units_to(jitter_under_thresh_value, hist_da.units) if jitter_under_thresh_value else None
-        upper = convert_units_to(jitter_over_thresh_value, hist_da.units) if jitter_over_thresh_value else None
-        bnd = convert_units_to(jitter_over_thresh_upper_bnd, hist_da.units) if jitter_over_thresh_value else None
-        hista = _jitter_core(hista, lower, upper, bnd)
+    hista = _apply_jitter(hista, hist_da, jitter_under_thresh_value, jitter_over_thresh_value, jitter_over_thresh_upper_bnd)
 
     refg = gather_groups(refa, gi.gather_idx)
     histg = gather_groups(hista, gi.gather_idx)

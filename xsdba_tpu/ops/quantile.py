@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["nan_quantile", "grouped_nan_quantile", "vecquantiles"]
 
@@ -93,7 +94,7 @@ def vecquantiles(x, ranks, axis: int = -1, alpha: float = 1.0, beta: float = 1.0
     return jnp.where(jnp.isnan(ranks), jnp.nan, out)
 
 
-def grouped_nan_quantile(x, gather_idx, quantiles, alpha: float = 1.0, beta: float = 1.0):
+def grouped_nan_quantile(x, gather_idx, quantiles, alpha: float = 1.0, beta: float = 1.0, group_chunk: int | None = None):
     """Fused gather -> sort -> lerp grouped quantile.
 
     x: [..., T]; gather_idx: [G, L] int32 with -1 padding (see
@@ -102,10 +103,36 @@ def grouped_nan_quantile(x, gather_idx, quantiles, alpha: float = 1.0, beta: flo
     This is the TPU lowering of the reference's rolling-window groupby quantile
     (``base.py:261-265`` + ``nbutils.quantile``): window padding positions are
     -1 and become NaN, exactly like the NaN pads of ``rolling.construct``.
+
+    ``group_chunk`` bounds peak memory: groups are processed ``group_chunk``
+    at a time with ``lax.map`` so only a [..., chunk, L] slice of the gather
+    matrix is ever materialized (windowed dayofyear groups would otherwise
+    allocate [..., 366, years*window] — tens of GB at production size).
+    By default a chunk is picked to keep the slice near ~2^28 elements.
     """
     x = jnp.asarray(x)
     gi = jnp.asarray(gather_idx)
-    mask = gi < 0
-    vals = x[..., jnp.clip(gi, 0, x.shape[-1] - 1)]          # [..., G, L]
-    vals = jnp.where(mask, jnp.nan, vals)
-    return nan_quantile(vals, quantiles, axis=-1, alpha=alpha, beta=beta)
+    G, L = gi.shape
+    batch = int(np.prod(x.shape[:-1], dtype=np.int64)) if x.ndim > 1 else 1
+    if group_chunk is None:
+        budget = 1 << 28
+        group_chunk = max(1, min(G, budget // max(batch * L, 1)))
+
+    def one_chunk(gidx_chunk):
+        mask = gidx_chunk < 0
+        vals = x[..., jnp.clip(gidx_chunk, 0, x.shape[-1] - 1)]   # [..., C, L]
+        vals = jnp.where(mask, jnp.nan, vals)
+        return nan_quantile(vals, quantiles, axis=-1, alpha=alpha, beta=beta)
+
+    if group_chunk >= G:
+        return one_chunk(gi)
+
+    # pad G to a multiple of the chunk, map over chunks, then crop
+    n_chunks = -(-G // group_chunk)
+    pad = n_chunks * group_chunk - G
+    gi_p = jnp.concatenate([gi, jnp.full((pad, L), -1, gi.dtype)], axis=0) if pad else gi
+    chunks = gi_p.reshape(n_chunks, group_chunk, L)
+    out = jax.lax.map(one_chunk, chunks)                           # [n_chunks, ..., C, nq]
+    out = jnp.moveaxis(out, 0, -3)                                  # [..., n_chunks, C, nq]
+    out = out.reshape(out.shape[:-3] + (n_chunks * group_chunk, out.shape[-1]))
+    return out[..., :G, :]
