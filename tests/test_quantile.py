@@ -57,3 +57,16 @@ def test_grouped_nan_quantile_equals_per_group(random):
     for g in range(3):
         want = np.quantile(x[:, g * 40 : (g + 1) * 40], q, axis=-1).T
         np.testing.assert_allclose(got[:, g], want, rtol=1e-12)
+
+
+def test_grouped_quantile_chunked_matches_full(random):
+    from xsdba_tpu.utils.calendar import date_range
+    from xsdba_tpu.utils.grouper import Grouper
+
+    t = date_range("2001-01-01", periods=365 * 4, freq="D", calendar="noleap")
+    gi = Grouper("time.dayofyear", window=5).indexes(t)
+    x = random.normal(size=(3, len(t)))
+    q = np.linspace(0.1, 0.9, 9)
+    full = np.asarray(grouped_nan_quantile(x, gi.gather_idx, q))
+    chunked = np.asarray(grouped_nan_quantile(x, gi.gather_idx, q, group_chunk=17))
+    np.testing.assert_allclose(full, chunked, rtol=1e-12)

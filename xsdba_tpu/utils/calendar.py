@@ -302,9 +302,9 @@ def date_range(start: str, periods: int, freq: str = "D", calendar: str = "stand
         mm = tot % 12 + 1
         dd = np.ones(periods, dtype=np.int64)
         return TimeIndex(yy, mm, dd, cal, freq)
-    # YS
+    # YS: year starts (January 1)
     yy = y0 + np.arange(periods, dtype=np.int64) * mult
-    mm = np.full(periods, m0 if False else 1, dtype=np.int64)
+    mm = np.ones(periods, dtype=np.int64)
     dd = np.ones(periods, dtype=np.int64)
     return TimeIndex(yy, mm, dd, cal, freq)
 
