@@ -175,3 +175,11 @@ class TestMeasures:
         s = xt.DataArray(np.array(285.0), (), {}, {"units": "K"}, "x")
         r = xt.DataArray(np.array(10.0), (), {}, {"units": "degC"}, "x")
         assert float(np.asarray(measures.bias(s, r).data)) == pytest.approx(285.0 - 283.15)
+
+
+def test_trend_units_parse():
+    """degC/year must round-trip the units engine (caught by pipeline drive)."""
+    from xsdba_tpu.utils.units import parse_units
+
+    u = parse_units("degC/year")
+    assert u.dims[3] == 1 and u.dims[2] == -1

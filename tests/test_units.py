@@ -1,0 +1,75 @@
+import numpy as np
+import pytest
+
+import xsdba_tpu as xt
+from xsdba_tpu.utils.units import (
+    convert_units_to,
+    harmonize_units,
+    parse_units,
+    pint_multiply,
+    str2quantity,
+    units2str,
+)
+
+
+def test_parse_basic():
+    for s in ("K", "degC", "mm", "mm/d", "mm d-1", "kg m-2 s-1", "%", "", "1"):
+        u = parse_units(s)
+        assert units2str(u) == s
+
+
+def test_quantity_strings():
+    q = str2quantity("1 mm d-1")
+    assert q.magnitude == 1
+    assert q.to("mm/d").magnitude == pytest.approx(1)
+    assert str2quantity("2.5e-1 m").to("cm").magnitude == pytest.approx(25)
+
+
+def test_temperature_offsets():
+    assert str2quantity("0 degC").to("K").magnitude == pytest.approx(273.15)
+    assert str2quantity("300 K").to("degC").magnitude == pytest.approx(26.85)
+    assert str2quantity("32 degF").to("degC").magnitude == pytest.approx(0, abs=1e-9)
+
+
+def test_precipitation_equivalences():
+    # 1 kg m-2 s-1 of water == 1 mm/s == 86400 mm/d
+    assert str2quantity("1 kg m-2 s-1").to("mm/d").magnitude == pytest.approx(86400)
+    assert str2quantity("86400 mm/d").to("kg m-2 s-1").magnitude == pytest.approx(1)
+    assert str2quantity("1 mm/d").to("m/d").magnitude == pytest.approx(0.001)
+    # reference test uses 0.007 m/week thresholds (tests/test_adjustment.py:1308)
+    assert str2quantity("0.007 m/week").to("mm/d").magnitude == pytest.approx(1.0)
+
+
+def test_incompatible_raises():
+    with pytest.raises(ValueError, match="convert"):
+        str2quantity("1 K").to("mm")
+
+
+def test_convert_dataarray():
+    t = xt.date_range("2000-01-01", periods=3, freq="D")
+    da = xt.DataArray(np.array([0.0, 10.0, 20.0]), ("time",), {"time": t}, {"units": "degC"}, "tas")
+    out = convert_units_to(da, "K")
+    np.testing.assert_allclose(np.asarray(out.data), [273.15, 283.15, 293.15])
+    assert out.attrs["units"] == "K"
+
+
+def test_harmonize():
+    t = xt.date_range("2000-01-01", periods=2, freq="D")
+    a = xt.DataArray(np.array([280.0, 285.0]), ("time",), {"time": t}, {"units": "K"}, "a")
+    b = xt.DataArray(np.array([5.0, 10.0]), ("time",), {"time": t}, {"units": "degC"}, "b")
+    (a2, b2), units = harmonize_units(a, b)
+    assert units == "K"
+    np.testing.assert_allclose(np.asarray(b2.data), [278.15, 283.15])
+
+
+def test_pint_multiply():
+    t = xt.date_range("2000-01-01", periods=2, freq="D")
+    pr = xt.DataArray(np.array([1.0, 2.0]), ("time",), {"time": t}, {"units": "kg m-2 s-1"}, "pr")
+    out = pint_multiply(pr, "1 d", out_units="mm")
+    np.testing.assert_allclose(np.asarray(out.data), [86400.0, 172800.0])
+    assert out.attrs["units"] == "mm"
+
+
+def test_time_units():
+    assert parse_units("degC/year").dims[2] == -1
+    assert str2quantity("1 K/year").to("K/d").magnitude == pytest.approx(1 / 365.2425)

@@ -63,6 +63,8 @@ _def(["min", "minute", "minutes"], 60.0, _dims(time=1))
 _def(["h", "hr", "hour", "hours"], 3600.0, _dims(time=1))
 _def(["d", "day", "days"], 86400.0, _dims(time=1))
 _def(["week", "weeks"], 7 * 86400.0, _dims(time=1))
+_def(["month", "months", "mon"], 30.436875 * 86400.0, _dims(time=1))
+_def(["year", "years", "yr", "a", "annum"], 365.2425 * 86400.0, _dims(time=1))
 _def(["K", "kelvin", "degK"], 1.0, _dims(temp=1))
 _def(["degC", "C", "celsius", "°C"], 1.0, _dims(temp=1), offset=273.15)
 _def(["degF", "°F", "fahrenheit"], 5.0 / 9.0, _dims(temp=1), offset=459.67 * 5.0 / 9.0)
