@@ -5,8 +5,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.container import DataArray, Dataset
-from ..utils.grouper import GroupIndexes, Grouper
+from ..utils.container import DataArray
+from ..utils.grouper import GroupIndexes
 
 __all__ = ["batch_of", "device_brackets", "grouped_var", "scen_like", "to_compute"]
 

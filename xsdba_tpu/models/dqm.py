@@ -15,9 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..detrending import BaseDetrend, PolyDetrend
-from ..ops.correction import ADDITIVE, apply_correction, broadcast_group_factors, equally_spaced_nodes, get_correction, invert
+from ..ops.correction import ADDITIVE, apply_correction, equally_spaced_nodes, get_correction, invert
 from ..ops.quantile import nan_quantile
-from ..ops.segment import gather_groups
 from ..utils.container import DataArray, Dataset
 from ..utils.grouper import Grouper
 from ..utils.options import EXTRA_OUTPUT, get_option

@@ -21,9 +21,7 @@ from ..ops.rank import rank_pct_rescaled
 from ..ops.rotation import rand_rot_matrix
 from ..utils.container import DataArray, Dataset
 from ..utils.grouper import Grouper
-from ..utils.options import EXTRA_OUTPUT, get_option
 from ._npdft import npdft_adjust_core, npdft_train_core, standardize_lastaxis
-from ._wrap import scen_like, to_compute
 from .base import Adjust, TrainAdjust
 from .eqm import QuantileDeltaMapping
 

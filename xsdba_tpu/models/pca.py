@@ -10,7 +10,6 @@ from ..ops.pca import pc_transform_matrix
 from ..ops.segment import gather_groups
 from ..utils.container import DataArray, Dataset
 from ..utils.grouper import Grouper
-from ._wrap import scen_like
 from .base import TrainAdjust
 
 __all__ = ["PrincipalComponents"]

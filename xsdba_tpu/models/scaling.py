@@ -6,13 +6,12 @@ Reference: ``adjustment.py:933-1050`` (classes), ``_adjustment.py:889-974``
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 
-from ..ops.correction import ADDITIVE, MULTIPLICATIVE, broadcast_group_factors, get_correction
+from ..ops.correction import ADDITIVE, MULTIPLICATIVE, get_correction
 from ..ops.quantile import vecquantiles
 from ..ops.segment import gather_groups
 from ..utils.container import DataArray, Dataset

@@ -8,7 +8,6 @@ instead of compressed (static shapes), matching ``remove_NaNs`` semantics.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 __all__ = ["escore"]

@@ -7,8 +7,6 @@ all as jitted array cores plus thin labeled wrappers.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
