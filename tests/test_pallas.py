@@ -1,0 +1,26 @@
+"""Pallas kernel parity tests (interpreter mode on the CPU mesh)."""
+
+import numpy as np
+import pytest
+
+from xsdba_tpu.ops.interp import _compact_nan_pairs, _interp_unrolled
+from xsdba_tpu.ops.pallas import interp_table_pallas, pallas_available
+
+
+@pytest.mark.skipif(not pallas_available(), reason="pallas unavailable")
+def test_interp_kernel_matches_xla(random):
+    import jax.numpy as jnp
+
+    R, L, nq = 6, 300, 20
+    xs = np.sort(random.normal(size=(R, nq)), axis=-1)
+    ys = random.normal(size=(R, nq))
+    # a couple of NaN pairs
+    xs[0, 3] = np.nan
+    ys[1, 7] = np.nan
+    v = random.normal(size=(R, L)) * 2
+    v[2, 10] = np.nan
+
+    xsc, ysc, nv = _compact_nan_pairs(jnp.asarray(xs), jnp.asarray(ys))
+    want = np.asarray(_interp_unrolled(jnp.asarray(v), xsc, ysc, nv, "linear", "constant"))
+    got = np.asarray(interp_table_pallas(jnp.asarray(v), xsc, ysc, nv, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-6, equal_nan=True)
