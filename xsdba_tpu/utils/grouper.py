@@ -371,3 +371,36 @@ def parse_group(func=None, *, kwargs=None):
     if func is not None:
         return _decorator(func)
     return _decorator
+
+
+def _grouper_apply(self, func, da, main_only: bool = False):
+    """Apply a reduction group-wise (reference ``Grouper.apply``,
+    base.py:347-457, reduced to its tensor essence).
+
+    ``func`` is "mean"/"std"/"sum"/"min"/"max" or a callable taking the
+    gathered [..., G, L] matrix and reducing the last axis.  Returns a
+    grouped DataArray ([..., G]); window pads are NaN (skipped by the
+    named reductions).
+    """
+    import jax.numpy as jnp
+
+    from .container import DataArray
+
+    gi = self.indexes(da.time)
+    dac = da.move_dim_last("time")
+    x = jnp.asarray(dac.data)
+    gidx = jnp.asarray(gi.gather_idx)
+    vals = jnp.where(gidx < 0, jnp.nan, x[..., jnp.clip(gidx, 0, x.shape[-1] - 1)])
+    if callable(func):
+        out = func(vals)
+    else:
+        red = {"mean": jnp.nanmean, "std": jnp.nanstd, "sum": jnp.nansum, "min": jnp.nanmin, "max": jnp.nanmax}[func]
+        out = red(vals, axis=-1)
+    prop = self.prop_name if gi.prop != "group" else "group"
+    bdims = dac.dims[:-1]
+    coords = {d: dac.coords[d] for d in bdims if d in dac.coords}
+    coords[prop] = gi.coord
+    return DataArray(out, bdims + (prop,), coords, dict(da.attrs), da.name)
+
+
+Grouper.apply = _grouper_apply

@@ -303,3 +303,19 @@ def pint_multiply(da, q, out_units: str | None = None):
     else:
         out.attrs["units"] = f"{da.units} {q.units.raw}".strip()
     return out
+
+
+def wavelength_to_normalized_wavenumber(lam, delta) -> float:
+    """Convert a wavelength quantity to the normalized radial wavenumber
+    ``alpha = 2*delta/lambda`` given the grid resolution ``delta``
+    (reference units.py:424-489)."""
+    d = str2quantity(delta).to("m").magnitude if isinstance(delta, str) else delta
+    la = str2quantity(lam).to("m").magnitude if isinstance(lam, str) else lam
+    return 2.0 * d / la
+
+
+def normalized_wavenumber_to_wavelength(alpha, delta, units: str = "m"):
+    """Inverse of :func:`wavelength_to_normalized_wavenumber`."""
+    d = str2quantity(delta).to("m").magnitude if isinstance(delta, str) else delta
+    lam_m = 2.0 * d / alpha
+    return Quantity(lam_m, parse_units("m")).to(units).magnitude
