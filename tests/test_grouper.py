@@ -73,3 +73,14 @@ def test_equality_and_hash():
     assert Grouper("time") == "time"
     assert Grouper("time.month", window=3) != Grouper("time.month")
     assert hash(Grouper("time.month")) == hash(Grouper("time.month"))
+
+
+def test_even_window():
+    """Even windows must produce exactly `window` offsets (extra point left,
+    like xarray center=True rolling)."""
+    t = date_range("2001-01-01", periods=365 * 2, freq="D", calendar="noleap")
+    gi = Grouper("time.dayofyear", window=30).indexes(t)
+    assert gi.gather_idx.shape[1] == 2 * 30
+    row = gi.gather_idx[100]
+    valid = np.sort(row[row >= 0])
+    np.testing.assert_array_equal(valid, np.concatenate([np.arange(85, 115), np.arange(450, 480)]))

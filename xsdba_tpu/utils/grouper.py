@@ -279,7 +279,9 @@ class Grouper:
         elif self.window > 1:
             L *= self.window
             rows = np.full((G, L), -1, dtype=np.int64)
-            offs = np.arange(-half, half + 1)
+            # exactly `window` offsets; even windows take the extra point on
+            # the left, matching xarray's center=True rolling
+            offs = np.arange(self.window) - half
             for g, cen in enumerate(members):
                 if len(cen) == 0:
                     continue
