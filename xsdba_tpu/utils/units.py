@@ -243,13 +243,43 @@ def harmonize_units(*arrays, target: str | None = None):
     """Convert all DataArrays to shared units (the first's, or ``target``).
 
     Analogue of the reference decorator ``units.py:373-421``; returns
-    (converted_arrays, units_str).
+    (converted_arrays, units_str).  Stacked multivariate arrays (carrying a
+    ``_variable_attrs`` mapping from ``stack_variables``) are converted
+    per variable along their leading multivar axis (reference
+    adjustment.py:136-185 stacked-units path).
     """
     from .container import DataArray
 
     das = [a for a in arrays if isinstance(a, DataArray)]
     if not das:
         return list(arrays), target or ""
+
+    if any("_variable_attrs" in a.attrs for a in das):
+        ref_attrs = das[0].attrs.get("_variable_attrs", {})
+        tgt_units = {k: v.get("units", "") for k, v in ref_attrs.items()}
+        out = []
+        for a in arrays:
+            if not isinstance(a, DataArray) or "_variable_attrs" not in a.attrs:
+                out.append(a)
+                continue
+            names = sorted(a.attrs["_variable_attrs"])
+            data = a.data
+            var_attrs = {k: dict(v) for k, v in a.attrs["_variable_attrs"].items()}
+            import jax.numpy as _jnp
+
+            parts = []
+            for i, name in enumerate(names):
+                src_u = var_attrs.get(name, {}).get("units", "")
+                dst_u = tgt_units.get(name, src_u)
+                scale, offset = conversion_factor(src_u, dst_u) if dst_u else (1.0, 0.0)
+                sl = _jnp.asarray(data)[i]
+                parts.append(sl * scale + offset if (scale != 1.0 or offset != 0.0) else sl)
+                var_attrs.setdefault(name, {})["units"] = dst_u
+            converted = a.copy(data=_jnp.stack(parts, axis=0))
+            converted.attrs["_variable_attrs"] = var_attrs
+            out.append(converted)
+        return out, ""
+
     tgt = target if target not in (None, "") else das[0].units
     out = [convert_units_to(a, tgt) if isinstance(a, DataArray) else a for a in arrays]
     return out, units2str(tgt)
