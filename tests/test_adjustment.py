@@ -215,3 +215,28 @@ class TestLOCI:
         np.testing.assert_allclose(sv[wet], ref_v[wet], rtol=0.1, atol=0.5)
         af = float(np.asarray(loci.ds["af"].data)[0])
         assert af == pytest.approx(2.0, rel=0.1)
+
+
+class TestCalendarVariants:
+    @pytest.mark.parametrize("calendar", ["360_day", "noleap", "all_leap"])
+    def test_eqm_calendars(self, random, calendar):
+        """EQM on non-standard calendars (reference tests/test_adjustment.py:454)."""
+        from xsdba_tpu.utils.calendar import max_doy
+
+        n = max_doy(calendar) * 3
+        u = random.random(n)
+        ref = series(stats.norm.ppf(u, 10, 1), calendar=calendar)
+        hist = series(stats.norm.ppf(u, 12, 1), calendar=calendar)
+        eqm = EmpiricalQuantileMapping.train(ref, hist, group="time.dayofyear", window=5, nquantiles=10)
+        assert eqm.ds["af"].shape[0] == max_doy(calendar)
+        scen = eqm.adjust(hist)
+        assert abs(np.asarray(scen.data).mean() - 10) < 0.4
+
+    def test_eqm_seasonal_group(self, random):
+        u = random.random(365 * 4)
+        ref = series(stats.norm.ppf(u, 10, 1))
+        hist = series(stats.norm.ppf(u, 12, 1))
+        eqm = EmpiricalQuantileMapping.train(ref, hist, group="time.season", nquantiles=20)
+        assert eqm.ds["af"].dims == ("season", "quantiles")
+        scen = eqm.adjust(hist, interp="linear")
+        assert abs(np.asarray(scen.data).mean() - 10) < 0.2

@@ -182,3 +182,15 @@ def test_mbcn_period_dim(random):
     # marginals move toward ref's
     rv = np.asarray(ref.data)
     assert abs(sv[1].mean() - rv[1].mean()) < 0.5
+
+
+def test_npdf_grouped_base(random):
+    """NpdfTransform with a seasonal-grouped QDM base."""
+    ref = bivariate(random, 365 * 3, [0, 0], np.array([[1.0, 0.6], [0.6, 1.0]]))
+    hist = bivariate(random, 365 * 3, [2, 1], np.array([[1.5, -0.2], [-0.2, 1.0]]))
+    scen = NpdfTransform.adjust(ref, hist, n_iter=6, n_escore=-1, base_kws={"group": "time.season", "nquantiles": 20})
+    sv = np.asarray(scen.data)
+    assert np.isfinite(sv).all()
+    corr_scen = np.corrcoef(sv)[0, 1]
+    corr_ref = np.corrcoef(np.asarray(ref.data))[0, 1]
+    assert abs(corr_scen - corr_ref) < 0.25
