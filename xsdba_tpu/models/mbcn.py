@@ -175,8 +175,6 @@ class MBCn(TrainAdjust):
         gi_sim = group.indexes(sim.time)
 
         # --- 1. univariate base adjustment per variable, per windowed block --
-        from ..utils.units import harmonize_units
-
         var_attrs = sim.attrs.get("_variable_attrs", {})
         scen_blocks = []
         for iv, v in enumerate(vnames):
