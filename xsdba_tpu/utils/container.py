@@ -187,3 +187,85 @@ class Dataset:
 
     def copy(self) -> "Dataset":
         return Dataset({k: v.copy() for k, v in self.data_vars.items()}, dict(self.attrs))
+
+
+def _binop(op):
+    import jax.numpy as jnp
+
+    def _f(self, other):
+        other_data = other.data if isinstance(other, DataArray) else other
+        return self.copy(data=op(jnp.asarray(self.data), jnp.asarray(other_data) if not np.isscalar(other_data) else other_data))
+
+    return _f
+
+
+def _rbinop(op):
+    import jax.numpy as jnp
+
+    def _f(self, other):
+        return self.copy(data=op(jnp.asarray(other), jnp.asarray(self.data)))
+
+    return _f
+
+
+import operator as _operator  # noqa: E402
+
+DataArray.__add__ = _binop(_operator.add)
+DataArray.__sub__ = _binop(_operator.sub)
+DataArray.__mul__ = _binop(_operator.mul)
+DataArray.__truediv__ = _binop(_operator.truediv)
+DataArray.__pow__ = _binop(_operator.pow)
+DataArray.__neg__ = lambda self: self.copy(data=-self.data)
+DataArray.__radd__ = _rbinop(_operator.add)
+DataArray.__rsub__ = _rbinop(_operator.sub)
+DataArray.__rmul__ = _rbinop(_operator.mul)
+DataArray.__rtruediv__ = _rbinop(_operator.truediv)
+DataArray.__lt__ = _binop(_operator.lt)
+DataArray.__le__ = _binop(_operator.le)
+DataArray.__gt__ = _binop(_operator.gt)
+DataArray.__ge__ = _binop(_operator.ge)
+
+
+# -- xarray interop (optional dependency) ------------------------------------
+
+
+def from_xarray(obj):
+    """Convert an ``xarray.DataArray``/``Dataset`` into the xsdba_tpu
+    containers (requires xarray; times must be decodable to y/m/d)."""
+    import xarray as xr  # noqa: F401  (ImportError is the contract)
+
+    if hasattr(obj, "data_vars"):
+        return Dataset({k: from_xarray(v) for k, v in obj.data_vars.items()}, dict(obj.attrs))
+    coords = {}
+    for name, c in obj.coords.items():
+        if name == "time":
+            t = obj.indexes["time"]
+            cal = getattr(t, "calendar", "standard")
+            coords["time"] = TimeIndex(
+                np.asarray(t.year), np.asarray(t.month), np.asarray(t.day), cal
+            )
+        elif c.dims == (name,):
+            coords[name] = np.asarray(c.values)
+    return DataArray(np.asarray(obj.values), tuple(obj.dims), coords, dict(obj.attrs), obj.name)
+
+
+def to_xarray(da):
+    """Convert back to xarray (requires xarray + a datetime backend)."""
+    import xarray as xr
+
+    coords = {}
+    for name, c in da.coords.items():
+        if isinstance(c, TimeIndex):
+            coords[name] = xr.date_range(
+                f"{c.year[0]:04d}-{c.month[0]:02d}-{c.day[0]:02d}",
+                periods=len(c),
+                freq=c.infer_freq() or "D",
+                calendar=c.calendar,
+                use_cftime=c.calendar != "standard",
+            )
+        elif np.ndim(c) == 1 and len(c) in da.shape:
+            coords[name] = np.asarray(c)
+    if isinstance(da, Dataset):
+        return xr.Dataset({k: to_xarray(v) for k, v in da.items()}, attrs=da.attrs)
+    dims_coords = {d: coords[d] for d in da.dims if d in coords}
+    return xr.DataArray(np.asarray(da.data), dims=da.dims, coords=dims_coords, attrs={k: v for k, v in da.attrs.items() if not isinstance(v, dict)}, name=da.name)
