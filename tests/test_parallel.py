@@ -84,3 +84,15 @@ def test_graft_entry_compiles():
     out = jax.jit(fn)(*args)
     assert out.shape == args[0].shape
     assert bool(jnp.isfinite(out).any())
+
+
+@pytest.mark.parametrize("n", [2, 4])
+def test_graft_dryrun_other_sizes(n):
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as g
+
+    if len(jax.devices()) < n:
+        pytest.skip("not enough devices")
+    g.dryrun_multichip(n)

@@ -67,7 +67,10 @@ def sharded_rotation_apply(rot, x, mesh: Mesh):
     """
     from functools import partial
 
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     V = x.shape[-2]
     nvar = mesh.shape[VAR_AXIS]
