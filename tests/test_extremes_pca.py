@@ -149,3 +149,18 @@ class TestPCA:
         assert pca.ds["trans"].shape == (12, 2, 2)
         scen = pca.adjust(mkda(hist_v))
         assert np.asarray(scen.data).std() == pytest.approx(np.asarray(ref_v).std(), rel=0.1)
+
+
+def test_ref_params_reuse(random):
+    """Train once, reuse the fitted ref GPD in a second training
+    (reference ref_params option)."""
+    n = 3000
+    v = random.gamma(2, 3, n)
+    ref, hist = series(v), series(v * 0.8)
+    ev1 = ExtremeValues.train(ref, hist, cluster_thresh="1 mm/d", q_thresh=0.9)
+    assert "ref_params" in ev1.ds
+    ev2 = ExtremeValues.train(ref, series(v * 0.7), cluster_thresh="1 mm/d", q_thresh=0.9, ref_params=ev1.ds)
+    # ref fit identical, hist fit different
+    np.testing.assert_allclose(np.asarray(ev2.ds["ref_params"].data), np.asarray(ev1.ds["ref_params"].data), rtol=1e-6)
+    s2 = ev2.adjust(hist, series(v * 0.9))
+    assert np.isfinite(np.asarray(s2.data)).all()

@@ -74,7 +74,7 @@ def npdft_train_core(ref, hist, rots, quantiles, *, interp: str, extrap: str, n_
     return af_q, escores
 
 
-@partial(jax.jit, static_argnames=("interp", "extrap", "n_escore"))
+@partial(jax.jit, static_argnames=("interp", "extrap", "n_escore", "base"))
 def npdf_transform_core(
     ref,
     hist,
@@ -95,13 +95,15 @@ def npdf_transform_core(
     interp: str,
     extrap: str,
     n_escore: int,
+    base: str = "qdm",
 ):
     """NpdfTransform engine (reference ``_adjustment.py:977-1057``).
 
     ref/hist [..., V, Th], sim [..., V, Ts].  Each scan step rotates the
-    current hist/sim (and the fixed ref) with a fresh rotation, runs grouped
-    QDM (rank + factor lookup) per variable, and rotates back.  Escore
-    (vs the un-rotated ref, standardized by ref) tracks convergence.
+    current hist/sim (and the fixed ref) with a fresh rotation, runs the
+    grouped univariate ``base`` ("qdm": rank + factor lookup; "eqm": table
+    lookup at the value) per variable, and rotates back.  Escore (vs the
+    un-rotated ref, standardized by ref) tracks convergence.
     Returns (scenh, scens, escores).
     """
     from ..ops.interp import interp_on_quantiles_grouped
@@ -114,10 +116,13 @@ def npdf_transform_core(
     sd = jnp.nanstd(ref, axis=-1, ddof=1, keepdims=True)
     ref_n = ((ref - mu) / sd)[..., ::stride]
 
-    def qdm_step(x, af, gather, gidx, slot, frac, pos):
-        rnk = grouped_rank(x, gather, gidx, slot, pct=True)          # [..., V, T]
-        qtab = jnp.broadcast_to(quantiles, af.shape)
-        af_t = interp_on_quantiles_grouped(rnk, frac, qtab, af, pos, interp, extrap)
+    def qdm_step(x, af, hist_q, gather, gidx, slot, frac, pos):
+        if base == "qdm":
+            rnk = grouped_rank(x, gather, gidx, slot, pct=True)      # [..., V, T]
+            qtab = jnp.broadcast_to(quantiles, af.shape)
+            af_t = interp_on_quantiles_grouped(rnk, frac, qtab, af, pos, interp, extrap)
+        else:  # eqm: look the value up in hist's quantile table
+            af_t = interp_on_quantiles_grouped(x, frac, hist_q, af, pos, interp, extrap)
         return x + af_t
 
     def body(carry, rot):
@@ -128,8 +133,8 @@ def npdf_transform_core(
         ref_q = nan_quantile(gather_groups(refp, gather_h), quantiles, axis=-1)
         hist_q = nan_quantile(gather_groups(hp, gather_h), quantiles, axis=-1)
         af = ref_q - hist_q                                          # [..., V, G, nq]
-        scenhp = qdm_step(hp, af, gather_h, group_idx_h, slot_h, frac_h, pos_h)
-        scensp = qdm_step(sp, af, gather_s, group_idx_s, slot_s, frac_s, pos_s)
+        scenhp = qdm_step(hp, af, hist_q, gather_h, group_idx_h, slot_h, frac_h, pos_h)
+        scensp = qdm_step(sp, af, hist_q, gather_s, group_idx_s, slot_s, frac_s, pos_s)
         h = jnp.einsum("ji,...jl->...il", rot, scenhp)
         s = jnp.einsum("ji,...jl->...il", rot, scensp)
         if n_escore >= 0:

@@ -27,10 +27,15 @@ from .base import TrainAdjust
 __all__ = ["ExtremeValues"]
 
 
-@partial(jax.jit, static_argnames=("n_out", "max_clusters"))
-def _extremes_train_core(ref, hist, cluster_thresh, q_thresh, *, n_out: int, max_clusters: int):
+@partial(jax.jit, static_argnames=("n_out", "max_clusters", "use_ref_params"))
+def _extremes_train_core(ref, hist, cluster_thresh, q_thresh, ref_params, *, n_out: int, max_clusters: int, use_ref_params: bool = False):
     """ref/hist [..., T] -> (px_hist [..., N], af [..., N], thresh [...],
-    ref_c, ref_scale)."""
+    ref_c, ref_scale).
+
+    With ``use_ref_params``, the GPD fit on ref is skipped and
+    ``ref_params`` [..., 2] (shape, scale) is used instead (reference
+    ``_extremes_train_1d`` ref_params reuse, _adjustment.py:1078-1084).
+    """
     qt = jnp.asarray(q_thresh, ref.dtype)
 
     def subset_q(x):
@@ -44,7 +49,10 @@ def _extremes_train_core(ref, hist, cluster_thresh, q_thresh, *, n_out: int, max
         c, scale = gpd_fit_ml(mx - thresh[..., None])
         return c, scale
 
-    ref_c, ref_s = fit(ref)
+    if use_ref_params:
+        ref_c, ref_s = ref_params[..., 0], ref_params[..., 1]
+    else:
+        ref_c, ref_s = fit(ref)
     hist_c, hist_s = fit(hist)
 
     px_ref = jnp.where(ref >= thresh[..., None], gpd_cdf(ref, ref_c[..., None], thresh[..., None], ref_s[..., None]), jnp.nan)
@@ -63,7 +71,7 @@ def _extremes_train_core(ref, hist, cluster_thresh, q_thresh, *, n_out: int, max
     order = jnp.argsort(jnp.where(jnp.isnan(px_hist), jnp.inf, px_hist), axis=-1)
     px_sorted = jnp.take_along_axis(px_hist, order, axis=-1)[..., :n_out]
     af_sorted = jnp.take_along_axis(jnp.where(jnp.isnan(px_hist), jnp.nan, af), order, axis=-1)[..., :n_out]
-    return px_sorted, af_sorted, thresh, ref_c, ref_s
+    return px_sorted, af_sorted, thresh, jnp.stack([ref_c, ref_s], axis=-1)
 
 
 @partial(jax.jit, static_argnames=("interp", "extrapolation", "max_clusters"))
@@ -109,15 +117,21 @@ class ExtremeValues(TrainAdjust):
     ):
         from ..utils.units import convert_units_to
 
-        if ref_params is not None:
-            raise NotImplementedError("Passing pre-fitted `ref_params` is not implemented yet.")
         ct = convert_units_to(cluster_thresh, ref.units)
         refa, bdims, bcoords = to_compute(ref)
         hista, _, _ = to_compute(hist)
         T = refa.shape[-1]
         N = int((1 - q_thresh) * T * 1.05)
-        px_hist, af, thresh, _, _ = _extremes_train_core(
-            refa, hista, jnp.asarray(ct, refa.dtype), q_thresh, n_out=N, max_clusters=T // 2
+        if ref_params is not None:
+            # reuse a previous training's fitted ref GPD (stored in its ds)
+            rp = ref_params["ref_params"] if hasattr(ref_params, "keys") or hasattr(ref_params, "data_vars") else ref_params
+            rp = jnp.asarray(rp.data if hasattr(rp, "data") else rp, dtype=refa.dtype)
+            use_rp = True
+        else:
+            rp = jnp.zeros(refa.shape[:-1] + (2,), dtype=refa.dtype)
+            use_rp = False
+        px_hist, af, thresh, ref_fit = _extremes_train_core(
+            refa, hista, jnp.asarray(ct, refa.dtype), q_thresh, rp, n_out=N, max_clusters=T // 2, use_ref_params=use_rp
         )
         qcoord = np.arange(N)
         ds = Dataset(
@@ -125,6 +139,7 @@ class ExtremeValues(TrainAdjust):
                 "px_hist": DataArray(px_hist, tuple(bdims) + ("quantiles",), {**bcoords, "quantiles": qcoord}, {"long_name": "Probability of historical extremes"}, "px_hist"),
                 "af": DataArray(af, tuple(bdims) + ("quantiles",), {**bcoords, "quantiles": qcoord}, {"standard_name": "Adjustment factors"}, "af"),
                 "thresh": DataArray(thresh.reshape(thresh.shape + (1,)), tuple(bdims) + ("group",), {**bcoords, "group": np.array([1])}, {"units": ref.units}, "thresh"),
+                "ref_params": DataArray(ref_fit, tuple(bdims) + ("gpd_param",), {**bcoords, "gpd_param": np.array(["c", "scale"])}, {"long_name": "Fitted GPD parameters of ref cluster maxima"}, "ref_params"),
             }
         )
         return ds, {"cluster_thresh": float(ct), "q_thresh": q_thresh}

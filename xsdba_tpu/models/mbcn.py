@@ -321,8 +321,14 @@ class NpdfTransform(Adjust):
             quantiles = np.asarray(base_kws["nquantiles"])
         interp = adj_kws.get("interp", "nearest")
         extrap = adj_kws.get("extrapolation", "constant")
-        if base is not QuantileDeltaMapping:
-            raise NotImplementedError("Only QuantileDeltaMapping base is currently supported.")
+        from .eqm import EmpiricalQuantileMapping
+
+        if base is QuantileDeltaMapping:
+            base_name = "qdm"
+        elif base is EmpiricalQuantileMapping:
+            base_name = "eqm"
+        else:
+            raise NotImplementedError("base must be QuantileDeltaMapping or EmpiricalQuantileMapping.")
 
         V = int(np.shape(ref.data)[ref.dims.index(pts_dim)])
         if rot_matrices is None:
@@ -361,6 +367,7 @@ class NpdfTransform(Adjust):
             interp=interp,
             extrap=extrap,
             n_escore=int(n_escore),
+            base=base_name,
         )
 
         def _wrap(a, like, name):
