@@ -59,7 +59,7 @@ class TestExtremeValues:
     def test_simple(self, random, q_thresh, frac, power):
         """Reference test design (tests/test_adjustment.py:1302-1342):
         clipped normal bulk + genpareto tail; extremes must stay extreme."""
-        n = 15 * 365
+        n = 8 * 365
 
         def gen(c, s):
             base = np.clip(random.normal(0, s, n), 0, None)
@@ -94,7 +94,7 @@ class TestExtremeValues:
         assert np.isfinite(sv2).all()
 
     def test_output_attrs(self, random):
-        n = 2000
+        n = 1200
         v = random.gamma(2, 2, n)
         ref, hist = series(v), series(v * 0.8)
         ev = ExtremeValues.train(ref, hist, cluster_thresh="1 mm/d")
@@ -154,7 +154,7 @@ class TestPCA:
 def test_ref_params_reuse(random):
     """Train once, reuse the fitted ref GPD in a second training
     (reference ref_params option)."""
-    n = 3000
+    n = 1500
     v = random.gamma(2, 3, n)
     ref, hist = series(v), series(v * 0.8)
     ev1 = ExtremeValues.train(ref, hist, cluster_thresh="1 mm/d", q_thresh=0.9)

@@ -36,7 +36,7 @@ def series(values, units="K", calendar="noleap"):
     ],
 )
 def test_roundtrip(tmp_path, random, cls, kwargs, units):
-    n = 365 * 3
+    n = 365 * 2
     u = random.random(n)
     if units == "mm/d":
         ref = series(stats.gamma.ppf(u, 2, scale=2) + 0.01, units)
