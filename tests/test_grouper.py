@@ -84,3 +84,20 @@ def test_even_window():
     row = gi.gather_idx[100]
     valid = np.sort(row[row >= 0])
     np.testing.assert_array_equal(valid, np.concatenate([np.arange(85, 115), np.arange(450, 480)]))
+
+
+def test_grouper_apply(random):
+    import xsdba_tpu as xt
+
+    t = date_range("2000-01-01", periods=730, freq="D", calendar="noleap")
+    x = random.normal(10, 2, 730)
+    da = xt.DataArray(x, ("time",), {"time": t}, {"units": "K"}, "tas")
+    m = Grouper("time.season").apply("mean", da)
+    assert m.dims == ("season",)
+    djf = x[np.asarray(t.season) == 0].mean()
+    assert abs(float(np.asarray(m.data)[0]) - djf) < 1e-9
+    # callable form
+    import jax.numpy as jnp
+
+    mx = Grouper("time.month").apply(lambda v: jnp.nanmax(v, axis=-1), da)
+    assert mx.shape == (12,)
