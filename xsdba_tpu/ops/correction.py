@@ -35,6 +35,8 @@ def get_correction(x, y, kind: str):
 
 
 def apply_correction(x, factor, kind: str):
+    """x + factor (additive) or x * factor (multiplicative) —
+    reference utils.py:148-163."""
     if kind == ADDITIVE:
         return x + factor
     if kind == MULTIPLICATIVE:
@@ -43,6 +45,7 @@ def apply_correction(x, factor, kind: str):
 
 
 def invert(x, kind: str):
+    """-x (additive) or 1/x (multiplicative) — reference utils.py:166-177."""
     if kind == ADDITIVE:
         return -x
     if kind == MULTIPLICATIVE:

@@ -45,6 +45,7 @@ def grouped_mean(x, gather_idx):
 
 
 def grouped_std(x, gather_idx, ddof: int = 0):
+    """NaN-aware per-group standard deviation: [..., T] -> [..., G]."""
     v = gather_groups(x, gather_idx)
     return jnp.nanstd(v, axis=-1, ddof=ddof)
 

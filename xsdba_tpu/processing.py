@@ -90,10 +90,15 @@ def jitter(
 
 
 def jitter_under_thresh(x: DataArray, thresh: str) -> DataArray:
+    """Replace values below ``thresh`` with uniform noise in (0, thresh)
+    (reference processing.py:227-257) — removes ties at zero before
+    multiplicative adjustments."""
     return jitter(x, lower=thresh)
 
 
 def jitter_over_thresh(x: DataArray, thresh: str, upper_bnd: str) -> DataArray:
+    """Replace values above ``thresh`` with uniform noise in
+    (thresh, upper_bnd) (reference processing.py:198-224)."""
     return jitter(x, upper=thresh, maximum=upper_bnd)
 
 
