@@ -194,3 +194,21 @@ def test_npdf_grouped_base(random):
     corr_scen = np.corrcoef(sv)[0, 1]
     corr_ref = np.corrcoef(np.asarray(ref.data))[0, 1]
     assert abs(corr_scen - corr_ref) < 0.25
+
+
+def test_mbcn_train_chunked_matches(random, monkeypatch):
+    """Group-chunked MBCn training must equal the single-pass result."""
+    from xsdba_tpu.models import mbcn as mbcn_mod
+    from xsdba_tpu.ops.rotation import rand_rot_matrix
+
+    n = 365 * 2
+    ref = bivariate(random, n, [0, 0], np.eye(2))
+    hist = bivariate(random, n, [1, 1], np.eye(2))
+    rot = np.asarray(rand_rot_matrix(2, num=3))
+    kw = dict(base_kws={"nquantiles": 8, "group": "time.dayofyear", "window": 5}, n_iter=3, n_escore=-1, rot_matrices=rot)
+    full = MBCn.train(ref, hist, **kw)
+    monkeypatch.setattr(mbcn_mod, "_TRAIN_CHUNK_BUDGET", 2 * 5 * n // 4)  # force ~4+ chunks
+    chunked = MBCn.train(ref, hist, **kw)
+    np.testing.assert_allclose(
+        np.asarray(chunked.ds["af_q"].data), np.asarray(full.ds["af_q"].data), rtol=1e-5, atol=1e-6
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -26,6 +27,9 @@ from .base import Adjust, TrainAdjust
 from .eqm import QuantileDeltaMapping
 
 __all__ = ["MBCn", "NpdfTransform"]
+
+# peak elements per gathered training chunk (patchable for tests)
+_TRAIN_CHUNK_BUDGET = 1 << 27
 
 
 def _mbcn_group(group) -> Grouper:
@@ -95,18 +99,48 @@ class MBCn(TrainAdjust):
             rot = jnp.asarray(rot_matrices if not isinstance(rot_matrices, DataArray) else rot_matrices.data)
 
         gi = group.indexes(ref.time)
-        refb = _stacked_to_blocks(ref, gi, pts_dim)
-        histb = _stacked_to_blocks(hist, gi, pts_dim)
-        dtype = refb.dtype
-        af_q, escores = npdft_train_core(
-            refb,
-            histb,
-            jnp.asarray(rot, dtype=dtype),
-            jnp.asarray(quantiles, dtype=dtype),
-            interp=adj_kws["interp"],
-            extrap=adj_kws["extrapolation"],
-            n_escore=int(n_escore),
-        )
+        refa = jnp.asarray(ref.move_dim_last("time").data)    # [V, ..., T]
+        hista = jnp.asarray(hist.move_dim_last("time").data)
+        dtype = refa.dtype
+        rotj = jnp.asarray(rot, dtype=dtype)
+        qj = jnp.asarray(quantiles, dtype=dtype)
+
+        # Chunk over group blocks (lax.map) so windowed-doy training never
+        # materializes the full [batch, G, V, window*years] tensor — each
+        # block trains independently, like the reference's per-block loop
+        # (_adjustment.py:386-417) but batched within each chunk.
+        G, Lw = gi.gather_idx.shape
+        batch = int(np.prod(refa.shape[:-1]))
+        chunk = max(1, min(G, _TRAIN_CHUNK_BUDGET // max(batch * Lw, 1)))
+        gidx = jnp.asarray(gi.gather_idx)
+
+        def train_chunk(gidx_chunk):
+            from ..ops.segment import gather_groups
+
+            refb = jnp.moveaxis(gather_groups(refa, gidx_chunk), 0, -2)   # [..., C, V, Lw]
+            histb = jnp.moveaxis(gather_groups(hista, gidx_chunk), 0, -2)
+            return npdft_train_core.__wrapped__(
+                refb, histb, rotj, qj,
+                interp=adj_kws["interp"], extrap=adj_kws["extrapolation"], n_escore=int(n_escore),
+            )
+
+        if chunk >= G:
+            af_q, escores = jax.jit(train_chunk)(gidx)
+        else:
+            n_chunks = -(-G // chunk)
+            pad = n_chunks * chunk - G
+            gip = jnp.concatenate([gidx, jnp.full((pad, Lw), -1, gidx.dtype)], axis=0) if pad else gidx
+
+            @jax.jit
+            def run(gip):
+                return jax.lax.map(train_chunk, gip.reshape(n_chunks, chunk, Lw))
+
+            af_q, escores = run(gip)
+            # [n_chunks, ..., C, I, V, nq] -> [..., G, I, V, nq]
+            af_q = jnp.moveaxis(af_q, 0, -5)
+            af_q = af_q.reshape(af_q.shape[:-5] + (n_chunks * chunk,) + af_q.shape[-3:])[..., :G, :, :, :]
+            escores = jnp.moveaxis(escores, 0, -3)
+            escores = escores.reshape(escores.shape[:-3] + (n_chunks * chunk,) + escores.shape[-1:])[..., :G, :]
 
         gdim = group.prop_name if gi.prop != "group" else "group"
         vnames = np.asarray(ref.coords.get(pts_dim, np.arange(V)))
