@@ -207,8 +207,14 @@ def test_mbcn_train_chunked_matches(random, monkeypatch):
     rot = np.asarray(rand_rot_matrix(2, num=3))
     kw = dict(base_kws={"nquantiles": 8, "group": "time.dayofyear", "window": 5}, n_iter=3, n_escore=-1, rot_matrices=rot)
     full = MBCn.train(ref, hist, **kw)
+    scen_full = full.adjust(hist, ref, hist)
     monkeypatch.setattr(mbcn_mod, "_TRAIN_CHUNK_BUDGET", 2 * 5 * n // 4)  # force ~4+ chunks
     chunked = MBCn.train(ref, hist, **kw)
     np.testing.assert_allclose(
         np.asarray(chunked.ds["af_q"].data), np.asarray(full.ds["af_q"].data), rtol=1e-5, atol=1e-6
+    )
+    # adjust is chunked by the same budget and must match exactly
+    scen_chunked = full.adjust(hist, ref, hist)
+    np.testing.assert_allclose(
+        np.asarray(scen_chunked.data), np.asarray(scen_full.data), rtol=1e-6, atol=1e-8
     )

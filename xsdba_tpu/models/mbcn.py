@@ -208,43 +208,62 @@ class MBCn(TrainAdjust):
         gi = group.indexes(ref.time)
         gi_sim = group.indexes(sim.time)
 
-        # --- 1. univariate base adjustment per variable, per windowed block --
-        var_attrs = sim.attrs.get("_variable_attrs", {})
-        scen_blocks = []
-        for iv, v in enumerate(vnames):
-            ref_v = _extract_var(ref, iv, pts_dim, var_attrs.get(v, {}), v)
-            hist_v = _extract_var(hist, iv, pts_dim, var_attrs.get(v, {}), v)
-            sim_v = _extract_var(sim, iv, pts_dim, var_attrs.get(v, {}), v)
-            scen_v = _per_block_univariate(
-                base, ref_v, hist_v, sim_v, gi, gi_sim, base_kws_vars[v], adj_kws
-            )
-            scen_blocks.append(scen_v)                       # [..., G, Lw]
-        scen_block = jnp.stack(scen_blocks, axis=-2)         # [..., G, V, Lw]
-
-        # --- 2. npdft adjustment of standardized sim blocks -----------------
-        simb = _stacked_to_blocks(sim, gi_sim, pts_dim)      # [..., G, V, Lw]
-        simb_std = standardize_lastaxis(simb)
-        npdft_block = npdft_adjust_core(
-            simb_std,
-            jnp.asarray(self.ds["af_q"].data, dtype=simb.dtype),
-            jnp.asarray(self.ds["rot_matrices"].data, dtype=simb.dtype),
-            jnp.asarray(self.ds["af_q"].coords["quantiles"], dtype=simb.dtype),
-            interp=self.interp,
-            extrap=self.extrapolation,
-        )
-
-        # --- 3. reorder the univariate scen by the npdft ranks --------------
         from .. import processing as _proc
 
-        reordered = _proc._reordering_core(npdft_block, scen_block)  # [..., G, V, Lw]
+        var_attrs = sim.attrs.get("_variable_attrs", {})
+        ref_vs = [_extract_var(ref, iv, pts_dim, var_attrs.get(v, {}), v) for iv, v in enumerate(vnames)]
+        hist_vs = [_extract_var(hist, iv, pts_dim, var_attrs.get(v, {}), v) for iv, v in enumerate(vnames)]
+        sim_vs = [_extract_var(sim, iv, pts_dim, var_attrs.get(v, {}), v) for iv, v in enumerate(vnames)]
 
-        # write back window centers (reference _adjustment.py:584-589)
-        from ..ops.segment import scatter_back
+        af_q_all = jnp.asarray(self.ds["af_q"].data)
+        rots = jnp.asarray(self.ds["rot_matrices"].data, dtype=af_q_all.dtype)
+        quantiles = jnp.asarray(self.ds["af_q"].coords["quantiles"], dtype=af_q_all.dtype)
 
-        reordered = jnp.moveaxis(reordered, -2, 0)           # [V, ..., G, Lw]
-        scen = scatter_back(reordered, gi_sim.group_idx, gi_sim.scatter_slot)  # [V, ..., T]
-
+        G, Lw = gi_sim.gather_idx.shape
         simc = sim.move_dim_last("time")
+        batch = int(np.prod(simc.shape[:-1]))
+        chunk = max(1, min(G, _TRAIN_CHUNK_BUDGET // max(batch * Lw, 1)))
+        group_idx = jnp.asarray(gi_sim.group_idx)
+        slot = jnp.asarray(gi_sim.scatter_slot)
+
+        scen = jnp.zeros(simc.shape, dtype=af_q_all.dtype)   # [V, ..., T] layout
+        for g0 in range(0, G, chunk):
+            g1 = min(g0 + chunk, G)
+            rows_ref = gi.gather_idx[g0:g1]
+            rows_sim = gi_sim.gather_idx[g0:g1]
+
+            # --- 1. univariate base adjustment per variable, per block ------
+            scen_blocks = [
+                _per_block_univariate(base, ref_vs[iv], hist_vs[iv], sim_vs[iv], rows_ref, rows_sim, base_kws_vars[v], adj_kws)
+                for iv, v in enumerate(vnames)
+            ]
+            scen_block = jnp.stack(scen_blocks, axis=-2)      # [..., C, V, Lw]
+
+            # --- 2. npdft adjustment of standardized sim blocks -------------
+            from ..ops.segment import gather_groups
+
+            sim_arr = jnp.asarray(simc.data)                  # [V, ..., T]
+            simb = jnp.moveaxis(gather_groups(sim_arr, jnp.asarray(rows_sim)), 0, -2)  # [..., C, V, Lw]
+            simb_std = standardize_lastaxis(simb)
+            npdft_block = npdft_adjust_core(
+                simb_std,
+                af_q_all[..., g0:g1, :, :, :],
+                rots,
+                quantiles,
+                interp=self.interp,
+                extrap=self.extrapolation,
+            )
+
+            # --- 3. reorder the univariate scen by the npdft ranks ----------
+            reordered = _proc._reordering_core(npdft_block, scen_block)   # [..., C, V, Lw]
+
+            # --- 4. write back window centers for this chunk's groups -------
+            r2 = jnp.moveaxis(reordered, -2, 0)               # [V, ..., C, Lw]
+            in_chunk = (group_idx >= g0) & (group_idx < g1)
+            lg = jnp.clip(group_idx - g0, 0, g1 - g0 - 1)
+            vals = r2[..., lg, slot]                          # [V, ..., T]
+            scen = jnp.where(in_chunk, vals, scen)
+
         out = DataArray(scen, simc.dims, dict(simc.coords), dict(sim.attrs), "scen")
         if simc.dims != sim.dims:
             out = out.transpose(*sim.dims)
@@ -259,7 +278,7 @@ def _extract_var(da: DataArray, iv: int, pts_dim: str, attrs: dict, name: str) -
     return DataArray(data, dims, coords, dict(attrs), name)
 
 
-def _per_block_univariate(base, ref_v, hist_v, sim_v, gi, gi_sim, base_kws, adj_kws):
+def _per_block_univariate(base, ref_v, hist_v, sim_v, rows_ref, rows_sim, base_kws, adj_kws):
     """Train+adjust the univariate base per windowed group block, batched.
 
     Reference ``_adjustment.py:552-559``: inside each block the base is
@@ -292,9 +311,9 @@ def _per_block_univariate(base, ref_v, hist_v, sim_v, gi, gi_sim, base_kws, adj_
         hista = _jitter_core(hista, lo, None, None)
         sima = _jitter_core(sima, lo, None, None)
 
-    refg = gather_groups(refa, gi.gather_idx)      # [..., G, Lw]
-    histg = gather_groups(hista, gi.gather_idx)
-    simg = gather_groups(sima, gi_sim.gather_idx)
+    refg = gather_groups(refa, jnp.asarray(rows_ref))      # [..., C, Lw]
+    histg = gather_groups(hista, jnp.asarray(rows_ref))
+    simg = gather_groups(sima, jnp.asarray(rows_sim))
 
     if adapt_freq_thresh is not None:
         th = convert_units_to(adapt_freq_thresh, ref_v.units or "")
