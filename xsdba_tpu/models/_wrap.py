@@ -24,7 +24,9 @@ def device_brackets(gi: GroupIndexes, method: str = "linear"):
     part0 = jnp.asarray(b["part0"])
     g0 = jnp.asarray(b["g0"])
     slot0 = jnp.asarray(b["slot0"])
-    if bool((b["g0"] == b["g1"]).all()):
+    # collapsed brackets, or integer fractional indexes (dayofyear): the g1
+    # side always has zero weight, so skip its partition entirely
+    if bool((b["g0"] == b["g1"]).all()) or bool((b["w"] == 0).all()):
         return (part0, g0, slot0, None, None, None, None)
     return (
         part0,
