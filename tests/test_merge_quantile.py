@@ -1,0 +1,103 @@
+"""Parity of the shared-sort merge path vs the exact gather+re-sort path."""
+
+import numpy as np
+import pytest
+
+from xsdba_tpu.ops.quantile import grouped_nan_quantile, windowed_group_quantile
+from xsdba_tpu.utils.calendar import date_range
+from xsdba_tpu.utils.grouper import Grouper
+
+
+def _series(calendar, years, n_sites, seed=0):
+    start = "2001-01-01"
+    # enough periods for `years` full years in either calendar
+    t = date_range(start, periods=366 * years, freq="D", calendar=calendar)
+    # crop to whole years is unnecessary — edge handling must cope anyway
+    rng = np.random.default_rng(seed)
+    x = rng.normal(10, 3, (n_sites, len(t)))
+    # sprinkle NaNs
+    x[rng.random(x.shape) < 0.01] = np.nan
+    return t, x
+
+
+@pytest.mark.parametrize("calendar", ["noleap", "standard"])
+@pytest.mark.parametrize("window", [5, 31])
+def test_windowed_doy_quantile_matches_resort(calendar, window):
+    t, x = _series(calendar, years=6, n_sites=3)
+    gi = Grouper("time.dayofyear", window=window).indexes(t)
+    assert gi.merge_plan is not None
+    assert gi.merge_plan.n_fast > 0
+    q = np.array([0.01, 0.1, 0.5, 0.9, 0.99])
+
+    want = np.asarray(grouped_nan_quantile(x, gi.gather_idx, q))
+    got = np.asarray(windowed_group_quantile(x, gi.merge_plan, q, use_kernel=False))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12, equal_nan=True)
+
+
+def test_windowed_doy_quantile_kernel_interpret():
+    t, x = _series("noleap", years=4, n_sites=2)
+    x = x.astype(np.float32)
+    gi = Grouper("time.dayofyear", window=7).indexes(t)
+    q = np.array([0.1, 0.5, 0.9], dtype=np.float32)
+    want = np.asarray(windowed_group_quantile(x, gi.merge_plan, q, use_kernel=False))
+    got = np.asarray(
+        windowed_group_quantile(x, gi.merge_plan, q, use_kernel=True, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6, equal_nan=True)
+
+
+def test_5d_grouping_merge_plan_matches():
+    t, x = _series("noleap", years=5, n_sites=2, seed=3)
+    gi = Grouper("5D", window=3).indexes(t)
+    assert gi.merge_plan is not None
+    q = np.array([0.25, 0.5, 0.75])
+    want = np.asarray(grouped_nan_quantile(x, gi.gather_idx, q))
+    got = np.asarray(windowed_group_quantile(x, gi.merge_plan, q, use_kernel=False))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12, equal_nan=True)
+
+
+def test_no_plan_for_month_or_unwindowed():
+    t, _ = _series("noleap", years=3, n_sites=1)
+    assert Grouper("time.month").indexes(t).merge_plan is None
+    assert Grouper("time.dayofyear").indexes(t).merge_plan is None
+
+
+@pytest.mark.parametrize("kind", ["+", "*"])
+def test_dqm_train_windowed_matches_chunked(kind):
+    import jax.numpy as jnp
+
+    from xsdba_tpu.models._algos import dqm_train_from_raw, dqm_train_windowed
+
+    t, x = _series("noleap", years=5, n_sites=2, seed=7)
+    ref = np.abs(x) + 0.5
+    hist = np.abs(np.roll(x, 7, axis=-1)) * 1.3 + 0.2
+    gi = Grouper("time.dayofyear", window=15).indexes(t)
+    q = np.linspace(0.05, 0.95, 9)
+
+    af_w, hq_w, sc_w = dqm_train_windowed(ref, hist, gi.merge_plan, jnp.asarray(q), kind=kind)
+    af_c, hq_c, sc_c = dqm_train_from_raw(ref, hist, jnp.asarray(gi.gather_idx), jnp.asarray(q), kind=kind)
+    np.testing.assert_allclose(np.asarray(sc_w), np.asarray(sc_c), rtol=1e-10, equal_nan=True)
+    np.testing.assert_allclose(np.asarray(hq_w), np.asarray(hq_c), rtol=1e-9, atol=1e-11, equal_nan=True)
+    np.testing.assert_allclose(np.asarray(af_w), np.asarray(af_c), rtol=1e-9, atol=1e-11, equal_nan=True)
+
+
+def test_eqm_model_windowed_dispatch():
+    """End-to-end: EQM train with doy+window grouping goes through the merge
+    path and adjusts identically to the chunked path."""
+    import jax.numpy as jnp
+
+    from xsdba_tpu import DataArray, EmpiricalQuantileMapping
+    from xsdba_tpu.models._algos import eqm_train_from_raw
+
+    t, x = _series("noleap", years=6, n_sites=1)
+    ref = DataArray(x[0] + 1.0, ("time",), {"time": t}, {"units": "K"}, "tas")
+    hist = DataArray(x[0] * 1.1 + 3.0, ("time",), {"time": t}, {"units": "K"}, "tas")
+    eqm = EmpiricalQuantileMapping.train(ref, hist, group="time.dayofyear", window=31, nquantiles=20)
+    gi = Grouper("time.dayofyear", window=31).indexes(t)
+    af_c, hq_c = eqm_train_from_raw(
+        jnp.asarray(x[0] + 1.0), jnp.asarray(x[0] * 1.1 + 3.0),
+        jnp.asarray(gi.gather_idx), jnp.asarray(eqm.ds["af"].coords["quantiles"]), kind="+",
+    )
+    np.testing.assert_allclose(np.asarray(eqm.ds["af"].data), np.asarray(af_c), rtol=1e-10, equal_nan=True)
+    scen = eqm.adjust(hist, interp="linear")
+    assert np.isfinite(np.asarray(scen.data)).mean() > 0.99

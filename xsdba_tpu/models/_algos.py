@@ -255,3 +255,68 @@ def dqm_train_from_raw(ref, hist, gather_idx, quantiles, *, kind: str):
     mu_ref = combine(mu_ref, False)
     mu_hist = combine(mu_hist, False)
     return af, hist_q, get_correction(mu_hist, mu_ref, kind)
+
+
+def _windowed_group_mean(x, plan):
+    """Per-group NaN-mean for windowed doy/5D groupings via sliding sums of
+    the window-1 per-group sums (no gather amplification); edge groups exact."""
+    from ..ops.quantile import _sorted_w1_lists
+
+    x = jnp.asarray(x)
+    gi = jnp.asarray(plan.w1_gather)
+    vals = jnp.where(gi < 0, jnp.nan, x[..., jnp.clip(gi, 0, x.shape[-1] - 1)])
+    sums = jnp.nansum(vals, axis=-1)
+    cnts = jnp.sum(~jnp.isnan(vals), axis=-1)
+    G = gi.shape[0]
+    half, window = plan.half, plan.window
+
+    def slide(a):
+        ap = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(half, window - half)])
+        cs = jnp.cumsum(ap, axis=-1)
+        cs = jnp.pad(cs, [(0, 0)] * (cs.ndim - 1) + [(1, 0)])
+        idx = jnp.arange(G)
+        return cs[..., idx + window] - cs[..., idx]
+
+    mu = slide(sums) / jnp.maximum(slide(cnts), 1)
+    mu = jnp.where(slide(cnts) == 0, jnp.nan, mu)
+    if plan.edge_gather.shape[0]:
+        ge = jnp.asarray(plan.edge_gather)
+        xe = jnp.where(ge < 0, jnp.nan, x[..., jnp.clip(ge, 0, x.shape[-1] - 1)])
+        mu = mu.at[..., jnp.asarray(plan.edge_ids)].set(jnp.nanmean(xe, axis=-1))
+    return mu
+
+
+def eqm_train_windowed(ref, hist, plan, quantiles, *, kind: str):
+    """EQM train on a windowed doy/5D grouping via the shared-sort merge path
+    (``ops.quantile.windowed_group_quantile``) — numerically identical to
+    ``eqm_train_from_raw`` on the same grouping, ~1/window of the sort work."""
+    from ..ops.quantile import windowed_group_quantile
+
+    ref_q = windowed_group_quantile(ref, plan, quantiles)
+    hist_q = windowed_group_quantile(hist, plan, quantiles)
+    return get_correction(hist_q, ref_q, kind), hist_q
+
+
+def dqm_train_windowed(ref, hist, plan, quantiles, *, kind: str):
+    """DQM train via the merge path.  Group-mean normalization commutes with
+    quantiles (an additive shift / positive scale is order-preserving; a
+    negative multiplicative mean flips the order, handled by flipping the
+    quantile axis), so the normalized quantiles are derived from raw-value
+    quantiles without re-sorting normalized copies."""
+    from ..ops.correction import invert
+    from ..ops.quantile import windowed_group_quantile
+
+    ref_q_raw = windowed_group_quantile(ref, plan, quantiles)
+    hist_q_raw = windowed_group_quantile(hist, plan, quantiles)
+    mu_ref = _windowed_group_mean(ref, plan)
+    mu_hist = _windowed_group_mean(hist, plan)
+
+    def normalize(q_raw, mu):
+        if kind == "*":
+            q_raw = jnp.where(mu[..., None] < 0, jnp.flip(q_raw, axis=-1), q_raw)
+        return apply_correction(q_raw, invert(mu[..., None], kind), kind)
+
+    ref_q = normalize(ref_q_raw, mu_ref)
+    hist_q = normalize(hist_q_raw, mu_hist)
+    af = get_correction(hist_q, ref_q, kind)
+    return af, hist_q, get_correction(mu_hist, mu_ref, kind)

@@ -76,10 +76,17 @@ class DetrendedQuantileMapping(TrainAdjust):
 
         hista = _apply_jitter(hista, hist, jitter_under_thresh_value, jitter_over_thresh_value, jitter_over_thresh_upper_bnd)
         if adapt_freq_thresh is None:
-            # memory-bounded chunked path
-            af, hist_q, scaling = _algos.dqm_train_from_raw(
-                refa, hista, jnp.asarray(gi.gather_idx), jnp.asarray(quantiles), kind=kind
-            )
+            if gi.merge_plan is not None:
+                # shared-sort merge path (normalization commutes with
+                # quantiles — see _algos.dqm_train_windowed)
+                af, hist_q, scaling = _algos.dqm_train_windowed(
+                    refa, hista, gi.merge_plan, jnp.asarray(quantiles), kind=kind
+                )
+            else:
+                # memory-bounded chunked path
+                af, hist_q, scaling = _algos.dqm_train_from_raw(
+                    refa, hista, jnp.asarray(gi.gather_idx), jnp.asarray(quantiles), kind=kind
+                )
             P0_ref = P0_hist = pth = None
         else:
             refg, histg, P0_ref, P0_hist, pth = _preprocess(

@@ -72,8 +72,14 @@ class EmpiricalQuantileMapping(TrainAdjust):
 
         hista = _apply_jitter(hista, hist, jitter_under_thresh_value, jitter_over_thresh_value, jitter_over_thresh_upper_bnd)
         if adapt_freq_thresh is None:
-            # memory-bounded path: no full [..., G, L] gather materialized
-            af, hist_q = _algos.eqm_train_from_raw(refa, hista, jnp.asarray(gi.gather_idx), jnp.asarray(quantiles), kind=kind)
+            if gi.merge_plan is not None:
+                # shared-sort merge path for windowed doy/5D groupings: sorts
+                # each window-1 list once instead of the window-fold
+                # amplified gather (see ops/pallas/merge_kernel.py)
+                af, hist_q = _algos.eqm_train_windowed(refa, hista, gi.merge_plan, jnp.asarray(quantiles), kind=kind)
+            else:
+                # memory-bounded path: no full [..., G, L] gather materialized
+                af, hist_q = _algos.eqm_train_from_raw(refa, hista, jnp.asarray(gi.gather_idx), jnp.asarray(quantiles), kind=kind)
             P0_ref = P0_hist = pth = None
         else:
             refg, histg, P0_ref, P0_hist, pth = _preprocess(

@@ -15,7 +15,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["nan_quantile", "grouped_nan_quantile", "vecquantiles"]
+__all__ = [
+    "nan_quantile",
+    "grouped_nan_quantile",
+    "vecquantiles",
+    "windowed_group_quantile",
+]
 
 
 def _virtual_index(valid_count, quantiles, alpha: float, beta: float):
@@ -30,12 +35,16 @@ def _lerp(left, right, gamma):
     return jnp.where(gamma >= 0.5, right - diff * (1 - gamma), out)
 
 
-def _quantile_on_sorted(sorted_x, valid, quantiles, alpha, beta):
+def _quantile_on_sorted(sorted_x, valid, quantiles, alpha, beta, sentinel: str = "nan"):
     """Type-7 quantiles given a pre-sorted (NaNs-last) last axis.
 
     sorted_x: [..., n]; valid: [...] count of non-NaN entries;
     quantiles: [..., nq] (broadcastable against leading dims).
     Returns [..., nq].
+
+    ``sentinel="inf"`` marks padding beyond ``valid`` as +inf instead of NaN
+    (the merge-kernel layout, where min/max networks cannot carry NaNs); the
+    out-of-range clip then tests +inf and all-empty rows yield NaN explicitly.
     """
     n = sorted_x.shape[-1]
     v = valid[..., None].astype(sorted_x.dtype)
@@ -60,6 +69,10 @@ def _quantile_on_sorted(sorted_x, valid, quantiles, alpha, beta):
     # (nbutils.py:144-147).  All-NaN rows keep NaN (max_valid is NaN there).
     max_idx = jnp.clip(valid[..., None] - 1, 0, n - 1).astype(jnp.int32)
     max_valid = jnp.take_along_axis(sorted_x, max_idx, axis=-1)
+    if sentinel == "inf":
+        bad = jnp.isnan(interp) | (interp == jnp.inf)
+        out = jnp.where(bad, max_valid, interp)
+        return jnp.where(valid[..., None] == 0, jnp.nan, out)
     return jnp.where(jnp.isnan(interp), max_valid, interp)
 
 
@@ -136,3 +149,140 @@ def grouped_nan_quantile(x, gather_idx, quantiles, alpha: float = 1.0, beta: flo
     out = jnp.moveaxis(out, 0, -3)                                  # [..., n_chunks, C, nq]
     out = out.reshape(out.shape[:-3] + (n_chunks * group_chunk, out.shape[-1]))
     return out[..., :G, :]
+
+
+# ---------------------------------------------------------------------------
+# Shared-sort windowed grouped quantile (the doy+window hot path)
+# ---------------------------------------------------------------------------
+
+def _merge_backend_default(dtype) -> bool:
+    """Use the Pallas merge kernel by default on accelerators with f32."""
+    import jax
+
+    return jax.default_backend() != "cpu" and jnp.dtype(dtype) == jnp.float32
+
+
+@jax.jit
+def _sorted_w1_lists(x, w1_gather, ypad: int | None = None):
+    """Per-(batch, group) window-1 member lists, value-sorted, +inf padded.
+
+    x [..., T]; w1_gather [G, Ymax] -1 padded.  Returns (S [..., G, Ymax],
+    V [..., G] valid counts)."""
+    gi = jnp.asarray(w1_gather)
+    vals = x[..., jnp.clip(gi, 0, x.shape[-1] - 1)]
+    vals = jnp.where(gi < 0, jnp.nan, vals)
+    V = jnp.sum(~jnp.isnan(vals), axis=-1).astype(jnp.int32)
+    S = jnp.sort(jnp.where(jnp.isnan(vals), jnp.inf, vals), axis=-1)
+    return S, V
+
+
+from functools import partial as _partial  # noqa: E402
+
+
+@_partial(
+    jax.jit,
+    static_argnames=(
+        "half", "window", "ypad", "wpad", "dp", "use_kernel", "interpret",
+        "alpha", "beta",
+    ),
+)
+def _windowed_group_quantile_core(
+    x,
+    w1_gather,
+    edge_ids,
+    edge_gather,
+    quantiles,
+    *,
+    half: int,
+    window: int,
+    ypad: int,
+    wpad: int,
+    dp: int,
+    use_kernel: bool,
+    interpret: bool,
+    alpha: float,
+    beta: float,
+):
+    from .pallas.merge_kernel import merged_window_rows, merged_window_rows_xla
+
+    G, Ymax = w1_gather.shape
+    S, V = _sorted_w1_lists(x, w1_gather)
+    if ypad > Ymax:
+        S = jnp.pad(
+            S, [(0, 0)] * (S.ndim - 1) + [(0, ypad - Ymax)], constant_values=jnp.inf
+        )
+    lead = x.shape[:-1]
+    # embed at row offset `half` so group g's window is rows [g, g+window)
+    Sp = jnp.full(lead + (dp, ypad), jnp.inf, dtype=S.dtype)
+    Sp = jax.lax.dynamic_update_slice_in_dim(Sp, S, half, axis=S.ndim - 2)
+    B = 1
+    for d in lead:
+        B *= d
+    Sb = Sp.reshape((B, dp, ypad))
+    if use_kernel:
+        merged = merged_window_rows(Sb, window, G, interpret=interpret)
+    else:
+        merged = merged_window_rows_xla(Sb, window, G)
+    merged = merged.reshape(lead + (G, wpad * ypad))
+
+    # sliding valid counts: nv[g] = sum_{d in [g-half, g-half+window) ∩ [0,G)} V[d]
+    Vp = jnp.pad(V, [(0, 0)] * (V.ndim - 1) + [(half, window - half)])
+    cs = jnp.cumsum(Vp, axis=-1)
+    cs = jnp.pad(cs, [(0, 0)] * (cs.ndim - 1) + [(1, 0)])
+    idx = jnp.arange(G)
+    nv = cs[..., idx + window] - cs[..., idx]
+
+    q = jnp.asarray(quantiles, dtype=x.dtype)
+    out = _quantile_on_sorted(merged, nv, q, alpha, beta, sentinel="inf")
+
+    if edge_gather.shape[0]:
+        ge = jnp.asarray(edge_gather)
+        xe = x[..., jnp.clip(ge, 0, x.shape[-1] - 1)]
+        xe = jnp.where(ge < 0, jnp.nan, xe)
+        qe = nan_quantile(xe, q, axis=-1, alpha=alpha, beta=beta)
+        out = out.at[..., jnp.asarray(edge_ids), :].set(qe)
+    return out
+
+
+def windowed_group_quantile(
+    x,
+    plan,
+    quantiles,
+    alpha: float = 1.0,
+    beta: float = 1.0,
+    use_kernel: bool | None = None,
+    interpret: bool = False,
+):
+    """Windowed grouped quantile via shared per-group sorts + in-VMEM merges.
+
+    Numerically identical to ``grouped_nan_quantile(x, gi.gather_idx, q)`` for
+    windowed dayofyear / "5D" groupings (same multiset per group, same type-7
+    lerp), but sorts each window-1 list once and merges ``window`` pre-sorted
+    lists per group (Pallas kernel on TPU; XLA merge-network fallback
+    elsewhere) instead of re-sorting the ``window``-fold amplified gather
+    matrix — the reference's rolling-construct semantics (``base.py:261-265``)
+    at ~1/window of the sort work.  Edge groups (year wrap / series boundary)
+    take the exact gather+sort path.
+
+    ``plan`` is a :class:`~xsdba_tpu.utils.grouper.WindowMergePlan`
+    (``GroupIndexes.merge_plan``).
+    """
+    x = jnp.asarray(x)
+    if use_kernel is None:
+        use_kernel = _merge_backend_default(x.dtype)
+    return _windowed_group_quantile_core(
+        x,
+        jnp.asarray(plan.w1_gather),
+        jnp.asarray(plan.edge_ids),
+        jnp.asarray(plan.edge_gather),
+        jnp.asarray(quantiles, dtype=x.dtype),
+        half=plan.half,
+        window=plan.window,
+        ypad=plan.ypad,
+        wpad=plan.wpad,
+        dp=plan.dp,
+        use_kernel=bool(use_kernel),
+        interpret=interpret,
+        alpha=alpha,
+        beta=beta,
+    )

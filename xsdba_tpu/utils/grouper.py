@@ -38,6 +38,89 @@ _SEASONS = ("DJF", "MAM", "JJA", "SON")
 
 
 @dataclass(frozen=True)
+class WindowMergePlan:
+    """Host-side plan for the shared-sort windowed grouped quantile.
+
+    For windowed groupings where group ``g``'s gather row is exactly the
+    union of the window-1 member lists of groups ``[g-half, g-half+window)``
+    (true for all interior dayofyear groups and all "5D" groups), the grouped
+    quantile can be computed by sorting each window-1 list ONCE and merging
+    ``window`` pre-sorted lists per group (``ops/pallas/merge_kernel.py``) —
+    removing the reference rolling-construct's `window`-fold sort
+    amplification (``base.py:261-265``).  Groups failing the union check
+    (year-boundary wraps, series edges) are listed in ``edge_ids`` and go
+    through the exact gather+sort path.
+    """
+
+    w1_gather: np.ndarray   # [G, Ymax] int32, -1 padded window-1 member lists
+    fast_mask: np.ndarray   # [G] bool: row == union of w1 lists in window
+    edge_ids: np.ndarray    # [Ge] int32 groups needing the exact path
+    edge_gather: np.ndarray  # [Ge, L] int32 rows of the exact gather matrix
+    half: int               # left extent of the window (window//2)
+    window: int
+    ypad: int               # next pow2 >= Ymax (merge list length)
+    wpad: int               # next pow2 >= window
+    dblock: int             # kernel block rows (max(wpad, 32))
+    dp: int                 # padded row count of the kernel input
+
+    @property
+    def n_fast(self) -> int:
+        return int(self.fast_mask.sum())
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < max(n, 1):
+        p *= 2
+    return p
+
+
+def _window_merge_plan(gidx, gather_idx, n_groups: int, window: int, prop: str):
+    """Build a :class:`WindowMergePlan` (or None when inapplicable)."""
+    if window <= 1 or prop not in ("dayofyear", "5D"):
+        return None
+    G = n_groups
+    T = len(gidx)
+    half = window // 2 if prop == "dayofyear" else (window - 1) // 2
+    # window-1 member lists from group_idx
+    order = np.argsort(gidx, kind="stable")
+    counts = np.bincount(gidx, minlength=G)
+    Ymax = max(int(counts.max()), 1)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    w1 = np.full((G, Ymax), -1, dtype=np.int32)
+    for g in range(G):
+        m = order[starts[g] : starts[g + 1]]
+        w1[g, : len(m)] = m
+    # exactness check: row g's valid set == union of w1 lists in its window
+    fast = np.zeros(G, dtype=bool)
+    for g in range(G):
+        lo = max(g - half, 0)
+        hi = min(g - half + window, G)
+        union = np.concatenate([order[starts[d] : starts[d + 1]] for d in range(lo, hi)]) if hi > lo else np.empty(0, np.int64)
+        row = gather_idx[g]
+        row = np.sort(row[row >= 0])
+        fast[g] = len(row) == len(union) and bool(np.array_equal(row, np.sort(union)))
+    if not fast.any():
+        return None
+    edge_ids = np.flatnonzero(~fast).astype(np.int32)
+    wpad = _next_pow2(window)
+    dblock = max(wpad, 32)
+    dp = ((G - 1) // dblock + 2) * dblock
+    return WindowMergePlan(
+        w1_gather=w1,
+        fast_mask=fast,
+        edge_ids=edge_ids,
+        edge_gather=gather_idx[edge_ids].astype(np.int32),
+        half=half,
+        window=window,
+        ypad=_next_pow2(Ymax),
+        wpad=wpad,
+        dblock=dblock,
+        dp=dp,
+    )
+
+
+@dataclass(frozen=True)
 class GroupIndexes:
     """Static lowering of a (Grouper, TimeIndex) pair."""
 
@@ -53,6 +136,7 @@ class GroupIndexes:
     coord: np.ndarray            # [G] output coordinate (1-based months/doys, season strings)
     prop: str
     window: int
+    merge_plan: WindowMergePlan | None = None
 
     @property
     def max_members(self) -> int:
@@ -295,6 +379,7 @@ class Grouper:
                 rows[g, : len(m)] = m
                 slot[m] = np.arange(len(m))
         valid = (rows >= 0).sum(axis=1).astype(np.int32)
+        plan = _window_merge_plan(gidx, rows.astype(np.int32), G, self.window, self.prop)
 
         out = GroupIndexes(
             n_groups=G,
@@ -306,6 +391,7 @@ class Grouper:
             coord=self.get_coordinate(time),
             prop=self.prop,
             window=self.window,
+            merge_plan=plan,
         )
         cache[key] = out
         return out
