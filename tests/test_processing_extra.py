@@ -1,6 +1,7 @@
 """Tests for additive-space transforms, period stacking, spectral filter."""
 
 import numpy as np
+import pytest
 
 import xsdba_tpu as xt
 from xsdba_tpu.processing import (
@@ -32,7 +33,9 @@ def test_additive_space_logit_roundtrip(random):
 
 
 def test_stack_periods_roundtrip():
-    t2 = xt.date_range("1950-01-01", periods=365 * 50 + 13, freq="D")
+    # standard calendar + YS windows trips the align_days guard (reference
+    # base.py:1160-1178); noleap is uniform and passes
+    t2 = xt.date_range("1950-01-01", periods=365 * 50 + 13, freq="D", calendar="noleap")
     da = xt.DataArray(np.arange(len(t2), dtype=float), ("time",), {"time": t2}, {"units": "K"}, "tas")
     st = stack_periods(da, window=30, stride=10)
     assert st.dims == ("period", "time")
@@ -71,3 +74,97 @@ def test_grouped_time_indexes():
     g_idxs, gw_idxs = grouped_time_indexes(t, xt.Grouper("time.dayofyear", window=5))
     assert g_idxs.shape[0] == 365
     assert gw_idxs.shape[1] == 5 * g_idxs.shape[1]
+
+
+class TestStackPeriodsGeneralFreq:
+    """General-frequency stack_periods (reference base.py:1072-1381)."""
+
+    def _mk(self, periods, calendar="360_day", start="2000-01-01"):
+        t = xt.date_range(start, periods=periods, freq="D", calendar=calendar)
+        return xt.DataArray(np.arange(periods, dtype=float), ("time",), {"time": t}, {"units": "K"}, "x")
+
+    def test_quarters_roundtrip(self):
+        da = self._mk(360 * 8)  # 8 years of 360_day
+        st = stack_periods(da, window=6, stride=2, freq="QS")  # 6 quarters, stride 2 (3 parts)
+        assert st.dims == ("period", "time")
+        # 32 quarters -> strides at q 0,2,...; complete windows while q+6 <= 32 -> 14
+        assert st.shape[0] == 14
+        assert st.shape[1] == 6 * 90
+        un = unstack_periods(st)
+        v = np.asarray(un.data)
+        m = ~np.isnan(v)
+        np.testing.assert_allclose(v[m], np.asarray(da.data)[m])
+        assert m.all()  # full coverage: series is whole windows
+
+    def test_months_roundtrip(self):
+        da = self._mk(360 * 5)
+        st = stack_periods(da, window=9, stride=3, freq="MS")
+        un = unstack_periods(st)
+        v = np.asarray(un.data)
+        m = ~np.isnan(v)
+        np.testing.assert_allclose(v[m], np.asarray(da.data)[m])
+
+    def test_days_freq(self):
+        da = self._mk(100, calendar="noleap")
+        st = stack_periods(da, window=30, stride=10, freq="D")
+        assert st.shape == (8, 30)
+        un = unstack_periods(st)
+        v = np.asarray(un.data)
+        m = ~np.isnan(v)
+        np.testing.assert_allclose(v[m], np.asarray(da.data)[m])
+
+    def test_min_length_keeps_short_tail(self):
+        da = self._mk(365 * 12, calendar="noleap")
+        full = stack_periods(da, window=5, stride=5, freq="YS")
+        assert full.shape[0] == 2
+        with_tail = stack_periods(da, window=5, stride=5, freq="YS", min_length=2)
+        assert with_tail.shape[0] == 3
+        lengths = (~np.isnan(np.asarray(with_tail.data))).sum(axis=-1)
+        assert lengths[-1] == 2 * 365
+
+    def test_fractional_first_period_skipped(self):
+        # series starts in February: the first annual window is fractionally
+        # incomplete and must be skipped (reference base.py:1216-1224)
+        da = self._mk(365 * 6, calendar="noleap", start="2000-02-01")
+        st = stack_periods(da, window=2, stride=2, freq="YS")
+        # the k=0 stride (anchored on the fractional year 2000) is skipped;
+        # the next stride starts at 2002 (reference `continue`, not re-anchor)
+        assert np.asarray(st.coords["period"])[0].startswith("2002")
+
+    def test_raises(self):
+        da = self._mk(365 * 10, calendar="standard")
+        with pytest.raises(ValueError, match="Stride must be less"):
+            stack_periods(da, window=2, stride=3)
+        with pytest.raises(ValueError, match="unaligned day-of-year"):
+            stack_periods(da, window=2, freq="YS")
+        # align_days=False disables the guard
+        stack_periods(da, window=2, freq="YS", align_days=False)
+        danl = self._mk(365 * 10, calendar="noleap")
+        with pytest.raises(ValueError, match="unaligned day-of-month"):
+            stack_periods(danl, window=2, freq="QS")
+        st = stack_periods(danl, window=3, stride=1, freq="YS")
+        # 3/1 = 3 parts (odd) fine; now break it
+        st2 = stack_periods(danl, window=4, stride=2, freq="YS")
+        with pytest.raises(NotImplementedError, match="odd number"):
+            unstack_periods(st2)
+
+    def test_monthly_sampled_data(self):
+        t = xt.date_range("2000-01-01", periods=12 * 20, freq="MS", calendar="noleap")
+        da = xt.DataArray(np.arange(240, dtype=float), ("time",), {"time": t}, {"units": "K"}, "x")
+        st = stack_periods(da, window=6, stride=2, freq="YS")
+        assert st.shape == ((20 - 6) // 2 + 1, 72)
+        un = unstack_periods(st)
+        v = np.asarray(un.data)
+        m = ~np.isnan(v)
+        np.testing.assert_allclose(v[m], np.asarray(da.data)[m])
+        # reconstructed time axis matches the original
+        assert un.time == da.time
+
+    def test_anchored_quarters(self):
+        da = self._mk(360 * 6)
+        st = stack_periods(da, window=4, stride=4, freq="QS-DEC", align_days=False)
+        # first DJF quarter boundary for a Jan 1 start is Dec 1 of year 0:
+        # the fragment before it is quarter "SON"-aligned... start must be on
+        # a Dec/Mar/Jun/Sep month boundary
+        month0 = int(np.asarray(st.coords["period"])[0][5:7])
+        assert month0 in (3, 6, 9, 12)

@@ -183,3 +183,69 @@ def test_trend_units_parse():
 
     u = parse_units("degC/year")
     assert u.dims[3] == 1 and u.dims[2] == -1
+
+
+class TestReferenceParityChecklist:
+    """Every reference indicator name must exist with the right contract
+    (reference properties.py instances + measures.py:26-135 classes)."""
+
+    REF_PROPERTIES = [
+        "mean", "var", "std", "skewness", "quantile",
+        "spell_length_distribution", "threshold_count", "acf",
+        "annual_cycle_amplitude", "relative_annual_cycle_amplitude",
+        "annual_cycle_phase", "annual_cycle_asymmetry", "annual_cycle_minimum",
+        "annual_cycle_maximum", "mean_annual_range", "mean_annual_relative_range",
+        "mean_annual_phase", "corr_btw_var", "bivariate_spell_length_distribution",
+        "bivariate_threshold_count", "relative_frequency", "transition_probability",
+        "trend", "return_value", "spatial_correlogram", "decorrelation_length",
+        "spectral_variance",
+    ]
+    REF_MEASURES = [
+        "bias", "relative_bias", "circular_bias", "ratio", "rmse", "mae",
+        "annual_cycle_correlation", "scorr", "taylordiagram",
+    ]
+
+    def test_all_properties_exist(self):
+        for name in self.REF_PROPERTIES:
+            prop = getattr(properties, name)
+            assert isinstance(prop, properties.StatisticalProperty), name
+            assert prop.aspect in ("marginal", "temporal", "multivariate", "spatial"), name
+
+    def test_all_measures_exist_with_class_contract(self):
+        for name in self.REF_MEASURES:
+            m = getattr(measures, name)
+            assert isinstance(m, measures.StatisticalMeasure), name
+        for name in ["rmse", "mae", "annual_cycle_correlation", "scorr", "taylordiagram"]:
+            m = getattr(measures, name)
+            assert isinstance(m, measures.StatisticalPropertyMeasure), name
+            assert m.aspect in ("temporal", "spatial"), name
+
+    def test_measure_unit_conversion_and_checks(self, timeseries):
+        import pytest as _pytest
+
+        sim = timeseries(np.full(10, 285.0), units="K")
+        ref = timeseries(np.full(10, 10.0), units="degC")
+        out = measures.bias(sim, ref)
+        np.testing.assert_allclose(np.asarray(out.data), 285.0 - 283.15, rtol=1e-9)
+        # mismatched time coordinates must raise
+        ref2 = timeseries(np.full(11, 10.0), units="degC")
+        with _pytest.raises(ValueError, match="Common dimension"):
+            measures.bias(sim, ref2)
+        # disallowed grouping on a property-measure must raise
+        with _pytest.raises(ValueError, match="not allowed"):
+            measures.rmse(sim, ref, group="time.month")
+
+    def test_bivariate_threshold_count_values(self, timeseries):
+        # 6 years daily; condition met where both series exceed 0.5
+        t = 365 * 6
+        a = np.zeros(t); b = np.zeros(t)
+        a[:100] = 1.0
+        b[50:300] = 1.0  # overlap = days 50..99 -> 50 days, all in year 1
+        sim1 = timeseries(a, units="mm/d", calendar="noleap")
+        sim2 = timeseries(b, units="mm/d", calendar="noleap")
+        out = properties.bivariate_threshold_count(
+            sim1, sim2, op1=">=", op2=">=", thresh1="0.5 mm/d", thresh2="0.5 mm/d",
+            stat="sum", stat_resample="sum", group="time",
+        )
+        assert float(np.asarray(out.data)) == 50.0
+        assert out.attrs["aspect"] == "multivariate"

@@ -10,6 +10,8 @@ from .utils.container import DataArray
 from .utils.units import harmonize_units
 
 __all__ = [
+    "StatisticalMeasure",
+    "StatisticalPropertyMeasure",
     "annual_cycle_correlation",
     "bias",
     "circular_bias",
@@ -20,6 +22,76 @@ __all__ = [
     "scorr",
     "taylordiagram",
 ]
+
+
+class StatisticalMeasure:
+    """Base class for measures comparing ``sim`` against ``ref`` (reference
+    ``measures.py:26-62``): validates that both inputs are DataArrays with
+    identical coordinates on common dimensions, converts ``sim`` to ``ref``'s
+    units, then runs the compute function.
+    """
+
+    realm = "generic"
+
+    def __init__(self, identifier: str, compute, units: str | None = None):
+        self.identifier = identifier
+        self._compute = compute
+        self._units = units
+        self.__doc__ = compute.__doc__
+
+    def _preprocess_and_checks(self, sim: DataArray, ref: DataArray):
+        if not isinstance(sim, DataArray) or not isinstance(ref, DataArray):
+            raise TypeError(f"{self.identifier} requires DataArray 'sim' and 'ref' inputs.")
+        from .utils.units import convert_units_to
+
+        if sim.attrs.get("units", "") != ref.attrs.get("units", ""):
+            sim = convert_units_to(sim, ref)
+        for dim in set(sim.dims) & set(ref.dims):
+            ls = sim.sizes[dim]
+            lr = ref.sizes[dim]
+            if ls != lr:
+                raise ValueError(
+                    f"Common dimension {dim} has different coordinates between ref and sim."
+                )
+            cs, cr = sim.coords.get(dim), ref.coords.get(dim)
+            if cs is not None and cr is not None and not np.array_equal(np.asarray(cs), np.asarray(cr)):
+                raise ValueError(
+                    f"Common dimension {dim} has different coordinates between ref and sim."
+                )
+        return sim, ref
+
+    def __call__(self, sim: DataArray, ref: DataArray, *args, **kwargs) -> DataArray:
+        sim, ref = self._preprocess_and_checks(sim, ref)
+        out = self._compute(sim, ref, *args, **kwargs)
+        if self._units is not None:
+            out.attrs["units"] = self._units
+        out.attrs.setdefault("long_name", self.identifier)
+        return out
+
+
+class StatisticalPropertyMeasure(StatisticalMeasure):
+    """Property+measure combination (reference ``measures.py:65-131``): adds
+    the ``aspect`` attribute and ``allowed_groups`` validation of a ``group``
+    keyword on top of the :class:`StatisticalMeasure` checks."""
+
+    def __init__(self, identifier: str, compute, aspect: str, allowed_groups=None, units: str | None = None):
+        super().__init__(identifier, compute, units)
+        self.aspect = aspect
+        self.allowed_groups = allowed_groups
+
+    def __call__(self, sim: DataArray, ref: DataArray, *args, **kwargs) -> DataArray:
+        from .utils.grouper import Grouper
+
+        group = kwargs.pop("group", "time")
+        group = Grouper(group) if isinstance(group, str) else group
+        if self.allowed_groups is not None and group.prop not in self.allowed_groups:
+            raise ValueError(
+                f"Grouping period {group.prop_name} is not allowed for property "
+                f"{self.identifier} (needs one of {self.allowed_groups})."
+            )
+        out = super().__call__(sim, ref, *args, **kwargs)
+        out.attrs["aspect"] = self.aspect
+        return out
 
 
 def _pair(sim: DataArray, ref: DataArray):
@@ -33,19 +105,19 @@ def _wrap(sim: DataArray, vals, name, units):
     return out
 
 
-def bias(sim: DataArray, ref: DataArray) -> DataArray:
+def _bias(sim: DataArray, ref: DataArray) -> DataArray:
     """sim - ref (reference measures.py:138-160)."""
     s, r, sim = _pair(sim, ref)
     return _wrap(sim, s - r, "bias", sim.units)
 
 
-def relative_bias(sim: DataArray, ref: DataArray) -> DataArray:
+def _relative_bias(sim: DataArray, ref: DataArray) -> DataArray:
     """(sim - ref)/ref (reference measures.py:163-186)."""
     s, r, sim = _pair(sim, ref)
     return _wrap(sim, (s - r) / r, "relative_bias", "")
 
 
-def circular_bias(sim: DataArray, ref: DataArray) -> DataArray:
+def _circular_bias(sim: DataArray, ref: DataArray) -> DataArray:
     """Day-of-year bias on the circle (reference measures.py:189-215):
     smallest signed distance mod 365."""
     s, r, sim = _pair(sim, ref)
@@ -54,13 +126,13 @@ def circular_bias(sim: DataArray, ref: DataArray) -> DataArray:
     return _wrap(sim, out, "circular_bias", "d")
 
 
-def ratio(sim: DataArray, ref: DataArray) -> DataArray:
+def _ratio(sim: DataArray, ref: DataArray) -> DataArray:
     """sim / ref (reference measures.py:218-240)."""
     s, r, sim = _pair(sim, ref)
     return _wrap(sim, s / r, "ratio", "")
 
 
-def rmse(sim: DataArray, ref: DataArray, dim: str = "time") -> DataArray:
+def _rmse(sim: DataArray, ref: DataArray, dim: str = "time") -> DataArray:
     """Root mean square error along dim (reference measures.py:243-287)."""
     (sim, ref), _ = harmonize_units(sim, ref)
     sc = sim.move_dim_last(dim)
@@ -71,7 +143,7 @@ def rmse(sim: DataArray, ref: DataArray, dim: str = "time") -> DataArray:
     return DataArray(out, bdims, bcoords, {"units": sim.units, "long_name": "rmse"}, "rmse")
 
 
-def mae(sim: DataArray, ref: DataArray, dim: str = "time") -> DataArray:
+def _mae(sim: DataArray, ref: DataArray, dim: str = "time") -> DataArray:
     """Mean absolute error along dim (reference measures.py:290-332)."""
     (sim, ref), _ = harmonize_units(sim, ref)
     sc = sim.move_dim_last(dim)
@@ -94,7 +166,7 @@ def _nan_pearson(a, b, axis=-1):
     return jnp.sum(ac * bc, axis=axis) / jnp.sqrt(jnp.sum(ac * ac, axis=axis) * jnp.sum(bc * bc, axis=axis))
 
 
-def annual_cycle_correlation(sim: DataArray, ref: DataArray, window: int = 15) -> DataArray:
+def _annual_cycle_correlation(sim: DataArray, ref: DataArray, window: int = 15) -> DataArray:
     """Pearson correlation of the smoothed day-of-year climatologies
     (reference measures.py:335-380)."""
     from .properties import _doy_climatology
@@ -108,7 +180,7 @@ def annual_cycle_correlation(sim: DataArray, ref: DataArray, window: int = 15) -
     return DataArray(out, bdims, bcoords, {"units": "", "long_name": "annual_cycle_correlation"}, "annual_cycle_correlation")
 
 
-def scorr(sim: DataArray, ref: DataArray, dims=None) -> DataArray:
+def _scorr(sim: DataArray, ref: DataArray, dims=None) -> DataArray:
     """Sum of inter-site correlations difference... measured as the relative
     difference of summed spatial correlation matrices (reference
     measures.py:383-422)."""
@@ -123,7 +195,7 @@ def scorr(sim: DataArray, ref: DataArray, dims=None) -> DataArray:
     return DataArray(jnp.asarray(corr_s / corr_r), (), {}, {"units": "", "long_name": "scorr"}, "scorr")
 
 
-def taylordiagram(sim: DataArray, ref: DataArray, dim: str = "time", normalize: bool = False) -> DataArray:
+def _taylordiagram(sim: DataArray, ref: DataArray, dim: str = "time", normalize: bool = False) -> DataArray:
     """Taylor-diagram triplet (ref std, sim std, correlation) along dim
     (reference measures.py:425-494)."""
     (sim, ref), _ = harmonize_units(sim, ref)
@@ -142,3 +214,18 @@ def taylordiagram(sim: DataArray, ref: DataArray, dim: str = "time", normalize: 
     bcoords = {d: sc.coords[d] for d in bdims if d in sc.coords}
     coords = {"taylor_param": np.array(["ref_std", "sim_std", "corr"]), **bcoords}
     return DataArray(out, ("taylor_param",) + bdims, coords, {"units": "" if normalize else sim.units, "long_name": "taylordiagram"}, "taylordiagram")
+
+
+# -- public instances (reference measures.py:161-494) ------------------------
+
+bias = StatisticalMeasure("bias", _bias)
+relative_bias = StatisticalMeasure("relative_bias", _relative_bias, units="")
+circular_bias = StatisticalMeasure("circular_bias", _circular_bias, units="days")
+ratio = StatisticalMeasure("ratio", _ratio, units="")
+rmse = StatisticalPropertyMeasure("rmse", _rmse, aspect="temporal", allowed_groups=["group"])
+mae = StatisticalPropertyMeasure("mae", _mae, aspect="temporal", allowed_groups=["group"])
+annual_cycle_correlation = StatisticalPropertyMeasure(
+    "annual_cycle_correlation", _annual_cycle_correlation, aspect="temporal", allowed_groups=["group"], units=""
+)
+scorr = StatisticalPropertyMeasure("Scorr", _scorr, aspect="spatial", allowed_groups=["group"], units="")
+taylordiagram = StatisticalPropertyMeasure("taylordiagram", _taylordiagram, aspect="temporal", allowed_groups=["group"])

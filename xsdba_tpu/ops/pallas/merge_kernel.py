@@ -81,7 +81,7 @@ def _merge_kernel(a_ref, b_ref, out_ref, *, window: int, wpad: int, dblock: int)
     if wpad > window:
         ridx = jax.lax.broadcasted_iota(jnp.int32, (1, wpad, 1), 1)
         win = jnp.where(ridx >= window, jnp.inf, win)
-    out_ref[:, 0, :] = merge_sorted_lists(win)
+    out_ref[...] = merge_sorted_lists(win)
 
 
 # populated lazily so the module imports without pallas
@@ -128,6 +128,9 @@ def merged_window_rows(
     if Bp != B:
         s_pad = jnp.pad(s_pad, ((0, Bp - B), (0, 0), (0, 0)), constant_values=jnp.inf)
 
+    # output flattened over (group, merged) — a (tile_b, wpad*m) block keeps
+    # the trailing block dims on the TPU (8, 128) grid (a (tile_b, 1, wpad*m)
+    # block would put 1 on the sublane axis, which Mosaic rejects)
     out = pl.pallas_call(
         functools.partial(
             _merge_kernel, window=window, wpad=wpad, dblock=dblock
@@ -137,11 +140,11 @@ def merged_window_rows(
             pl.BlockSpec((tile_b, dblock, m), lambda i, g: (i, g // dblock, 0)),
             pl.BlockSpec((tile_b, dblock, m), lambda i, g: (i, g // dblock + 1, 0)),
         ],
-        out_specs=pl.BlockSpec((tile_b, 1, wpad * m), lambda i, g: (i, g, 0)),
-        out_shape=jax.ShapeDtypeStruct((Bp, n_groups, wpad * m), s_pad.dtype),
+        out_specs=pl.BlockSpec((tile_b, wpad * m), lambda i, g: (i, g)),
+        out_shape=jax.ShapeDtypeStruct((Bp, n_groups * wpad * m), s_pad.dtype),
         interpret=interpret,
     )(s_pad, s_pad)
-    return out[:B]
+    return out[:B].reshape(B, n_groups, wpad * m)
 
 
 @functools.partial(jax.jit, static_argnames=("window", "n_groups"))

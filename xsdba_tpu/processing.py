@@ -488,6 +488,41 @@ def from_additive_space(
 # ---------------------------------------------------------------------------
 
 
+_UNIFORM_CALENDARS = ("noleap", "365_day", "all_leap", "366_day", "360_day")
+
+_ANCHOR_MONTHS = {
+    "JAN": 1, "FEB": 2, "MAR": 3, "APR": 4, "MAY": 5, "JUN": 6,
+    "JUL": 7, "AUG": 8, "SEP": 9, "OCT": 10, "NOV": 11, "DEC": 12,
+}
+
+
+def _period_unit_ids(time, base: str, anchor: str | None):
+    """Absolute integer id of the base-frequency period holding each timestep
+    (the static equivalent of the reference's ``resample(...).groups``
+    anchoring, base.py:1198-1229)."""
+    if base == "D":
+        return time.ordinal.astype(np.int64)
+    am = _ANCHOR_MONTHS[anchor.upper()] if anchor else 1
+    p = {"Y": 12, "A": 12, "Q": 3, "M": 1}[base]
+    return (time.year.astype(np.int64) * 12 + (time.month - 1) - (am - 1)) // p
+
+
+def _virtual_next_uid(time, base: str, anchor: str | None, srcfreq: str):
+    """Unit id of the element one sampling step past the end (the reference's
+    ``time2`` extra step, base.py:1188-1196)."""
+    from .utils.calendar import TimeIndex, _ordinal_to_ymd
+
+    if srcfreq == "MS":
+        m = int(time.year[-1]) * 12 + int(time.month[-1])  # next month
+        y, mo = divmod(m, 12)
+        ext = TimeIndex(np.array([y]), np.array([mo + 1]), np.array([1]), time.calendar, None)
+    else:
+        step = int(np.median(np.diff(time.ordinal))) if len(time) > 1 else 1
+        y, mo, d = _ordinal_to_ymd(np.array([time.ordinal[-1] + step]), time.calendar)
+        ext = TimeIndex(y, mo, d, time.calendar, None)
+    return int(_period_unit_ids(ext, base, anchor)[0])
+
+
 def stack_periods(
     da: DataArray,
     window: int = 30,
@@ -495,98 +530,165 @@ def stack_periods(
     min_length: int | None = None,
     freq: str = "YS",
     dim: str = "period",
+    align_days: bool = True,
+    pad_value=np.nan,
 ) -> DataArray:
-    """Stack overlapping multi-year windows into a new ``period`` dimension
-    (reference base.py:1072-1270; ``freq='YS'`` supported).
+    """Stack (possibly overlapping) multi-period windows into a new ``period``
+    dimension (reference base.py:1072-1270).
 
+    ``window``/``stride``/``min_length`` are in units of ``freq`` (any
+    start-anchored Y/Q/M offset, with anchors and multiples, plus D/W).
     Reversible with :func:`unstack_periods` when ``stride`` divides ``window``
-    into an odd number of parts.  Parameters are stored in attrs.
+    into an odd number of parts.  Parameters are stored in attrs (the
+    container equivalent of the reference's coord attrs).
     """
-    if freq != "YS":
-        raise NotImplementedError("Only freq='YS' is currently supported.")
+    from .utils.calendar import parse_offset
+
     stride = stride or window
     min_length = min_length or window
+    if stride > window:
+        raise ValueError(f"Stride must be less than or equal to window. Got {stride} > {window}.")
+
     time = da.time
+    mult, base, start_anchored, anchor = parse_offset(freq)
+    if base not in ("Y", "A", "Q", "M", "D"):
+        raise NotImplementedError(f"stack_periods does not support base frequency {base!r}.")
+    if not start_anchored:
+        raise NotImplementedError("stack_periods requires a start-anchored frequency (YS/QS/MS/D).")
+    cal = time.calendar
+    srcfreq = time.infer_freq() or "D"
+
+    # day-alignment guard (reference base.py:1160-1178)
+    if srcfreq == "D" and align_days:
+        if base in ("Y", "A") and cal not in _UNIFORM_CALENDARS:
+            raise ValueError(
+                f"Stacking {window}{freq} periods will result in unaligned day-of-year. "
+                "Consider converting the calendar of your data to one with uniform year "
+                "lengths, or pass `align_days=False` to disable this check."
+            )
+        if base in ("Q", "M") and window > 1 and cal != "360_day":
+            raise ValueError(
+                f"Stacking {window}{freq} periods will result in unaligned day-of-month. "
+                "Consider using a 360_day calendar, or pass `align_days=False`."
+            )
+
     dac = da.move_dim_last("time")
     x = np.asarray(dac.data)
     T = x.shape[-1]
+    uid = _period_unit_ids(time, base, anchor)
+    rel = uid - uid[0]
+    rel_ext = _virtual_next_uid(time, base, anchor, srcfreq) - uid[0]
 
-    years = np.unique(time.year)
-    # index of the first timestep of each year
-    year_start = {y: int(np.argmax(time.year == y)) for y in years}
-    starts = []
-    for i0 in range(0, len(years), stride):
-        if len(years) - i0 < min_length:
-            break
-        starts.append(i0)
+    stride_u, win_u, minl_u = stride * mult, window * mult, min_length * mult
+    am = _ANCHOR_MONTHS[anchor.upper()] if anchor else 1
+    p_months = {"Y": 12, "A": 12, "Q": 3, "M": 1}.get(base)
+    first_is_period_start = (
+        base == "D" or ((int(time.year[0]) * 12 + int(time.month[0]) - 1 - (am - 1)) % p_months == 0)
+    )
+
     segments = []
-    lengths = []
-    ybounds = []
-    for i0 in starts:
-        s = year_start[years[i0]]
-        e = year_start[years[i0 + window]] if i0 + window < len(years) else T
-        segments.append((s, e))
-        lengths.append(e - s)
-        # absolute timestep index of each year boundary inside this window
-        yb = [year_start[years[i]] for i in range(i0, min(i0 + window, len(years)))]
-        yb.append(e)
-        ybounds.append(yb)
-    L = max(lengths)
-    out = np.full(x.shape[:-1] + (len(segments), L), np.nan, dtype=x.dtype)
-    for p, (s, e) in enumerate(segments):
-        out[..., p, : e - s] = x[..., s:e]
+    k = 0
+    while True:
+        su = k * stride_u
+        sidx = int(np.searchsorted(rel, su, side="left"))
+        if sidx >= T:
+            break
+        w0 = rel[sidx]  # window anchors on the unit period of the stride start
+        chk_u = w0 + (minl_u if min_length < window else win_u)
+        if rel_ext < chk_u:  # open-ended: the (min-)window is not complete
+            break
+        if (
+            sidx == 0
+            and base in ("Y", "A", "Q")
+            and min_length == window
+            and not first_is_period_start
+        ):
+            # fractionally-incomplete first period (reference base.py:1216-1224)
+            k += 1
+            continue
+        eidx = int(np.searchsorted(rel, w0 + win_u, side="left"))
+        segments.append((sidx, min(eidx, T)))
+        k += 1
 
-    coords = {k: v for k, v in dac.coords.items() if k != "time"}
-    coords[dim] = np.array([time.year[s] for s, _ in segments])
-    # placeholder time coordinate starting 1970 (reference base.py:1078:
-    # `start` arg) so grouped methods can consume stacked periods
+    if not segments:
+        raise ValueError("No complete periods found; series shorter than `min_length`.")
+
+    lengths = [e - s for s, e in segments]
+    L = max(lengths)
+    out = np.full(x.shape[:-1] + (len(segments), L), pad_value, dtype=x.dtype)
+    for pnum, (s, e) in enumerate(segments):
+        out[..., pnum, : e - s] = x[..., s:e]
+
+    # per-period boundaries of stride-long unit sections, for unstacking
+    nwin = window // stride
+    secbounds = []
+    for s, e in segments:
+        rel2 = uid[s:e] - uid[s]
+        sb = [int(np.searchsorted(rel2, j * stride_u, side="left")) for j in range(nwin + 1)]
+        sb[-1] = min(sb[-1], e - s)
+        secbounds.append(sb)
+
+    coords = {c: v for c, v in dac.coords.items() if c != "time"}
+    coords[dim] = np.array(
+        [f"{time.year[s]:04d}-{time.month[s]:02d}-{time.day[s]:02d}" for s, _ in segments]
+    )
+    # placeholder time coordinate (reference base.py:1256: `start` argument)
     from .utils.calendar import date_range as _date_range
 
-    coords["time"] = _date_range("1970-01-01", periods=L, freq="D", calendar=time.calendar)
+    coords["time"] = _date_range("1970-01-01", periods=L, freq=srcfreq, calendar=cal)
     res = DataArray(out, dac.dims[:-1] + (dim, "time"), coords, dict(da.attrs), da.name)
     res.attrs["_stack_periods"] = {
         "window": window,
         "stride": stride,
         "freq": freq,
         "segments": [list(se) for se in segments],
-        "ybounds": [[int(v) for v in yb] for yb in ybounds],
+        "secbounds": secbounds,
         "T": T,
+        "time_ymd": (time.year.copy(), time.month.copy(), time.day.copy()),
+        "calendar": cal,
+        "unequal_lengths": int(len(set(lengths)) > 1),
     }
     return res
 
 
 def unstack_periods(da: DataArray, dim: str = "period") -> DataArray:
     """Inverse of :func:`stack_periods`: keep the center-most stride of each
-    window (ends come from the first/last windows; reference base.py:1274-1381)."""
+    window; the series ends come from the first/last windows (reference
+    base.py:1272-1381)."""
     params = da.attrs.get("_stack_periods")
     if params is None:
         raise ValueError("`da` must have been created by stack_periods (missing params attr).")
     window, stride = params["window"], params["stride"]
     if (window / stride) % 2 != 1:
-        raise ValueError("`unstack_periods` can only work with a stride that divides window in an odd number of parts.")
+        raise NotImplementedError(
+            "`unstack_periods` can only work with a stride that divides the window "
+            f"into an odd number of parts. Got {window} / {stride}."
+        )
     segments = params["segments"]
+    secbounds = params["secbounds"]
     T = params["T"]
     dac = da.move_dim_last("time")
     ax = dac.dims.index(dim)
     x = np.asarray(dac.data)
     out = np.full(x.shape[:ax] + x.shape[ax + 1 : -1] + (T,), np.nan, dtype=x.dtype)
-    half = (window // stride) // 2  # number of stride-sections before the center
-
+    nwin = window // stride
+    mid = (nwin - 1) // 2
     nseg = len(segments)
-    ybounds = params["ybounds"]
-    for p, (s, e) in enumerate(segments):
-        seg = np.take(x, p, axis=ax)
+    for pnum, (s, e) in enumerate(segments):
+        seg = np.take(x, pnum, axis=ax)
         length = e - s
-        yb = ybounds[p]
-        # keep the center-most stride-year section; first/last periods also
-        # cover the leading/trailing sections (reference base.py:1291-1310)
-        keep0 = 0 if p == 0 else (yb[half * stride] - s if half * stride < len(yb) else length)
-        keep1 = length if p == nseg - 1 else (yb[(half + 1) * stride] - s if (half + 1) * stride < len(yb) else length)
+        sb = secbounds[pnum]
+        keep0 = 0 if pnum == 0 else min(sb[mid], length)
+        keep1 = length if pnum == nseg - 1 else min(sb[mid + 1], length)
         out[..., s + keep0 : s + keep1] = seg[..., keep0:keep1]
 
-
     dims = tuple(d for d in dac.dims if d != dim)
-    coords = {k: v for k, v in dac.coords.items() if k not in (dim,)}
+    coords = {c: v for c, v in dac.coords.items() if c not in (dim, "time")}
+    if "time_ymd" in params:
+        from .utils.calendar import TimeIndex
+
+        y, m, d = params["time_ymd"]
+        coords["time"] = TimeIndex(y, m, d, params["calendar"], None)
     res = DataArray(out, dims, coords, {k: v for k, v in da.attrs.items() if k != "_stack_periods"}, da.name)
     return res
 

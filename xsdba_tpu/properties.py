@@ -656,6 +656,20 @@ def _bivariate_spell_length_distribution(da1, da2, *, method1="amount", method2=
     return _periods_to_groups(per_period, period_group, group, da1, stat, "bivariate_spell_length_distribution", "d")
 
 
+def _bivariate_threshold_count(da1, da2, *, method1="amount", method2="amount",
+                               op1=">=", op2=">=", thresh1="1 mm d-1",
+                               thresh2="1 mm d-1", stat="mean",
+                               stat_resample=None, group="time"):
+    """Statistic of the number of time steps where both variables meet their
+    conditions — ``bivariate_spell_length_distribution`` with ``window=1``
+    (reference properties.py:981-1069)."""
+    return _bivariate_spell_length_distribution(
+        da1, da2, method1=method1, method2=method2, op1=op1, op2=op2,
+        thresh1=thresh1, thresh2=thresh2, window=1, stat=stat,
+        stat_resample=stat_resample, group=group,
+    ).rename("bivariate_threshold_count")
+
+
 def _first_eof(*args, **kwargs):
     """Removed (reference properties.py:1540-1554 is an informative stub)."""
     raise NotImplementedError(
@@ -666,5 +680,6 @@ def _first_eof(*args, **kwargs):
 
 threshold_count = StatisticalProperty("threshold_count", "temporal", _threshold_count, allowed_groups=["group", "season", "month"])
 bivariate_spell_length_distribution = StatisticalProperty("bivariate_spell_length_distribution", "temporal", _bivariate_spell_length_distribution, allowed_groups=["group", "season", "month"])
+bivariate_threshold_count = StatisticalProperty("bivariate_threshold_count", "multivariate", _bivariate_threshold_count, allowed_groups=["group", "season", "month"])
 first_eof = StatisticalProperty("first_eof", "spatial", _first_eof, allowed_groups=["group"])
-__all__ += ["bivariate_spell_length_distribution", "first_eof", "threshold_count"]
+__all__ += ["bivariate_spell_length_distribution", "bivariate_threshold_count", "first_eof", "threshold_count"]
