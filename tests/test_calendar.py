@@ -80,3 +80,37 @@ def test_long_range_roundtrip():
     # dates must be strictly increasing with no gaps
     assert np.all(np.diff(t.ordinal) == 1)
     assert t.year[0] == 1850
+
+
+def test_isoweek_matches_datetime_isocalendar():
+    """Exact ISO weeks on the standard calendar vs python datetime
+    (reference base.py:324-325 uses pandas isocalendar)."""
+    import datetime as dt
+
+    from xsdba_tpu.utils.calendar import date_range
+
+    t = date_range("1998-12-25", periods=5000, freq="D", calendar="standard")
+    got = t.isoweek
+    want = np.array([
+        dt.date(int(y), int(m), int(d)).isocalendar()[1]
+        for y, m, d in zip(t.year, t.month, t.day)
+    ])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_week_grouping_uses_isoweek_on_standard():
+    from xsdba_tpu.utils.calendar import date_range
+    from xsdba_tpu.utils.grouper import Grouper
+
+    t = date_range("2004-12-25", periods=30, freq="D", calendar="standard")
+    g = Grouper("time.week").group_of(t)
+    # 2004-12-27..2005-01-02 is ISO week 53
+    import datetime as dt
+
+    want = np.array([dt.date(int(y), int(m), int(d)).isocalendar()[1] - 1
+                     for y, m, d in zip(t.year, t.month, t.day)])
+    np.testing.assert_array_equal(g, want.astype(np.int32))
+    # idealized calendars keep the doy-block fallback
+    tn = date_range("2004-12-25", periods=30, freq="D", calendar="noleap")
+    gn = Grouper("time.week").group_of(tn)
+    np.testing.assert_array_equal(gn, np.minimum((tn.dayofyear - 1) // 7, 52))

@@ -218,3 +218,68 @@ def test_mbcn_train_chunked_matches(random, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(scen_chunked.data), np.asarray(scen_full.data), rtol=1e-6, atol=1e-8
     )
+
+
+class TestNpdfTransformArbitraryBase:
+    def test_general_loop_matches_fast_eqm_path(self, random):
+        """The arbitrary-base loop run with EQM must match the lax.scan fast
+        path (same rotations): validates the general machinery against the
+        fused one (reference adjustment.py:1283-1307 accepts any base)."""
+        import jax.numpy as jnp
+
+        from xsdba_tpu.models import EmpiricalQuantileMapping
+        from xsdba_tpu.models.mbcn import _npdf_loop_general
+        from xsdba_tpu.ops.rotation import rand_rot_matrix
+        from xsdba_tpu.utils.grouper import Grouper
+
+        n = 600
+        ref = bivariate(random, n, [0, 0], np.array([[1.0, 0.5], [0.5, 1.0]]))
+        hist = bivariate(random, n, [1, 1], np.array([[1.5, -0.2], [-0.2, 1.0]]))
+        rot = rand_rot_matrix(2, num=4)
+
+        with set_options(extra_output=True):
+            fast = NpdfTransform.adjust(
+                ref, hist,
+                base=EmpiricalQuantileMapping,
+                base_kws={"nquantiles": 15, "group": "time"},
+                adj_kws={"interp": "linear", "extrapolation": "constant"},
+                n_iter=4, n_escore=-1, rot_matrices=rot,
+            )
+
+        refa = jnp.moveaxis(jnp.asarray(ref.move_dim_last("time").data), 0, -2)
+        hista = jnp.moveaxis(jnp.asarray(hist.move_dim_last("time").data), 0, -2)
+        from xsdba_tpu.ops.correction import equally_spaced_nodes
+
+        scenh, scens, _ = _npdf_loop_general(
+            NpdfTransform, EmpiricalQuantileMapping,
+            {"kind": "+"}, {"interp": "linear", "extrapolation": "constant"},
+            Grouper("time"), equally_spaced_nodes(15),
+            ref, hist, refa, hista, hista.copy(),
+            jnp.asarray(rot), -1,
+        )
+        fast_scenh = np.asarray(fast["scenh"].data)
+        np.testing.assert_allclose(np.moveaxis(np.asarray(scenh), -2, 0), fast_scenh, rtol=1e-5, atol=1e-6)
+
+    def test_dqm_base_runs_and_adjusts(self, random):
+        """Any TrainAdjust base (here DQM) runs end-to-end and improves the
+        correlation structure."""
+        import warnings
+
+        from xsdba_tpu.models import DetrendedQuantileMapping
+
+        n = 1200
+        cov_ref = np.array([[1.0, 0.7], [0.7, 1.0]])
+        ref = bivariate(random, n, [0, 0], cov_ref)
+        hist = bivariate(random, n, [2, 1], np.array([[2.0, -0.4], [-0.4, 1.0]]))
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            with set_options(extra_output=True):
+                out = NpdfTransform.adjust(
+                    ref, hist,
+                    base=DetrendedQuantileMapping,
+                    base_kws={"nquantiles": 20, "group": "time"},
+                    adj_kws={"interp": "linear", "detrend": 1},
+                    n_iter=8, n_escore=-1,
+                )
+        corr_scen = np.corrcoef(np.asarray(out["scen"].data))[0, 1]
+        assert corr_scen == pytest.approx(0.7, abs=0.2)

@@ -381,7 +381,10 @@ class NpdfTransform(Adjust):
         elif base is EmpiricalQuantileMapping:
             base_name = "eqm"
         else:
-            raise NotImplementedError("base must be QuantileDeltaMapping or EmpiricalQuantileMapping.")
+            # any TrainAdjust subclass (reference adjustment.py:1283-1307):
+            # run the reference's python loop over rotations, dispatching
+            # each univariate step through the base's own public train/adjust
+            base_name = None
 
         V = int(np.shape(ref.data)[ref.dims.index(pts_dim)])
         if rot_matrices is None:
@@ -398,6 +401,14 @@ class NpdfTransform(Adjust):
         refa = jnp.moveaxis(refa, 0, -2)                     # [..., V, T]
         hista = jnp.moveaxis(hista, 0, -2)
         sima = jnp.moveaxis(sima, 0, -2)
+
+        if base_name is None:
+            scenh, scens, escores = _npdf_loop_general(
+                cls, base, base_kws, adj_kws, group, quantiles,
+                ref, hist, refa, hista, sima,
+                jnp.asarray(rot, dtype=refa.dtype), int(n_escore),
+            )
+            return cls._npdft_wrap_outputs(scenh, scens, escores, sim, hist)
 
         from ._npdft import npdf_transform_core
 
@@ -423,17 +434,65 @@ class NpdfTransform(Adjust):
             base=base_name,
         )
 
+        return cls._npdft_wrap_outputs(scenh, scens, escores, sim, hist)
+
+    @classmethod
+    def _npdft_wrap_outputs(cls, scenh, scens, escores, sim, hist):
         def _wrap(a, like, name):
             arr = jnp.moveaxis(a, -2, 0)
             lc = like.move_dim_last("time")
             da = DataArray(arr, lc.dims, dict(lc.coords), dict(like.attrs), name)
             return da.transpose(*like.dims) if lc.dims != like.dims else da
 
-        out = Dataset(
+        return Dataset(
             {
                 "scen": _wrap(scens, sim, "scen"),
                 "scenh": _wrap(scenh, hist, "scenh"),
                 "escores": DataArray(escores, ("iterations",), {}, {}, "escores"),
             }
         )
-        return out
+
+
+def _npdf_loop_general(cls, base, base_kws, adj_kws, group, quantiles, ref, hist, refa, hista, sima, rots, n_escore):
+    """NpdfTransform with an arbitrary TrainAdjust base: the reference's
+    per-iteration loop (``_adjustment.py:1005-1037``) — rotate, train the base
+    on the rotated pair, adjust rotated hist & sim, rotate back — dispatched
+    through the base class's own public train/adjust (``skip_input_checks``
+    avoids re-validating the rotated, unit-less space each iteration)."""
+    from ..ops.escore import escore as escore_fn
+    from ..utils.options import set_options
+
+    def wrap(a, like):
+        arr = jnp.moveaxis(a, -2, 0)
+        lc = like.move_dim_last("time")
+        return DataArray(arr, lc.dims, dict(lc.coords), dict(like.attrs), like.name)
+
+    Th = refa.shape[-1]
+    stride = max(1, int(-(-Th // n_escore))) if n_escore > 0 else 1
+    mu = jnp.nanmean(refa, axis=-1, keepdims=True)
+    sd = jnp.nanstd(refa, axis=-1, ddof=1, keepdims=True)
+    ref_n = ((refa - mu) / sd)[..., ::stride]
+
+    train_kws = dict(base_kws)
+    train_kws["nquantiles"] = np.asarray(quantiles)
+    escores = []
+    h, s = hista, sima
+    for i in range(rots.shape[0]):
+        R = rots[i]
+        refp = jnp.einsum("ij,...jl->...il", R, refa)
+        hp = jnp.einsum("ij,...jl->...il", R, h)
+        sp = jnp.einsum("ij,...jl->...il", R, s)
+        with set_options(extra_output=False, as_dataset=False):
+            ADJ = base.train(wrap(refp, ref), wrap(hp, hist), group=group, skip_input_checks=True, **train_kws)
+            scenhp = ADJ.adjust(wrap(hp, hist), skip_input_checks=True, **adj_kws)
+            scensp = ADJ.adjust(wrap(sp, hist), skip_input_checks=True, **adj_kws)
+        hb = jnp.moveaxis(jnp.asarray(scenhp.move_dim_last("time").data), 0, -2)
+        sb = jnp.moveaxis(jnp.asarray(scensp.move_dim_last("time").data), 0, -2)
+        h = jnp.einsum("ji,...jl->...il", R, hb)
+        s = jnp.einsum("ji,...jl->...il", R, sb)
+        if n_escore >= 0:
+            hn = (h - mu) / sd
+            escores.append(escore_fn(ref_n, hn[..., ::stride]))
+        else:
+            escores.append(jnp.full(h.shape[:-2], jnp.nan, h.dtype))
+    return h, s, jnp.stack(escores, axis=-1)

@@ -6,16 +6,22 @@ sort workload 31x because every value participates in 31 groups.  Instead of
 re-sorting the amplified gather matrix (XLA sort ~ 100 effective HBM passes),
 sort each day-of-year's per-year list ONCE (1x data, tiny rows), then merge
 the ``window`` pre-sorted lists of each group entirely in VMEM with a
-Batcher bitonic-merge cascade — one HBM read of the (1x) sorted lists, one
-write of the merged rows, all compare-exchange work on the VPU.
+bitonic merge cascade — one HBM read of the (1x) sorted lists, one write of
+the merged rows, all compare-exchange work on the VPU.
+
+Mosaic-friendly formulation: Pallas TPU lowers neither `rev` (flip) nor
+strided slices nor dynamic_slice, so the cascade uses ONLY roll + iota-mask
++ min/max along the LANE axis.  The reverse that a bitonic merge classically
+needs is moved to data prep: input rows alternate sort direction by row
+parity (odd rows pre-sorted DESCENDING — a free ``jnp.flip`` in XLA), making
+every concatenated pair bitonic; each cascade level then emits runs with
+alternating directions via a direction mask, so no in-kernel reverse is ever
+needed.  The same code lowers in Pallas and plain XLA (the fallback path)
+with bit-identical results.
 
 Padding is +inf (not NaN): min/max networks are NaN-unsafe, and +inf-last
 ordering equals XLA's NaN-last sort order for finite data.  Valid counts are
 tracked separately (see ``ops.quantile.windowed_group_quantile``).
-
-The merge math (`merge_pairs`, `merge_sorted_lists`) is plain jnp shared by
-the Pallas kernel and the XLA fallback path, so both produce bit-identical
-merged rows.
 """
 
 from __future__ import annotations
@@ -26,62 +32,102 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
-    "merge_pairs",
+    "alternate_row_directions",
+    "merge_alternating_lists",
     "merge_sorted_lists",
     "merged_window_rows",
     "merged_window_rows_xla",
 ]
 
 
-def _cmpex(z, s: int):
-    """Compare-exchange at stride ``s`` along the last axis (bitonic stage)."""
-    L = z.shape[-1]
-    nb = L // (2 * s)
-    z = z.reshape(z.shape[:-1] + (nb, 2, s))
-    lo = jnp.minimum(z[..., 0, :], z[..., 1, :])
-    hi = jnp.maximum(z[..., 0, :], z[..., 1, :])
-    z = jnp.concatenate([lo[..., None, :], hi[..., None, :]], axis=-2)
-    return z.reshape(z.shape[:-3] + (L,))
+def _roll_xla(z, shift, axis):
+    return jnp.roll(z, shift, axis=axis)
 
 
-def merge_pairs(a, b):
-    """Merge two ascending lists along the last axis: [..., m]+[..., m] -> [..., 2m].
+def _roll_pallas(z, shift, axis):
+    from jax.experimental.pallas import tpu as pltpu
 
-    ``m`` must be a power of two; entries may include +inf padding.
+    return pltpu.roll(z, shift=shift % z.shape[axis], axis=axis)
+
+
+def _bitonic_merge_lastaxis(c, roll, desc=None):
+    """Sort a bitonic last axis (len L, power of two).
+
+    Ascending by default; where ``desc`` (broadcastable bool mask, constant
+    along the last axis) is True, descending.  Stage at stride s pairs
+    position i with i^s; expressed as two rolls + iota mask + min/max —
+    shape-invariant, no reshapes/slices/gathers.
     """
-    c = jnp.concatenate([a, jnp.flip(b, axis=-1)], axis=-1)  # bitonic
-    s = c.shape[-1] // 2
+    L = c.shape[-1]
+    pos = jax.lax.broadcasted_iota(jnp.int32, c.shape, c.ndim - 1)
+    s = L // 2
     while s >= 1:
-        c = _cmpex(c, s)
+        fwd = roll(c, -s, c.ndim - 1)  # c[i+s] at low positions
+        bwd = roll(c, s, c.ndim - 1)   # c[i-s] at high positions
+        is_low = (pos & s) == 0
+        asc = jnp.where(is_low, jnp.minimum(c, fwd), jnp.maximum(c, bwd))
+        if desc is None:
+            c = asc
+        else:
+            dsc = jnp.where(is_low, jnp.maximum(c, fwd), jnp.minimum(c, bwd))
+            c = jnp.where(desc, dsc, asc)
         s //= 2
     return c
+
+
+def _merge_cascade(x, roll):
+    """[..., W, m] runs with row-parity-alternating directions -> [..., W*m]
+    ascending.  ``W``, ``m`` powers of two; either phase (even rows ascending
+    or even rows descending) is accepted — a pair of opposite-direction runs
+    is bitonic either way."""
+    while x.shape[-2] > 1:
+        W, m = x.shape[-2], x.shape[-1]
+        x = x.reshape(x.shape[:-2] + (W // 2, 2 * m))  # rows now bitonic
+        if W // 2 > 1:
+            pair = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 2)
+            x = _bitonic_merge_lastaxis(x, roll, desc=(pair % 2) == 1)
+        else:
+            x = _bitonic_merge_lastaxis(x, roll)  # final run: ascending
+    return x[..., 0, :]
+
+
+def alternate_row_directions(s, axis_rows: int = -2):
+    """Flip odd rows of ascending-sorted lists to descending (XLA-side prep
+    for :func:`merge_alternating_lists`; Pallas cannot lower `rev`)."""
+    ridx = jnp.arange(s.shape[axis_rows]) % 2 == 1
+    shape = [1] * s.ndim
+    shape[axis_rows] = s.shape[axis_rows]
+    return jnp.where(ridx.reshape(shape), jnp.flip(s, axis=-1), s)
+
+
+def merge_alternating_lists(x, roll=_roll_xla):
+    """Merge ``W`` direction-alternating runs: [..., W, m] -> [..., W*m] asc."""
+    return _merge_cascade(x, roll)
 
 
 def merge_sorted_lists(x):
     """Merge ``W`` ascending lists: [..., W, m] -> [..., W*m] ascending.
 
     ``W`` and ``m`` must be powers of two (+inf-pad to reach them).
+    XLA-only convenience (flips odd rows, then runs the cascade).
     """
-    while x.shape[-2] > 1:
-        x = merge_pairs(x[..., 0::2, :], x[..., 1::2, :])
-    return x[..., 0, :]
+    return _merge_cascade(alternate_row_directions(x), _roll_xla)
 
 
-def _merge_kernel(a_ref, b_ref, out_ref, *, window: int, wpad: int, dblock: int):
-    """One (site-tile, group) program: slice the window rows, merge, emit.
+def _merge_kernel(win_ref, out_ref, *, window: int, wpad: int):
+    """One (site-tile, group) program: mask the pad rows, merge, emit.
 
-    a_ref/b_ref are two consecutive ``dblock``-row blocks of the same padded
-    sorted-lists array (the aligned-pair trick: any ``wpad``-row window of the
-    doy axis lies inside two consecutive aligned blocks).
+    ``win_ref`` is an overlapping ``wpad``-row window of the padded
+    direction-alternating sorted-lists array, delivered via element-offset
+    block indexing (``pl.Element``) — group ``g``'s window starts at row
+    ``g``, so the phase of the alternation depends on ``g``'s parity, which
+    the cascade accepts.
     """
-    g = pl.program_id(1)
-    off = g - (g // dblock) * dblock
-    rows = jnp.concatenate([a_ref[...], b_ref[...]], axis=1)  # [TB, 2*dblock, m]
-    win = jax.lax.dynamic_slice_in_dim(rows, off, wpad, axis=1)  # [TB, wpad, m]
+    win = win_ref[...]  # [TB, wpad, m]
     if wpad > window:
-        ridx = jax.lax.broadcasted_iota(jnp.int32, (1, wpad, 1), 1)
+        ridx = jax.lax.broadcasted_iota(jnp.int32, win.shape, 1)
         win = jnp.where(ridx >= window, jnp.inf, win)
-    out_ref[...] = merge_sorted_lists(win)
+    out_ref[...] = _merge_cascade(win, _roll_pallas)
 
 
 # populated lazily so the module imports without pallas
@@ -112,38 +158,35 @@ def merged_window_rows(
 ):
     """Merge each group's ``window`` consecutive pre-sorted rows in VMEM.
 
-    s_pad: [B, Dp, m] float32 — per-(site, day) ascending lists, +inf padded,
-    laid out so group ``g``'s window is rows ``[g, g+window)``; ``Dp`` must be
-    a multiple of ``dblock`` with one spare block past the last window (the
-    caller pads; see ``ops.quantile._window_plan``).  Returns
-    [B, n_groups, wpad*m] merged ascending rows (+inf tails).
+    s_pad: [B, Dp, m] float32 — per-(site, day) runs sorted ascending on even
+    rows and DESCENDING on odd rows (see :func:`alternate_row_directions`),
+    +inf padded, laid out so group ``g``'s window is rows ``[g, g+window)``;
+    ``Dp`` must leave ``wpad`` spare rows past the last window start (the
+    caller pads).  Returns [B, n_groups, wpad*m] merged ascending rows
+    (+inf tails).
     """
     pl = _ensure_pl()
     B, Dp, m = s_pad.shape
     wpad = _next_pow2(window)
-    dblock = max(wpad, 32)
-    assert Dp % dblock == 0, (Dp, dblock)
-    assert n_groups + wpad <= Dp, "need one spare block past the last window"
+    assert n_groups + wpad <= Dp, "need spare rows past the last window"
     Bp = -(-B // tile_b) * tile_b
     if Bp != B:
         s_pad = jnp.pad(s_pad, ((0, Bp - B), (0, 0), (0, 0)), constant_values=jnp.inf)
 
-    # output flattened over (group, merged) — a (tile_b, wpad*m) block keeps
-    # the trailing block dims on the TPU (8, 128) grid (a (tile_b, 1, wpad*m)
-    # block would put 1 on the sublane axis, which Mosaic rejects)
+    # Input: overlapping wpad-row windows via element-offset indexing on the
+    # doy axis (group g's window starts at element row g).  Output flattened
+    # over (group, merged) — a (tile_b, wpad*m) block keeps the trailing
+    # block dims on the TPU (8, 128) grid.
     out = pl.pallas_call(
-        functools.partial(
-            _merge_kernel, window=window, wpad=wpad, dblock=dblock
-        ),
+        functools.partial(_merge_kernel, window=window, wpad=wpad),
         grid=(Bp // tile_b, n_groups),
         in_specs=[
-            pl.BlockSpec((tile_b, dblock, m), lambda i, g: (i, g // dblock, 0)),
-            pl.BlockSpec((tile_b, dblock, m), lambda i, g: (i, g // dblock + 1, 0)),
+            pl.BlockSpec((tile_b, pl.Element(wpad), m), lambda i, g: (i, g, 0)),
         ],
         out_specs=pl.BlockSpec((tile_b, wpad * m), lambda i, g: (i, g)),
         out_shape=jax.ShapeDtypeStruct((Bp, n_groups * wpad * m), s_pad.dtype),
         interpret=interpret,
-    )(s_pad, s_pad)
+    )(s_pad)
     return out[:B].reshape(B, n_groups, wpad * m)
 
 
@@ -161,4 +204,4 @@ def merged_window_rows_xla(s_pad, window: int, n_groups: int):
     win = s_pad[:, base, :]  # [B, G, wpad, m]
     if wpad > window:
         win = jnp.where(jnp.arange(wpad)[None, None, :, None] >= window, jnp.inf, win)
-    return merge_sorted_lists(win)
+    return _merge_cascade(win, _roll_xla)

@@ -203,7 +203,11 @@ def _windowed_group_quantile_core(
     alpha: float,
     beta: float,
 ):
-    from .pallas.merge_kernel import merged_window_rows, merged_window_rows_xla
+    from .pallas.merge_kernel import (
+        alternate_row_directions,
+        merged_window_rows,
+        merged_window_rows_xla,
+    )
 
     G, Ymax = w1_gather.shape
     S, V = _sorted_w1_lists(x, w1_gather)
@@ -215,6 +219,9 @@ def _windowed_group_quantile_core(
     # embed at row offset `half` so group g's window is rows [g, g+window)
     Sp = jnp.full(lead + (dp, ypad), jnp.inf, dtype=S.dtype)
     Sp = jax.lax.dynamic_update_slice_in_dim(Sp, S, half, axis=S.ndim - 2)
+    # odd rows descending: the merge cascade needs direction-alternating
+    # runs (Pallas cannot reverse in-kernel; see merge_kernel.py)
+    Sp = alternate_row_directions(Sp, axis_rows=-2)
     B = 1
     for d in lead:
         B *= d

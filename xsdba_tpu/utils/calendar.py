@@ -238,6 +238,34 @@ class TimeIndex:
             self._cache["ordinal"] = _ymd_to_ordinal(self.year, self.month, self.day, self.calendar)
         return self._cache["ordinal"]
 
+    @property
+    def isoweek(self) -> np.ndarray:
+        """Exact ISO-8601 week numbers (1..53) for real-world calendars.
+
+        Matches ``pandas .isocalendar().week`` (reference ``base.py:324-325``)
+        on standard/proleptic-gregorian dates: ISO weekday from the proleptic
+        ordinal (0001-01-01 is a Monday), Thursday rule for year boundaries.
+        Raises for idealized calendars (noleap/360_day/...), where ISO weeks
+        are undefined — callers fall back to dayofyear blocks there.
+        """
+        if self.calendar != "standard":
+            raise ValueError(f"ISO weeks are undefined for the {self.calendar!r} calendar.")
+        wd = self.ordinal % 7 + 1  # 1=Monday .. 7=Sunday
+        w = (self.dayofyear - wd + 10) // 7
+
+        def weeks_in(y):
+            def p(yy):
+                return (yy + yy // 4 - yy // 100 + yy // 400) % 7
+
+            return 52 + (((p(y) == 4) | (p(y - 1) == 3)).astype(np.int64))
+
+        # both boundary rules test the RAW week number: early-January days can
+        # belong to week 52/53 of the previous ISO year, late-December days to
+        # week 1 of the next
+        return np.where(
+            w < 1, weeks_in(self.year - 1), np.where(w > weeks_in(self.year), 1, w)
+        ).astype(np.int64)
+
     def infer_freq(self) -> str | None:
         """Best-effort frequency inference (D / MS / YS)."""
         if self.freq is not None:

@@ -297,9 +297,14 @@ class Grouper:
         if self.prop == "dayofyear":
             return (time.dayofyear - 1).astype(np.int32)
         if self.prop == "week":
-            # ISO-week-like: reference uses pandas isocalendar (base.py:318).
-            # We approximate with dayofyear//7 blocks for non-standard calendars.
-            return np.minimum((time.dayofyear - 1) // 7, 52).astype(np.int32)
+            # Exact ISO weeks (pandas isocalendar parity, reference
+            # base.py:324-325) on the standard calendar; idealized calendars
+            # (noleap/360_day/...) have no ISO weeks — fall back to
+            # dayofyear//7 blocks there (documented in docs/PARITY.md).
+            try:
+                return (time.isoweek - 1).astype(np.int32)
+            except ValueError:
+                return np.minimum((time.dayofyear - 1) // 7, 52).astype(np.int32)
         if self.prop == "5D":
             # 5-day blocks of the year (reference processing.py:888-906):
             # block b covers dayofyear in [5b+1, 5b+5].
