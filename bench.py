@@ -66,6 +66,9 @@ def main():
 
     gp_years = n_sites * n_years
     value = gp_years / dt
+
+    heavy = _bench_heavy_doy31(jax, jnp)
+
     print(
         json.dumps(
             {
@@ -73,9 +76,60 @@ def main():
                 "value": round(value, 1),
                 "unit": "gridpoint-years/s",
                 "vs_baseline": round(value / _BASELINE_GPYRS_PER_S, 3),
+                "extra": {
+                    "heavy_config1_eqm_doy31w_gpyrs_per_s": heavy,
+                    "heavy_vs_baseline": round(heavy / _BASELINE_GPYRS_PER_S, 3),
+                },
             }
         )
     )
+
+
+def _bench_heavy_doy31(jax, jnp):
+    """BASELINE config 1: EQM train+adjust, dayofyear grouping, 31-day
+    window, linear interp — the production-norm heavy path (shared-sort
+    merge kernel; see ops/pallas/merge_kernel.py)."""
+    import jax.numpy as jnp
+
+    from xsdba_tpu.models._algos import eqm_train_windowed, qm_adjust_core
+    from xsdba_tpu.models._wrap import device_brackets
+    from xsdba_tpu.ops.correction import equally_spaced_nodes
+    from xsdba_tpu.utils.calendar import date_range
+    from xsdba_tpu.utils.grouper import Grouper
+
+    n_sites, n_years, nq = 128, 150, 50
+    t = date_range("1950-01-01", periods=365 * n_years, freq="D", calendar="noleap")
+    gi = Grouper("time.dayofyear", window=31).indexes(t)
+    rng = np.random.default_rng(1)
+    T = len(t)
+    ref = jnp.asarray(rng.normal(10, 2, (n_sites, T)).astype(np.float32))
+    hist = jnp.asarray(rng.normal(12, 3, (n_sites, T)).astype(np.float32))
+    sim = jnp.asarray(rng.normal(13, 3, (n_sites, T)).astype(np.float32))
+    q = jnp.asarray(equally_spaced_nodes(nq).astype(np.float32))
+    brackets = device_brackets(gi, "linear")
+
+    def step(r):
+        af, hist_q = eqm_train_windowed(r, hist, gi.merge_plan, q, kind="+")
+        scen = qm_adjust_core(sim, hist_q, af, brackets, kind="+", interp="linear", extrapolation="constant")
+        return jnp.nansum(scen)
+
+    s = float(step(ref))
+    assert np.isfinite(s)
+
+    def timed(n):
+        t0 = time.perf_counter()
+        r = ref
+        acc = None
+        for _ in range(n):
+            acc = step(r)
+            r = ref + 0 * acc
+        float(acc)
+        return time.perf_counter() - t0
+
+    t1 = timed(1)
+    t5 = timed(5)
+    dt = max((t5 - t1) / 4, 1e-9)
+    return round(n_sites * n_years / dt, 1)
 
 
 if __name__ == "__main__":

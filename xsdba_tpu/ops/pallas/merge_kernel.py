@@ -91,6 +91,72 @@ def _merge_cascade(x, roll):
     return x[..., 0, :]
 
 
+def _bitonic_sort_lastaxis(x, roll, desc=None):
+    """Full bitonic sort of the last axis (len m, power of two).
+
+    Ascending by default; rows where ``desc`` (mask constant along the last
+    axis) is True sort descending.  Same roll+iota formulation as the merge.
+    """
+    m = x.shape[-1]
+    pos = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    k = 2
+    while k <= m:
+        # phase k merges bitonic runs of length k; direction alternates by
+        # the k-block of the position (standard bitonic sort network)
+        blk_desc = (pos & k) != 0 if k < m else False
+        if desc is not None:
+            blk_desc = blk_desc ^ desc
+        s = k // 2
+        while s >= 1:
+            fwd = roll(x, -s, x.ndim - 1)
+            bwd = roll(x, s, x.ndim - 1)
+            is_low = (pos & s) == 0
+            asc = jnp.where(is_low, jnp.minimum(x, fwd), jnp.maximum(x, bwd))
+            dsc = jnp.where(is_low, jnp.maximum(x, fwd), jnp.minimum(x, bwd))
+            x = jnp.where(blk_desc, dsc, asc)
+            s //= 2
+        k *= 2
+    return x
+
+
+def _sort_rows_kernel(x_ref, out_ref):
+    """Sort each row of the slab: even (padded-index) rows ascending, odd
+    rows descending — producing the direction-alternating layout the merge
+    cascade consumes, without any XLA sort or flip."""
+    x = x_ref[...]  # [TB, Dp, m]
+    rid = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    out_ref[...] = _bitonic_sort_lastaxis(x, _roll_pallas, desc=(rid % 2) == 1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile_b"))
+def sort_rows_alternating(x, interpret: bool = False, tile_b: int = 8):
+    """Pallas row sort with alternating directions: [B, Dp, m] (+inf for
+    NaN/pads) -> rows sorted asc (even row index) / desc (odd).
+
+    Replaces ``jnp.sort`` + ``alternate_row_directions`` on the merge-plan
+    slab — XLA's sort on this chip runs ~140M elem/s while the in-VMEM
+    bitonic network is compute-bound at >5G elem/s.
+    """
+    pl = _ensure_pl()
+    B, Dp, m = x.shape
+    Bp = -(-B // tile_b) * tile_b
+    if Bp != B:
+        x = jnp.pad(x, ((0, Bp - B), (0, 0), (0, 0)), constant_values=jnp.inf)
+    # rows are independent: block the row axis too so kernel temporaries
+    # (several row-block-sized buffers) stay well inside VMEM.  Even block
+    # sizes keep the global row parity equal to the in-block parity.
+    rows_blk = 32 if Dp % 32 == 0 else Dp
+    out = pl.pallas_call(
+        _sort_rows_kernel,
+        grid=(Bp // tile_b, Dp // rows_blk),
+        in_specs=[pl.BlockSpec((tile_b, rows_blk, m), lambda i, j: (i, j, 0))],
+        out_specs=pl.BlockSpec((tile_b, rows_blk, m), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((Bp, Dp, m), x.dtype),
+        interpret=interpret,
+    )(x)
+    return out[:B]
+
+
 def alternate_row_directions(s, axis_rows: int = -2):
     """Flip odd rows of ascending-sorted lists to descending (XLA-side prep
     for :func:`merge_alternating_lists`; Pallas cannot lower `rev`)."""
@@ -114,20 +180,33 @@ def merge_sorted_lists(x):
     return _merge_cascade(alternate_row_directions(x), _roll_xla)
 
 
-def _merge_kernel(win_ref, out_ref, *, window: int, wpad: int):
-    """One (site-tile, group) program: mask the pad rows, merge, emit.
+def _merge_kernel(slab_ref, out_ref, *, window: int, wpad: int, out_width: int):
+    """One (site-tile, group) program: slice the window rows off the resident
+    slab, mask the pad rows, merge, emit.
 
-    ``win_ref`` is an overlapping ``wpad``-row window of the padded
-    direction-alternating sorted-lists array, delivered via element-offset
-    block indexing (``pl.Element``) — group ``g``'s window starts at row
-    ``g``, so the phase of the alternation depends on ``g``'s parity, which
-    the cascade accepts.
+    ``slab_ref`` holds the batch tile's FULL padded doy axis in VMEM (its
+    block index ignores ``g``, so Pallas DMAs it once per batch tile and all
+    group programs reuse it); group ``g``'s window is the dynamic-start ref
+    load ``rows [g, g+wpad)`` — a ref ``pl.ds`` load, which Mosaic supports
+    where a value-level dynamic_slice / element-offset block is not.  The
+    phase of the direction alternation depends on ``g``'s parity, which the
+    cascade accepts.
     """
-    win = win_ref[...]  # [TB, wpad, m]
+    g = pl.program_id(1)
+    # Mosaic requires sublane-dim dynamic starts to be provably 8-aligned:
+    # load an aligned (wpad+8)-row superset, then select the 0..7 offset with
+    # scalar-predicated selects over static slices (no gather, no dyn-slice).
+    base = pl.multiple_of((g // 8) * 8, 8)
+    sup = slab_ref[:, pl.ds(base, wpad + 8), :]  # [TB, wpad+8, m]
+    off = g - base
+    win = sup[:, 0:wpad, :]
+    for k in range(1, 8):
+        win = jnp.where(off == k, sup[:, k : k + wpad, :], win)
     if wpad > window:
         ridx = jax.lax.broadcasted_iota(jnp.int32, win.shape, 1)
         win = jnp.where(ridx >= window, jnp.inf, win)
-    out_ref[...] = _merge_cascade(win, _roll_pallas)
+    merged = _merge_cascade(win, _roll_pallas)
+    out_ref[...] = merged[:, :out_width]
 
 
 # populated lazily so the module imports without pallas
@@ -151,10 +230,16 @@ def _next_pow2(n: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("window", "n_groups", "interpret", "tile_b")
+    jax.jit,
+    static_argnames=("window", "n_groups", "interpret", "tile_b", "out_width"),
 )
 def merged_window_rows(
-    s_pad, window: int, n_groups: int, interpret: bool = False, tile_b: int = 8
+    s_pad,
+    window: int,
+    n_groups: int,
+    interpret: bool = False,
+    tile_b: int = 8,
+    out_width: int | None = None,
 ):
     """Merge each group's ``window`` consecutive pre-sorted rows in VMEM.
 
@@ -162,36 +247,46 @@ def merged_window_rows(
     rows and DESCENDING on odd rows (see :func:`alternate_row_directions`),
     +inf padded, laid out so group ``g``'s window is rows ``[g, g+window)``;
     ``Dp`` must leave ``wpad`` spare rows past the last window start (the
-    caller pads).  Returns [B, n_groups, wpad*m] merged ascending rows
-    (+inf tails).
+    caller pads).  Returns [B, n_groups, out_width] merged ascending rows
+    (+inf tails); ``out_width`` (a multiple of 128, default ``wpad*m``)
+    truncates the stored tail — positions past the maximum possible valid
+    count are always +inf padding, so skipping them saves HBM traffic.
     """
     pl = _ensure_pl()
     B, Dp, m = s_pad.shape
     wpad = _next_pow2(window)
-    assert n_groups + wpad <= Dp, "need spare rows past the last window"
+    if out_width is None:
+        out_width = wpad * m
+    # multiples of 128 keep the out block on the lane grid; tiny test shapes
+    # may use the full width instead
+    assert (out_width % 128 == 0 or out_width == wpad * m) and out_width <= wpad * m, out_width
+    # last aligned superset load must fit: base(G-1) + wpad + 8 <= Dp
+    assert ((n_groups - 1) // 8) * 8 + wpad + 8 <= Dp, "need spare rows past the last window"
     Bp = -(-B // tile_b) * tile_b
     if Bp != B:
         s_pad = jnp.pad(s_pad, ((0, Bp - B), (0, 0), (0, 0)), constant_values=jnp.inf)
 
-    # Input: overlapping wpad-row windows via element-offset indexing on the
-    # doy axis (group g's window starts at element row g).  Output flattened
-    # over (group, merged) — a (tile_b, wpad*m) block keeps the trailing
-    # block dims on the TPU (8, 128) grid.
+    # The slab block's index ignores g, so Pallas DMAs it once per batch tile
+    # and every group program reuses it from VMEM.  Output flattened over
+    # (group, merged) — a (tile_b, out_width) block keeps the trailing block
+    # dims on the TPU (8, 128) grid.
     out = pl.pallas_call(
-        functools.partial(_merge_kernel, window=window, wpad=wpad),
+        functools.partial(
+            _merge_kernel, window=window, wpad=wpad, out_width=out_width
+        ),
         grid=(Bp // tile_b, n_groups),
         in_specs=[
-            pl.BlockSpec((tile_b, pl.Element(wpad), m), lambda i, g: (i, g, 0)),
+            pl.BlockSpec((tile_b, Dp, m), lambda i, g: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((tile_b, wpad * m), lambda i, g: (i, g)),
-        out_shape=jax.ShapeDtypeStruct((Bp, n_groups * wpad * m), s_pad.dtype),
+        out_specs=pl.BlockSpec((tile_b, out_width), lambda i, g: (i, g)),
+        out_shape=jax.ShapeDtypeStruct((Bp, n_groups * out_width), s_pad.dtype),
         interpret=interpret,
     )(s_pad)
-    return out[:B].reshape(B, n_groups, wpad * m)
+    return out[:B].reshape(B, n_groups, out_width)
 
 
-@functools.partial(jax.jit, static_argnames=("window", "n_groups"))
-def merged_window_rows_xla(s_pad, window: int, n_groups: int):
+@functools.partial(jax.jit, static_argnames=("window", "n_groups", "out_width"))
+def merged_window_rows_xla(s_pad, window: int, n_groups: int, out_width: int | None = None):
     """Pure-XLA fallback with identical outputs (used off-TPU / for parity).
 
     Gathers the window rows per group then runs the same merge cascade; the
@@ -204,4 +299,5 @@ def merged_window_rows_xla(s_pad, window: int, n_groups: int):
     win = s_pad[:, base, :]  # [B, G, wpad, m]
     if wpad > window:
         win = jnp.where(jnp.arange(wpad)[None, None, :, None] >= window, jnp.inf, win)
-    return _merge_cascade(win, _roll_xla)
+    merged = _merge_cascade(win, _roll_xla)
+    return merged if out_width is None else merged[..., :out_width]

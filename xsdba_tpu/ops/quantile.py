@@ -207,30 +207,39 @@ def _windowed_group_quantile_core(
         alternate_row_directions,
         merged_window_rows,
         merged_window_rows_xla,
+        sort_rows_alternating,
     )
 
     G, Ymax = w1_gather.shape
-    S, V = _sorted_w1_lists(x, w1_gather)
+    gi = jnp.asarray(w1_gather)
+    vals = x[..., jnp.clip(gi, 0, x.shape[-1] - 1)]
+    vals = jnp.where(gi < 0, jnp.nan, vals)
+    V = jnp.sum(~jnp.isnan(vals), axis=-1).astype(jnp.int32)
+    raw = jnp.where(jnp.isnan(vals), jnp.inf, vals)  # [..., G, Ymax], unsorted
     if ypad > Ymax:
-        S = jnp.pad(
-            S, [(0, 0)] * (S.ndim - 1) + [(0, ypad - Ymax)], constant_values=jnp.inf
+        raw = jnp.pad(
+            raw, [(0, 0)] * (raw.ndim - 1) + [(0, ypad - Ymax)], constant_values=jnp.inf
         )
     lead = x.shape[:-1]
     # embed at row offset `half` so group g's window is rows [g, g+window)
-    Sp = jnp.full(lead + (dp, ypad), jnp.inf, dtype=S.dtype)
-    Sp = jax.lax.dynamic_update_slice_in_dim(Sp, S, half, axis=S.ndim - 2)
-    # odd rows descending: the merge cascade needs direction-alternating
-    # runs (Pallas cannot reverse in-kernel; see merge_kernel.py)
-    Sp = alternate_row_directions(Sp, axis_rows=-2)
+    Sp = jnp.full(lead + (dp, ypad), jnp.inf, dtype=raw.dtype)
+    Sp = jax.lax.dynamic_update_slice_in_dim(Sp, raw, half, axis=raw.ndim - 2)
     B = 1
     for d in lead:
         B *= d
     Sb = Sp.reshape((B, dp, ypad))
+    # merged positions past the max possible member count are always +inf:
+    # truncating them saves HBM traffic on the merged intermediate
+    out_width = min(wpad * ypad, -(-(window * Ymax) // 128) * 128)
     if use_kernel:
-        merged = merged_window_rows(Sb, window, G, interpret=interpret)
+        # rows sorted with alternating directions in-VMEM (XLA's sort on
+        # this chip is ~40x slower than the bitonic network; PERFORMANCE.md)
+        Sb = sort_rows_alternating(Sb, interpret=interpret)
+        merged = merged_window_rows(Sb, window, G, interpret=interpret, out_width=out_width)
     else:
-        merged = merged_window_rows_xla(Sb, window, G)
-    merged = merged.reshape(lead + (G, wpad * ypad))
+        Sb = alternate_row_directions(jnp.sort(Sb, axis=-1), axis_rows=-2)
+        merged = merged_window_rows_xla(Sb, window, G, out_width=out_width)
+    merged = merged.reshape(lead + (G, out_width))
 
     # sliding valid counts: nv[g] = sum_{d in [g-half, g-half+window) ∩ [0,G)} V[d]
     Vp = jnp.pad(V, [(0, 0)] * (V.ndim - 1) + [(half, window - half)])
@@ -277,19 +286,30 @@ def windowed_group_quantile(
     x = jnp.asarray(x)
     if use_kernel is None:
         use_kernel = _merge_backend_default(x.dtype)
-    return _windowed_group_quantile_core(
-        x,
-        jnp.asarray(plan.w1_gather),
-        jnp.asarray(plan.edge_ids),
-        jnp.asarray(plan.edge_gather),
-        jnp.asarray(quantiles, dtype=x.dtype),
-        half=plan.half,
-        window=plan.window,
-        ypad=plan.ypad,
-        wpad=plan.wpad,
-        dp=plan.dp,
-        use_kernel=bool(use_kernel),
-        interpret=interpret,
-        alpha=alpha,
-        beta=beta,
-    )
+
+    def run(xc):
+        return _windowed_group_quantile_core(
+            xc,
+            jnp.asarray(plan.w1_gather),
+            jnp.asarray(plan.edge_ids),
+            jnp.asarray(plan.edge_gather),
+            jnp.asarray(quantiles, dtype=x.dtype),
+            half=plan.half,
+            window=plan.window,
+            ypad=plan.ypad,
+            wpad=plan.wpad,
+            dp=plan.dp,
+            use_kernel=bool(use_kernel),
+            interpret=interpret,
+            alpha=alpha,
+            beta=beta,
+        )
+
+    # bound the merged intermediate ([chunk, G, wpad*ypad]) to ~2 GB f32
+    G = plan.w1_gather.shape[0]
+    per_site = G * plan.wpad * plan.ypad
+    max_chunk = max(1, (1 << 29) // per_site)
+    if x.ndim <= 1 or x.shape[0] <= max_chunk:
+        return run(x)
+    chunks = [run(x[i : i + max_chunk]) for i in range(0, x.shape[0], max_chunk)]
+    return jnp.concatenate(chunks, axis=0)
