@@ -164,3 +164,45 @@ def test_ref_params_reuse(random):
     np.testing.assert_allclose(np.asarray(ev2.ds["ref_params"].data), np.asarray(ev1.ds["ref_params"].data), rtol=1e-6)
     s2 = ev2.adjust(hist, series(v * 0.9))
     assert np.isfinite(np.asarray(s2.data)).all()
+
+
+class TestExtremeValuesScalability:
+    def test_cluster_bound_matches_reference_overallocation(self):
+        from xsdba_tpu.models.extremes import _cluster_bound
+
+        # (1-q)*T*1.05 (reference adjustment.py:856), not T//2
+        assert _cluster_bound(54750, 0.95) == int(0.05 * 54750 * 1.05) + 8
+        assert _cluster_bound(54750, 0.95) < 54750 // 2 / 9
+
+    def test_only_qualifying_clusters_consume_labels(self):
+        import jax.numpy as jnp
+
+        from xsdba_tpu.ops.clusters import cluster_fields
+
+        # many u2-runs, few qualifying (> u1): with max_clusters smaller than
+        # the u2-run count, all qualifying clusters must still be found
+        x = np.zeros(1000)
+        x[::4] = 1.0          # 250 runs above u2=0.5
+        x[100] = 5.0          # two qualifying clusters (> u1=2)
+        x[800] = 7.0
+        out = cluster_fields(jnp.asarray(x), 2.0, 0.5, max_clusters=8)
+        mx = np.asarray(out["maximum"])
+        assert int(np.asarray(out["nclusters"])) == 2
+        np.testing.assert_allclose(mx[:2], [5.0, 7.0])
+        assert np.isnan(mx[2:]).all()
+
+    def test_long_series_train(self, random):
+        """150-yr daily train works with the (1-q)T bound and padded-length
+        bucketing (one compile per 4096-length bucket)."""
+        import xsdba_tpu as xt
+
+        T = 365 * 150
+        t = xt.date_range("1850-01-01", periods=T, freq="D", calendar="noleap")
+        base = random.gamma(2, 5, T)
+        mk = lambda v: xt.DataArray(v, ("time",), {"time": t}, {"units": "mm/d"}, "pr")
+        ev = xt.ExtremeValues.train(mk(base), mk(base * 1.3), cluster_thresh="20 mm/d", q_thresh=0.95)
+        af = np.asarray(ev.ds["af"].data)
+        assert af.shape[-1] == int(0.05 * T * 1.05)
+        assert np.isfinite(af).sum() > 100
+        scen = ev.adjust(mk(base * 1.3), mk(base * 1.25))
+        assert np.asarray(scen.data).shape == (T,)

@@ -135,3 +135,29 @@ def test_grouped_mean_and_rank(random):
     assert jan.min() == pytest.approx(0.0) and jan.max() == pytest.approx(1.0)
     order = np.argsort(x[0, t.month == 1])
     assert np.all(np.diff(jan[0][order]) > 0)
+
+
+def test_gathered_matches_unrolled_large_tables(random):
+    """Above _UNROLL_MAX_NQ the binary-search+gather form takes over; its
+    semantics must match the unrolled form exactly."""
+    import jax.numpy as jnp
+
+    from xsdba_tpu.ops.interp import (
+        _compact_nan_pairs,
+        _interp_gathered,
+        _interp_unrolled,
+    )
+
+    nq, T, R = 40, 300, 4
+    xs = np.sort(random.normal(size=(R, nq)), axis=-1)
+    ys = random.normal(size=(R, nq))
+    xs[0, 5] = np.nan
+    ys[1, 2] = np.nan
+    v = random.normal(size=(R, T)) * 2
+    v[2, 7] = np.nan
+    xsc, ysc, nv = _compact_nan_pairs(jnp.asarray(xs), jnp.asarray(ys))
+    for method in ("linear", "nearest"):
+        for extrap in ("constant", "nan"):
+            a = np.asarray(_interp_unrolled(jnp.asarray(v), xsc, ysc, nv, method, extrap))
+            b = np.asarray(_interp_gathered(jnp.asarray(v), xsc, ysc, nv, method, extrap))
+            np.testing.assert_array_equal(a, b)

@@ -121,6 +121,9 @@ class ExtremeValues(TrainAdjust):
         refa, bdims, bcoords = to_compute(ref)
         hista, _, _ = to_compute(hist)
         T = refa.shape[-1]
+        # bucket the series length so nearby lengths share one compilation
+        refa = _pad_time(refa)
+        hista = _pad_time(hista)
         N = int((1 - q_thresh) * T * 1.05)
         if ref_params is not None:
             # reuse a previous training's fitted ref GPD (stored in its ds)
@@ -131,7 +134,8 @@ class ExtremeValues(TrainAdjust):
             rp = jnp.zeros(refa.shape[:-1] + (2,), dtype=refa.dtype)
             use_rp = False
         px_hist, af, thresh, ref_fit = _extremes_train_core(
-            refa, hista, jnp.asarray(ct, refa.dtype), q_thresh, rp, n_out=N, max_clusters=T // 2, use_ref_params=use_rp
+            refa, hista, jnp.asarray(ct, refa.dtype), q_thresh, rp, n_out=N,
+            max_clusters=_cluster_bound(T, q_thresh), use_ref_params=use_rp
         )
         qcoord = np.arange(N)
         ds = Dataset(
@@ -156,9 +160,10 @@ class ExtremeValues(TrainAdjust):
     ):
         sima, _, _ = to_compute(sim)
         scena, _, _ = to_compute(scen)
+        T = sima.shape[-1]
         out = _extremes_adjust_core(
-            sima,
-            scena,
+            _pad_time(sima),
+            _pad_time(scena),
             jnp.asarray(self.ds["px_hist"].data),
             jnp.asarray(self.ds["af"].data),
             jnp.asarray(self.ds["thresh"].data)[..., 0],
@@ -167,6 +172,27 @@ class ExtremeValues(TrainAdjust):
             jnp.asarray(power, sima.dtype),
             interp=interp,
             extrapolation=extrapolation,
-            max_clusters=sima.shape[-1] // 2,
+            max_clusters=_cluster_bound(T, self.q_thresh),
         )
-        return scen_like(sim, out)
+        return scen_like(sim, out[..., :T])
+
+
+def _pad_time(x, step: int = 4096):
+    """NaN-pad the time axis to a multiple of ``step`` so nearby series
+    lengths reuse one compilation (NaNs are inert in every core: quantile
+    subsets, cluster exceedance tests, GPD cdf/ppf and the final blend)."""
+    import jax.numpy as jnp
+
+    T = x.shape[-1]
+    pad = -T % step
+    if pad == 0:
+        return jnp.asarray(x)
+    return jnp.pad(jnp.asarray(x), [(0, 0)] * (x.ndim - 1) + [(0, pad)], constant_values=jnp.nan)
+
+
+def _cluster_bound(T: int, q_thresh: float) -> int:
+    """Static cluster-count bound: the reference's own over-allocation
+    ``(1-q_thresh)*T*1.05`` (adjustment.py:856) — safe here because only
+    qualifying clusters (max > the q_thresh threshold) consume a label
+    (see ops/clusters.py)."""
+    return max(int((1 - q_thresh) * T * 1.05) + 8, 16)

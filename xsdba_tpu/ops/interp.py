@@ -75,14 +75,25 @@ def _compact_nan_pairs(xq, yq):
     return xs, ys, nvalid
 
 
+_UNROLL_MAX_NQ = 64
+
+
 def _interp_unrolled(v, xs, ys, nvalid, method: str, extrap: str):
     """Evaluate the compacted table (xs, ys, nvalid) at v, gather-free.
 
     v: [..., T]; xs/ys: [..., nq] (leading dims broadcastable); nvalid [...].
     The nq axis is unrolled: count = sum_k (xs_k <= v) locates the segment,
     masked accumulation selects the bounds.
+
+    Above ``_UNROLL_MAX_NQ`` entries the unroll would bloat the XLA graph
+    (compile time scales linearly with nq; through the remote-compile relay
+    that is minutes) — a log2(nq) binary-search + gather variant with
+    identical semantics takes over (ExtremeValues tables have thousands of
+    entries).
     """
     nq = xs.shape[-1]
+    if nq > _UNROLL_MAX_NQ:
+        return _interp_gathered(v, xs, ys, nvalid, method, extrap)
     last = jnp.clip(nvalid - 1, 0, nq - 1)[..., None]
 
     cnt = jnp.zeros(jnp.broadcast_shapes(v.shape, xs.shape[:-1] + (1,)), dtype=jnp.int32)
@@ -113,6 +124,54 @@ def _interp_unrolled(v, xs, ys, nvalid, method: str, extrap: str):
         ml = last == k
         x_last = jnp.where(ml, xk, x_last)
         y_last = jnp.where(ml, yk, y_last)
+
+    dx = x1 - x0
+    t = jnp.where(dx > 0, (v - x0) / jnp.where(dx == 0, 1, dx), 0.0)
+    t = jnp.where(jnp.isfinite(t), t, 0.0)
+    if method == "linear":
+        out = y0 + t * (y1 - y0)
+    elif method == "nearest":
+        out = jnp.where(jnp.abs(v - x0) <= jnp.abs(x1 - v), y0, y1)
+    else:
+        raise NotImplementedError(f"method={method!r}")
+
+    x_first = xs[..., :1]
+    y_first = ys[..., :1]
+    below = v < x_first
+    above = v > x_last
+    if extrap == "constant":
+        out = jnp.where(below, y_first, out)
+        out = jnp.where(above, y_last, out)
+    elif extrap == "nan":
+        out = jnp.where(below | above, jnp.nan, out)
+    else:
+        raise ValueError(f"extrapolation must be 'constant' or 'nan', got {extrap!r}")
+
+    out = jnp.where(nvalid[..., None] == 0, jnp.nan, out)
+    return jnp.where(jnp.isnan(v), jnp.nan, out)
+
+
+def _interp_gathered(v, xs, ys, nvalid, method: str, extrap: str):
+    """Large-table form of :func:`_interp_unrolled` — binary-search locate
+    (log2 nq vectorized steps) + take_along_axis bound selection.  Bitwise
+    the same semantics; used when unrolling would blow up compile time."""
+    nq = xs.shape[-1]
+    cnt = searchsorted_batched(xs, v, side="right")
+    k0 = jnp.clip(cnt - 1, 0, jnp.maximum(nvalid - 2, 0)[..., None])
+
+    def take(a, idx):
+        aa = jnp.broadcast_to(a, jnp.broadcast_shapes(a.shape, idx.shape[:-1] + a.shape[-1:]))
+        return jnp.take_along_axis(aa, idx, axis=-1)
+
+    x0 = take(xs, k0)
+    y0 = take(ys, k0)
+    k1 = jnp.clip(k0 + 1, 0, nq - 1)
+    at_end = k0 == nq - 1
+    x1 = jnp.where(at_end, jnp.inf, take(xs, k1))
+    y1 = jnp.where(at_end, y0, take(ys, k1))
+    last = jnp.clip(nvalid - 1, 0, nq - 1)[..., None] * jnp.ones_like(k0)
+    x_last = take(xs, last)
+    y_last = take(ys, last)
 
     dx = x1 - x0
     t = jnp.where(dx > 0, (v - x0) / jnp.where(dx == 0, 1, dx), 0.0)
