@@ -101,3 +101,44 @@ def test_grouper_apply(random):
 
     mx = Grouper("time.month").apply(lambda v: jnp.nanmax(v, axis=-1), da)
     assert mx.shape == (12,)
+
+
+class TestApplyTransform:
+    def test_non_reducing_callable_scatters_back(self):
+        """A callable keeping the [..., G, L] shape is a transform whose
+        result lands back on the time axis (reference base.py:438-450)."""
+        import jax.numpy as jnp
+
+        from xsdba_tpu import DataArray, date_range
+        from xsdba_tpu.utils.grouper import Grouper
+
+        rng = np.random.default_rng(3)
+        T = 365 * 2
+        t = date_range("2000-01-01", periods=T, freq="D", calendar="noleap")
+        x = rng.normal(10, 2, T)
+        da = DataArray(x, ("time",), {"time": t}, {"units": "K"}, "tas")
+
+        # group-wise centering as a non-reducing transform
+        out = Grouper("time.month").apply(lambda v: v - jnp.nanmean(v, axis=-1, keepdims=True), da)
+        assert out.dims == ("time",)
+        got = np.asarray(out.data)
+        month = np.asarray(da.time.month)
+        for m in range(1, 13):
+            sel = month == m
+            np.testing.assert_allclose(got[sel], x[sel] - x[sel].mean(), rtol=1e-12)
+
+    def test_windowed_transform_takes_center(self):
+        import jax.numpy as jnp
+
+        from xsdba_tpu import DataArray, date_range
+        from xsdba_tpu.utils.grouper import Grouper
+
+        rng = np.random.default_rng(4)
+        T = 365 * 2
+        t = date_range("2000-01-01", periods=T, freq="D", calendar="noleap")
+        x = rng.normal(0, 1, T)
+        da = DataArray(x, ("time",), {"time": t}, {}, "tas")
+        # identity transform through a 31-day dayofyear window must return
+        # each timestep's own (window-center) value
+        out = Grouper("time.dayofyear", window=31).apply(lambda v: v, da)
+        np.testing.assert_allclose(np.asarray(out.data), x, rtol=0, atol=0)

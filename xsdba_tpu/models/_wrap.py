@@ -8,7 +8,7 @@ import numpy as np
 from ..utils.container import DataArray
 from ..utils.grouper import GroupIndexes
 
-__all__ = ["batch_of", "device_brackets", "grouped_var", "scen_like", "to_compute"]
+__all__ = ["batch_of", "device_brackets", "fold_add_dims", "grouped_var", "scen_like", "to_compute"]
 
 
 def device_brackets(gi: GroupIndexes, method: str = "linear"):
@@ -45,6 +45,51 @@ def to_compute(da: DataArray):
     batch_dims = da.dims[:-1]
     batch_coords = {d: da.coords[d] for d in batch_dims if d in da.coords}
     return jnp.asarray(da.data), batch_dims, batch_coords
+
+
+def fold_add_dims(group, *das: DataArray):
+    """Fold ``group.add_dims`` batch dims into the time axis for pooled
+    training (reference ``base.py:413``: the grouped reduction runs over
+    ``[dim] + add_dims + window``).
+
+    Arrays missing one of the add_dims are first broadcast over it, matching
+    the implicit xarray ``Dataset`` broadcast in the reference's
+    ``Grouper.group``.  Returns ``(arrays [..., A*T], batch_dims,
+    batch_coords, n_add)`` — pair with ``GroupIndexes.expand(n_add)``.
+    """
+    adims = list(group.add_dims)
+    sizes: dict[str, int] = {}
+    for da in das:
+        for d, s in zip(da.dims, da.shape):
+            if d in adims:
+                sizes[d] = s
+    if any(d not in sizes for d in adims):
+        raise ValueError("`add_dims` argument needs to be a dimension in one of the input datasets.")
+    n_add = int(np.prod([sizes[d] for d in adims], dtype=np.int64))
+
+    outs = []
+    bdims: tuple = ()
+    bcoords: dict = {}
+    for i, da in enumerate(das):
+        dac = da.move_dim_last("time")
+        arr = jnp.asarray(dac.data)
+        dims = list(dac.dims)
+        for d in adims:
+            if d not in dims:
+                arr = jnp.broadcast_to(arr[..., None, :], arr.shape[:-1] + (sizes[d], arr.shape[-1]))
+                dims.insert(len(dims) - 1, d)
+        perm = (
+            [j for j, d in enumerate(dims) if d not in adims and d != "time"]
+            + [dims.index(d) for d in adims]
+            + [dims.index("time")]
+        )
+        arr = jnp.transpose(arr, perm)
+        batch = arr.shape[: arr.ndim - 1 - len(adims)]
+        outs.append(arr.reshape(batch + (n_add * arr.shape[-1],)))
+        if i == 0:
+            bdims = tuple(dims[j] for j in perm if dims[j] not in adims and dims[j] != "time")
+            bcoords = {d: dac.coords[d] for d in bdims if d in dac.coords}
+    return outs, bdims, bcoords, n_add
 
 
 def batch_of(da: DataArray):

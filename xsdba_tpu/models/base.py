@@ -86,7 +86,13 @@ class TrainAdjust(BaseAdjustment):
     def train(cls, ref: DataArray, hist: DataArray, **kwargs) -> "TrainAdjust":
         skip_checks = kwargs.pop("skip_input_checks", False)
         if isinstance(kwargs.get("group"), str):
-            kwargs["group"] = Grouper(kwargs["group"], window=kwargs.pop("window", 1))
+            # reference Grouper.from_kwargs (base.py:179-186): window and
+            # add_dims ride along with a string group
+            kwargs["group"] = Grouper(
+                kwargs["group"],
+                window=kwargs.pop("window", 1),
+                add_dims=kwargs.pop("add_dims", None),
+            )
         if not skip_checks:
             cls._check_inputs(ref, hist, group=kwargs.get("group"))
             (ref, hist), train_units = cls._harmonize_units(ref, hist)
@@ -157,7 +163,11 @@ class Adjust(BaseAdjustment):
     def adjust(cls, ref: DataArray, hist: DataArray, sim: DataArray | None = None, **kwargs):
         kwargs = dict(kwargs)
         if isinstance(kwargs.get("group"), str):
-            kwargs["group"] = Grouper(kwargs["group"], window=kwargs.pop("window", 1))
+            kwargs["group"] = Grouper(
+                kwargs["group"],
+                window=kwargs.pop("window", 1),
+                add_dims=kwargs.pop("add_dims", None),
+            )
         skip_checks = kwargs.pop("skip_input_checks", False)
 
         if sim is None:

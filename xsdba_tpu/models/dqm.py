@@ -21,7 +21,7 @@ from ..utils.container import DataArray, Dataset
 from ..utils.grouper import Grouper
 from ..utils.options import EXTRA_OUTPUT, get_option
 from . import _algos
-from ._wrap import device_brackets, grouped_var, scen_like, to_compute
+from ._wrap import device_brackets, fold_add_dims, grouped_var, scen_like, to_compute
 from .base import TrainAdjust
 
 __all__ = ["DetrendedQuantileMapping"]
@@ -61,36 +61,42 @@ class DetrendedQuantileMapping(TrainAdjust):
         else:
             quantiles = np.asarray(nquantiles)
 
-        refa, bdims, bcoords = to_compute(ref)
-        hista, _, _ = to_compute(hist)
-        quantiles = quantiles.astype(np.asarray(refa).dtype)
         gi = group.indexes(ref.time)
+        if group.add_dims:
+            # pooled training over the extra dims (reference base.py:413)
+            (refa, hista), bdims, bcoords, n_add = fold_add_dims(group, ref, hist)
+            gi_t = gi.expand(n_add)
+        else:
+            refa, bdims, bcoords = to_compute(ref)
+            hista, _, _ = to_compute(hist)
+            gi_t = gi
+        quantiles = quantiles.astype(np.asarray(refa).dtype)
 
         hist_q_raw = None
         if max_tail_factor is not None:
             from ..ops.quantile import grouped_nan_quantile
 
-            hist_q_raw = grouped_nan_quantile(hista, gi.gather_idx, quantiles)
+            hist_q_raw = grouped_nan_quantile(hista, gi_t.gather_idx, quantiles)
 
         from .eqm import _apply_jitter, _preprocess
 
         hista = _apply_jitter(hista, hist, jitter_under_thresh_value, jitter_over_thresh_value, jitter_over_thresh_upper_bnd)
         if adapt_freq_thresh is None:
-            if gi.merge_plan is not None:
+            if gi_t.merge_plan is not None:
                 # shared-sort merge path (normalization commutes with
                 # quantiles — see _algos.dqm_train_windowed)
                 af, hist_q, scaling = _algos.dqm_train_windowed(
-                    refa, hista, gi.merge_plan, jnp.asarray(quantiles), kind=kind
+                    refa, hista, gi_t.merge_plan, jnp.asarray(quantiles), kind=kind
                 )
             else:
                 # memory-bounded chunked path
                 af, hist_q, scaling = _algos.dqm_train_from_raw(
-                    refa, hista, jnp.asarray(gi.gather_idx), jnp.asarray(quantiles), kind=kind
+                    refa, hista, jnp.asarray(gi_t.gather_idx), jnp.asarray(quantiles), kind=kind
                 )
             P0_ref = P0_hist = pth = None
         else:
             refg, histg, P0_ref, P0_hist, pth = _preprocess(
-                refa, hista, gi, hist, adapt_freq_thresh, None, None, None
+                refa, hista, gi_t, hist, adapt_freq_thresh, None, None, None
             )
             # mean-normalize within each group (reference _adjustment.py:165-168)
             mu_ref = jnp.nanmean(refg, axis=-1)

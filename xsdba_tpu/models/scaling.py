@@ -17,7 +17,7 @@ from ..ops.segment import gather_groups
 from ..utils.container import DataArray, Dataset
 from ..utils.grouper import Grouper
 from . import _algos
-from ._wrap import device_brackets, grouped_var, scen_like, to_compute
+from ._wrap import device_brackets, fold_add_dims, grouped_var, scen_like, to_compute
 from .base import TrainAdjust
 
 __all__ = ["LOCI", "Scaling"]
@@ -32,10 +32,15 @@ class Scaling(TrainAdjust):
     @classmethod
     def _train(cls, ref: DataArray, hist: DataArray, *, group: str | Grouper = "time", kind: str = ADDITIVE) -> tuple[Dataset, dict[str, Any]]:
         group = Grouper(group) if isinstance(group, str) else group
-        refa, bdims, bcoords = to_compute(ref)
-        hista, _, _ = to_compute(hist)
         gi = group.indexes(ref.time)
-        af = _algos.scaling_train_core(refa, hista, gi.gather_idx, gi.gather_idx, kind=kind)
+        if group.add_dims:
+            (refa, hista), bdims, bcoords, n_add = fold_add_dims(group, ref, hist)
+            gi_t = gi.expand(n_add)
+        else:
+            refa, bdims, bcoords = to_compute(ref)
+            hista, _, _ = to_compute(hist)
+            gi_t = gi
+        af = _algos.scaling_train_core(refa, hista, gi_t.gather_idx, gi_t.gather_idx, kind=kind)
         ds = Dataset({"af": grouped_var(af, bdims, bcoords, gi, name="af", attrs={"standard_name": "Adjustment factors"})})
         return ds, {"group": group, "kind": kind}
 
@@ -89,11 +94,16 @@ class LOCI(TrainAdjust):
 
         group = Grouper(group) if isinstance(group, str) else group
         th = convert_units_to(thresh, ref.units)
-        refa, bdims, bcoords = to_compute(ref)
-        hista, _, _ = to_compute(hist)
         gi = group.indexes(ref.time)
-        refg = gather_groups(refa, gi.gather_idx)
-        histg = gather_groups(hista, gi.gather_idx)
+        if group.add_dims:
+            (refa, hista), bdims, bcoords, n_add = fold_add_dims(group, ref, hist)
+            gi_t = gi.expand(n_add)
+        else:
+            refa, bdims, bcoords = to_compute(ref)
+            hista, _, _ = to_compute(hist)
+            gi_t = gi
+        refg = gather_groups(refa, gi_t.gather_idx)
+        histg = gather_groups(hista, gi_t.gather_idx)
         af, s_thresh = _loci_train_core(refg, histg, jnp.asarray(th, dtype=refa.dtype))
         ds = Dataset(
             {

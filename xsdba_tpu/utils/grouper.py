@@ -152,6 +152,37 @@ class GroupIndexes:
             return np.array([1.0])
         return np.asarray(self.coord, dtype=np.float64)
 
+    def expand(self, n_add: int) -> "GroupIndexes":
+        """Expanded indexes over a flattened ``[A*T]`` axis.
+
+        For Grouper ``add_dims`` pooling (reference ``base.py:413``: the
+        grouped reduction runs over ``[dim] + add_dims + window``): the extra
+        dims are folded into the time axis as ``A`` stacked copies of the
+        series, and each group's gather row pools the members of every copy.
+        The rolling window stays within a copy (the reference constructs the
+        window along ``dim`` before reducing over ``add_dims``).
+        """
+        if n_add == 1:
+            return self
+        T = len(self.group_idx)
+        G, L = self.gather_idx.shape
+        offs = (np.arange(n_add, dtype=np.int64) * T)[:, None, None]
+        g = np.where(self.gather_idx[None] < 0, -1, self.gather_idx[None].astype(np.int64) + offs)
+        gather = np.moveaxis(g, 0, 1).reshape(G, n_add * L)
+        slot = (np.arange(n_add, dtype=np.int64)[:, None] * L + self.scatter_slot[None, :]).reshape(-1)
+        return GroupIndexes(
+            n_groups=self.n_groups,
+            group_idx=np.tile(self.group_idx, n_add),
+            frac_idx=np.tile(self.frac_idx, n_add),
+            gather_idx=gather.astype(np.int32),
+            group_counts=(self.group_counts.astype(np.int64) * n_add).astype(np.int32),
+            scatter_slot=slot.astype(np.int32),
+            coord=self.coord,
+            prop=self.prop,
+            window=self.window,
+            merge_plan=None,  # pooled rows break the union property; exact path
+        )
+
     def bracket_partitions(self, method: str = "linear"):
         """Static partitions of the time axis by *bracketing padded group*.
 
@@ -471,21 +502,49 @@ def _grouper_apply(self, func, da, main_only: bool = False):
     base.py:347-457, reduced to its tensor essence).
 
     ``func`` is "mean"/"std"/"sum"/"min"/"max" or a callable taking the
-    gathered [..., G, L] matrix and reducing the last axis.  Returns a
-    grouped DataArray ([..., G]); window pads are NaN (skipped by the
-    named reductions).
+    gathered [..., G, L] matrix.  A callable that reduces the last axis
+    yields a grouped DataArray ([..., G]); window pads are NaN (skipped by
+    the named reductions).  A callable that *keeps* the [..., G, L] shape is
+    a transform: its result is scattered back onto the time axis (window
+    center slot), matching the reference's non-reducing apply + sortby(dim)
+    + isel(window=window//2) behavior (base.py:438-450).  Unless
+    ``main_only``, ``add_dims`` are folded into the gathered axis and
+    reduced too (reference base.py:413).
     """
     import jax.numpy as jnp
 
     from .container import DataArray
 
     gi = self.indexes(da.time)
+    if self.add_dims and not main_only:
+        from ..models._wrap import fold_add_dims
+
+        (x,), bdims_f, bcoords_f, n_add = fold_add_dims(self, da)
+        gi = gi.expand(n_add)
+        gidx = jnp.asarray(gi.gather_idx)
+        vals = jnp.where(gidx < 0, jnp.nan, x[..., jnp.clip(gidx, 0, x.shape[-1] - 1)])
+        if callable(func):
+            out = func(vals)
+        else:
+            red = {"mean": jnp.nanmean, "std": jnp.nanstd, "sum": jnp.nansum, "min": jnp.nanmin, "max": jnp.nanmax}[func]
+            out = red(vals, axis=-1)
+        prop = self.prop_name if gi.prop != "group" else "group"
+        coords = dict(bcoords_f)
+        coords[prop] = gi.coord
+        return DataArray(out, bdims_f + (prop,), coords, dict(da.attrs), da.name)
     dac = da.move_dim_last("time")
     x = jnp.asarray(dac.data)
     gidx = jnp.asarray(gi.gather_idx)
     vals = jnp.where(gidx < 0, jnp.nan, x[..., jnp.clip(gidx, 0, x.shape[-1] - 1)])
     if callable(func):
         out = func(vals)
+        if out.ndim == vals.ndim and out.shape[-2:] == vals.shape[-2:]:
+            # non-reducing transform: scatter each timestep's window-center
+            # value back onto the time axis
+            from ..ops.segment import scatter_back
+
+            ts = scatter_back(out, jnp.asarray(gi.group_idx), jnp.asarray(gi.scatter_slot))
+            return DataArray(ts, dac.dims, dict(dac.coords), dict(da.attrs), da.name)
     else:
         red = {"mean": jnp.nanmean, "std": jnp.nanstd, "sum": jnp.nansum, "min": jnp.nanmin, "max": jnp.nanmax}[func]
         out = red(vals, axis=-1)

@@ -122,12 +122,20 @@ class ParametrizableWithDataset(Parametrizable):
                     coords[cname] = {"__time__": False}
             meta["vars"][name] = {"dims": da.dims, "attrs": da.attrs, "coords": coords}
         arrays["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+        # np.savez appends ".npz" to extension-less paths; normalize so
+        # save(p) / from_file(p) round-trip for any p
+        if not str(path).endswith(".npz"):
+            path = f"{path}.npz"
         np.savez(path, **arrays)
 
     @classmethod
     def from_file(cls, path: str) -> "ParametrizableWithDataset":
         from .calendar import TimeIndex
 
+        import os
+
+        if not os.path.exists(path) and os.path.exists(f"{path}.npz"):
+            path = f"{path}.npz"
         with np.load(path, allow_pickle=False) as z:
             meta = json.loads(bytes(z["__meta__"]).decode())
             data_vars = {}
