@@ -79,15 +79,39 @@ def _merge_cascade(x, roll):
     """[..., W, m] runs with row-parity-alternating directions -> [..., W*m]
     ascending.  ``W``, ``m`` powers of two; either phase (even rows ascending
     or even rows descending) is accepted — a pair of opposite-direction runs
-    is bitonic either way."""
+    is bitonic either way.
+
+    Sign-space formulation: a descending run of ``x`` equals the negation of
+    an ascending run of ``-x``, so instead of the direction-masked double
+    min/max network, whole pairs that must emit descending are *negated* and
+    every level runs the cheap ascending-only merge (5 vec-ops/stage vs 9).
+    Odd runs then sit in storage negated; the next level's entry negation
+    folds the store-sign and the new pair-sign into ONE select-negate per
+    level: level 0 negates whole odd pairs ([+,+,-,-] by row), later levels
+    negate (pair parity) XOR (upper half) ([+,-,-,+]).  Signs cancel exactly
+    at the final (ascending, pair-parity 0) level, so the output values are
+    identical to the masked form (up to ±0.0 tie placement, which quantile
+    extraction cannot observe).
+    """
+    level = 0
     while x.shape[-2] > 1:
         W, m = x.shape[-2], x.shape[-1]
         x = x.reshape(x.shape[:-2] + (W // 2, 2 * m))  # rows now bitonic
-        if W // 2 > 1:
-            pair = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 2)
-            x = _bitonic_merge_lastaxis(x, roll, desc=(pair % 2) == 1)
-        else:
-            x = _bitonic_merge_lastaxis(x, roll)  # final run: ascending
+        if W // 2 > 1 or level > 0:
+            if level == 0:
+                pair = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 2)
+                neg = (pair & 1) == 1
+            else:
+                lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+                upper = (lane & m) != 0  # second (previously-negated) run
+                if W // 2 > 1:
+                    pair = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 2)
+                    neg = ((pair & 1) == 1) ^ upper
+                else:
+                    neg = upper
+            x = jnp.where(neg, -x, x)
+        x = _bitonic_merge_lastaxis(x, roll)
+        level += 1
     return x[..., 0, :]
 
 
@@ -96,26 +120,36 @@ def _bitonic_sort_lastaxis(x, roll, desc=None):
 
     Ascending by default; rows where ``desc`` (mask constant along the last
     axis) is True sort descending.  Same roll+iota formulation as the merge.
+
+    Sign-space network: each phase's descending blocks are handled by
+    negating those blocks and running the ascending-only compare-exchange
+    stages (5 vec-ops/stage instead of 9); consecutive phases fold the
+    negate-back/negate-in into one select-negate (XOR of the block masks).
     """
     m = x.shape[-1]
     pos = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    cur = None  # mask of currently-negated elements
     k = 2
     while k <= m:
         # phase k merges bitonic runs of length k; direction alternates by
         # the k-block of the position (standard bitonic sort network)
-        blk_desc = (pos & k) != 0 if k < m else False
+        blk_desc = (pos & k) != 0 if k < m else None
         if desc is not None:
-            blk_desc = blk_desc ^ desc
+            blk_desc = desc if blk_desc is None else (blk_desc ^ desc)
+        flip = blk_desc if cur is None else (cur if blk_desc is None else (cur ^ blk_desc))
+        if flip is not None:
+            x = jnp.where(flip, -x, x)
+        cur = blk_desc
         s = k // 2
         while s >= 1:
             fwd = roll(x, -s, x.ndim - 1)
             bwd = roll(x, s, x.ndim - 1)
             is_low = (pos & s) == 0
-            asc = jnp.where(is_low, jnp.minimum(x, fwd), jnp.maximum(x, bwd))
-            dsc = jnp.where(is_low, jnp.maximum(x, fwd), jnp.minimum(x, bwd))
-            x = jnp.where(blk_desc, dsc, asc)
+            x = jnp.where(is_low, jnp.minimum(x, fwd), jnp.maximum(x, bwd))
             s //= 2
         k *= 2
+    if cur is not None:
+        x = jnp.where(cur, -x, x)
     return x
 
 

@@ -22,6 +22,7 @@ from .utils.units import convert_units_to
 
 __all__ = [
     "adapt_freq",
+    "broadcast",
     "get_clusters",
     "interp_on_quantiles",
     "rank",
@@ -866,6 +867,31 @@ def get_clusters(da: DataArray, u1, u2, dim: str = "time") -> Dataset:
             "nclusters": DataArray(fields["nclusters"], bdims, bcoords, {}, "nclusters"),
         }
     )
+
+
+@parse_group
+def broadcast(grouped: DataArray, x: DataArray, *, group: str | Grouper = "time", interp: str = "nearest") -> DataArray:
+    """Broadcast a grouped array ([..., prop]) back onto ``x``'s time axis
+    (reference ``utils.py:181-248``): nearest selection by group id, or
+    linear interpolation over the fractional group index with cyclic group
+    padding."""
+    from .ops.correction import broadcast_group_factors
+
+    group = Grouper(group) if isinstance(group, str) else group
+    gi = group.indexes(x.time)
+    prop = group.prop_name if gi.prop != "group" else "group"
+    gc = grouped.move_dim_last(prop)
+    out = broadcast_group_factors(
+        jnp.asarray(gc.data),
+        jnp.asarray(gi.frac_idx),
+        jnp.asarray(gi.group_idx),
+        gi.positions,
+        interp=interp,
+    )
+    bdims = gc.dims[:-1]
+    coords = {d: gc.coords[d] for d in bdims if d in gc.coords}
+    coords["time"] = x.time
+    return DataArray(out, bdims + ("time",), coords, dict(grouped.attrs), grouped.name)
 
 
 @parse_group

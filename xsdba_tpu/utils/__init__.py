@@ -1,8 +1,49 @@
-from .calendar import TimeIndex, date_range, max_doy
+from .calendar import TimeIndex, date_range, interpolate_doy_calendar, max_doy
 from .container import DataArray, Dataset
 from .grouper import GroupIndexes, Grouper, parse_group, period_blocks
+from .helpers import (
+    add_cyclic_bounds,
+    copy_all_attrs,
+    ensure_longest_doy,
+    get_clusters_1d,
+    map_cdf_1d,
+    random_tiebreak,
+)
 from .options import get_option, set_options
-from .units import Quantity, convert_units_to, harmonize_units, infer_sampling_units, str2quantity, units2str
+from .units import Quantity, convert_units_to, harmonize_units, infer_sampling_units, pint2cfattrs, str2quantity, units2str
+
+# Kernel-layer names the reference exposes via ``xsdba.utils`` — re-exported
+# lazily (PEP 562) because ops/processing import from this package.
+_LAZY = {
+    "pc_matrix": "..ops.pca",
+    "best_pc_orientation_simple": "..ops.pca",
+    "best_pc_orientation_full": "..ops.pca",
+    "bin_width_estimator": "..ops.ot",
+    "histogram": "..ops.ot",
+    "optimal_transport": "..ops.ot",
+    "eps_cholesky": "..ops.ot",
+    "broadcast": "..processing",
+    "ecdf": "..ops.correction",
+    "map_cdf": "..ops.correction",
+    "equally_spaced_nodes": "..ops.correction",
+    "get_correction": "..ops.correction",
+    "apply_correction": "..ops.correction",
+    "invert": "..ops.correction",
+    "rand_rot_matrix": "..ops.rotation",
+    "rank": "..processing",
+    "sort_along_dim": "..processing",
+    "get_clusters": "..processing",
+    "interp_on_quantiles": "..processing",
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        mod = importlib.import_module(_LAZY[name], __name__)
+        return getattr(mod, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 import operator as _op
 

@@ -1,0 +1,162 @@
+"""Small public utilities mirroring reference ``xsdba/utils.py`` helpers.
+
+These are host-side conveniences (the hot paths live in ``ops/``): cyclic
+padding, doy-range alignment, 1-D CDF mapping, tie-breaking noise, 1-D
+cluster extraction, attribute copying.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+
+from .container import DataArray, Dataset
+
+__all__ = [
+    "add_cyclic_bounds",
+    "copy_all_attrs",
+    "ensure_longest_doy",
+    "get_clusters_1d",
+    "map_cdf_1d",
+    "random_tiebreak",
+]
+
+
+def add_cyclic_bounds(da: DataArray, att: str, cyclic_coords: bool = True) -> DataArray:
+    """Prepend the last slice and append the first along ``att`` so
+    interpolation works near the end points (reference ``utils.py:284-314``).
+
+    With ``cyclic_coords=False`` the new coordinate values extrapolate their
+    neighbours' step instead of wrapping.
+    """
+    ax = da.get_axis_num(att)
+    data = np.asarray(da.data)
+    idx_first = [slice(None)] * data.ndim
+    idx_last = list(idx_first)
+    idx_first[ax] = slice(0, 1)
+    idx_last[ax] = slice(-1, None)
+    padded = np.concatenate([data[tuple(idx_last)], data, data[tuple(idx_first)]], axis=ax)
+    coords = dict(da.coords)
+    if att in coords:
+        c = np.asarray(coords[att])
+        if cyclic_coords:
+            cc = np.concatenate([c[-1:], c, c[:1]])
+        else:
+            d0 = c[1] - c[0] if len(c) > 1 else 1
+            d1 = c[-1] - c[-2] if len(c) > 1 else 1
+            cc = np.concatenate([[c[0] - d0], c, [c[-1] + d1]])
+        coords[att] = cc
+    return DataArray(padded, da.dims, coords, dict(da.attrs), da.name)
+
+
+def ensure_longest_doy(func):
+    """Decorator: align two dayofyear-indexed arrays onto the longest doy
+    range before calling ``func(x, y, ...)`` (reference ``utils.py:108-131``).
+    """
+    import functools
+
+    from .calendar import interpolate_doy_calendar
+
+    def _align(da: DataArray, mdoy: int, mn: int) -> DataArray:
+        ax = da.get_axis_num("dayofyear")
+        out = interpolate_doy_calendar(np.asarray(da.data), mdoy, mn, axis=ax)
+        coords = dict(da.coords)
+        coords["dayofyear"] = np.arange(mn, mdoy + 1)
+        return DataArray(out, da.dims, coords, dict(da.attrs), da.name)
+
+    @functools.wraps(func)
+    def _wrapped(x, y, *args, **kwargs):
+        if (
+            hasattr(x, "dims")
+            and hasattr(y, "dims")
+            and "dayofyear" in getattr(x, "dims", ())
+            and "dayofyear" in getattr(y, "dims", ())
+        ):
+            dx = np.asarray(x.coords["dayofyear"])
+            dy = np.asarray(y.coords["dayofyear"])
+            if dx.max() != dy.max():
+                warnings.warn(
+                    "get_correction received inputs defined on different dayofyear "
+                    "ranges. Interpolating to the longest range. Results could be strange.",
+                    stacklevel=4,
+                )
+                if dx.max() < dy.max():
+                    x = _align(x, int(dy.max()), int(dy.min()))
+                else:
+                    y = _align(y, int(dx.max()), int(dx.min()))
+        return func(x, y, *args, **kwargs)
+
+    return _wrapped
+
+
+def map_cdf_1d(x, y, y_value):
+    """Value in ``x`` with the same empirical CDF as ``y_value`` in ``y``
+    (reference ``utils.py:35-44``)."""
+    x = np.asarray(x, dtype=float)
+    y = np.asarray(y, dtype=float)
+    sy = np.r_[-np.inf, np.sort(y, axis=None)]
+    q = np.searchsorted(sy, y_value, side="right") / np.sum(~np.isnan(sy))
+    return np.nanquantile(x, q=q)
+
+
+def random_tiebreak(da: DataArray, dim: str = "time") -> DataArray:
+    """Add noise scaled to the smallest nonzero difference along ``dim``,
+    breaking ties without reordering non-tied values (reference
+    ``utils.py:543-571``)."""
+    import jax
+
+    from ..processing import next_key
+
+    dac = da.move_dim_last(dim)
+    x = np.asarray(dac.data, dtype=float)
+    s = np.sort(x, axis=-1)
+    d = np.diff(s, axis=-1)
+    d = np.where(d > 0, d, np.nan)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        min_diff = np.nanmin(d)
+    dt = np.float64 if jax.config.jax_enable_x64 else np.float32
+    noise = np.asarray(
+        jax.random.uniform(
+            next_key(), x.shape, dtype=dt, minval=0.1 * min_diff, maxval=0.25 * min_diff
+        )
+    ).astype(x.dtype)
+    out = DataArray(x + noise, dac.dims, dict(dac.coords), dict(da.attrs), da.name)
+    return out.transpose(*da.dims) if out.dims != da.dims else out
+
+
+def get_clusters_1d(data: np.ndarray, u1: float, u2: float):
+    """Clusters of a 1-D array: maximal runs above ``u2`` containing at least
+    one value above ``u1`` (reference ``utils.py:788-840``; Extremes.jl
+    ``getcluster``).  Returns ``(starts, ends, maxpos, maxval)`` with ``ends``
+    inclusive."""
+    data = np.asarray(data)
+    exce = np.concatenate(([u2 - 1], data, [u2 - 1])) > u2
+    bounds = np.diff(exce.astype(np.int32))
+    starts = np.where(bounds == 1)[0]
+    ends = np.where(bounds == -1)[0]
+    cl_start, cl_end, cl_maxpos, cl_maxval = [], [], [], []
+    for start, end in zip(starts, ends):
+        cluster_max = data[start:end].max()
+        if cluster_max > u1:
+            cl_start.append(start)
+            cl_end.append(end - 1)
+            cl_maxpos.append(start + int(np.argmax(data[start:end])))
+            cl_maxval.append(cluster_max)
+    return (
+        np.array(cl_start),
+        np.array(cl_end),
+        np.array(cl_maxpos),
+        np.array(cl_maxval),
+    )
+
+
+def copy_all_attrs(ds, ref):
+    """Copy attributes of ``ref`` onto ``ds``, including shared coordinates'
+    and variables' attrs (reference ``utils.py:1151-1159``)."""
+    ds.attrs.update(ref.attrs)
+    if isinstance(ds, Dataset) and isinstance(ref, Dataset):
+        for name, var in ds.items():
+            if name in ref:
+                var.attrs.update(ref[name].attrs)

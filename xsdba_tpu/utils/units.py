@@ -306,6 +306,29 @@ def str2pint(s) -> Quantity:
     return str2quantity(s)
 
 
+def pint2cfattrs(value, is_difference=None) -> dict:
+    """CF-compliant unit attributes from a unit/quantity/string (reference
+    ``units.py:260-293``): plain ``units``, plus ``units_metadata``
+    disambiguating absolute vs difference temperature scales."""
+    if isinstance(value, Quantity):
+        value = value.units
+    if isinstance(value, str):
+        value = parse_units(value)
+    s = str(value)
+    if "delta_" in s:
+        is_difference = True
+        s = s.replace("delta_", "")
+    attrs = {"units": s}
+    if value.is_temperature:
+        if is_difference:
+            attrs["units_metadata"] = "temperature: difference"
+        elif is_difference is False:
+            attrs["units_metadata"] = "temperature: on_scale"
+        else:
+            attrs["units_metadata"] = "temperature: unknown"
+    return attrs
+
+
 def units2pint(obj) -> Unit:
     """Extract/parse the units of a DataArray or string (reference name)."""
     if hasattr(obj, "attrs"):
