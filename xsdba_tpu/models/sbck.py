@@ -37,11 +37,15 @@ def _wrap_sbck_class(sbck_cls) -> type:
             h = np.asarray(hist.move_dim_last("time").data)
             s = np.asarray(sim.move_dim_last("time").data)
             if multi_dim is not None:
-                ax = ref.dims.index(multi_dim)
                 # SBCK expects [time, variables]
-                r, h, s = (np.moveaxis(a, ax, -1).T if a.ndim == 2 else a.T for a in (r, h, s))
-                out = _apply(r, h, s).T
+                def _tv(da):
+                    dac = da.move_dim_last("time")
+                    ax = dac.dims.index(multi_dim)
+                    return np.moveaxis(np.asarray(dac.data), ax, -1)
+
                 simc = sim.move_dim_last("time")
+                out = _apply(_tv(ref), _tv(hist), _tv(sim))          # [time, vars]
+                out = np.moveaxis(out, -1, simc.dims.index(multi_dim))
                 return DataArray(out, simc.dims, dict(simc.coords), dict(sim.attrs), "scen")
             out = _apply(r[:, None] if r.ndim == 1 else r.T, h[:, None] if h.ndim == 1 else h.T, s[:, None] if s.ndim == 1 else s.T)
             out = out.ravel() if np.ndim(sim.data) == 1 else out.T
