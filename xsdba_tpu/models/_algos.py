@@ -263,15 +263,16 @@ def _windowed_group_mean(x, plan):
     from ..ops.quantile import _sorted_w1_lists
 
     x = jnp.asarray(x)
-    gi = jnp.asarray(plan.w1_gather)
+    gi = jnp.asarray(plan.w1_gather)  # EXTENDED rows: [G + 2*half, Ymax]
     vals = jnp.where(gi < 0, jnp.nan, x[..., jnp.clip(gi, 0, x.shape[-1] - 1)])
     sums = jnp.nansum(vals, axis=-1)
     cnts = jnp.sum(~jnp.isnan(vals), axis=-1)
-    G = gi.shape[0]
     half, window = plan.half, plan.window
+    G = gi.shape[0] - 2 * half
 
     def slide(a):
-        ap = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(half, window - half)])
+        # group g's window is extended rows [g, g+window)
+        ap = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, max(window - 2 * half, 0))])
         cs = jnp.cumsum(ap, axis=-1)
         cs = jnp.pad(cs, [(0, 0)] * (cs.ndim - 1) + [(1, 0)])
         idx = jnp.arange(G)
@@ -289,11 +290,21 @@ def _windowed_group_mean(x, plan):
 def eqm_train_windowed(ref, hist, plan, quantiles, *, kind: str):
     """EQM train on a windowed doy/5D grouping via the shared-sort merge path
     (``ops.quantile.windowed_group_quantile``) — numerically identical to
-    ``eqm_train_from_raw`` on the same grouping, ~1/window of the sort work."""
+    ``eqm_train_from_raw`` on the same grouping, ~1/window of the sort work.
+
+    ref and hist ride one stacked kernel invocation when their shapes match
+    (halves per-call fixed costs on the sort/merge/extract pipeline)."""
     from ..ops.quantile import windowed_group_quantile
 
-    ref_q = windowed_group_quantile(ref, plan, quantiles)
-    hist_q = windowed_group_quantile(hist, plan, quantiles)
+    ref = jnp.asarray(ref)
+    hist = jnp.asarray(hist)
+    if ref.shape == hist.shape and ref.dtype == hist.dtype:
+        both = jnp.concatenate([ref[None], hist[None]], axis=0)
+        q2 = windowed_group_quantile(both, plan, quantiles)
+        ref_q, hist_q = q2[0], q2[1]
+    else:
+        ref_q = windowed_group_quantile(ref, plan, quantiles)
+        hist_q = windowed_group_quantile(hist, plan, quantiles)
     return get_correction(hist_q, ref_q, kind), hist_q
 
 
@@ -306,8 +317,14 @@ def dqm_train_windowed(ref, hist, plan, quantiles, *, kind: str):
     from ..ops.correction import invert
     from ..ops.quantile import windowed_group_quantile
 
-    ref_q_raw = windowed_group_quantile(ref, plan, quantiles)
-    hist_q_raw = windowed_group_quantile(hist, plan, quantiles)
+    ref = jnp.asarray(ref)
+    hist = jnp.asarray(hist)
+    if ref.shape == hist.shape and ref.dtype == hist.dtype:
+        q2 = windowed_group_quantile(jnp.concatenate([ref[None], hist[None]], axis=0), plan, quantiles)
+        ref_q_raw, hist_q_raw = q2[0], q2[1]
+    else:
+        ref_q_raw = windowed_group_quantile(ref, plan, quantiles)
+        hist_q_raw = windowed_group_quantile(hist, plan, quantiles)
     mu_ref = _windowed_group_mean(ref, plan)
     mu_hist = _windowed_group_mean(hist, plan)
 

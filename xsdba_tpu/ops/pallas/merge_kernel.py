@@ -92,27 +92,51 @@ def _merge_cascade(x, roll):
     at the final (ascending, pair-parity 0) level, so the output values are
     identical to the masked form (up to ±0.0 tie placement, which quantile
     extraction cannot observe).
+
+    Grid layout: the runs stay [W, m] throughout (a run of flat length
+    ``R*m`` occupies ``R`` consecutive rows, row-major), so every
+    compare-exchange roll moves data along EITHER the short sublane axis
+    (row strides, stage stride >= m) OR a single m-wide lane axis (stage
+    stride < m) — never a W*m-wide lane axis.  On the measured v5e the wide
+    lane rolls were the cascade's dominant cost (PERFORMANCE.md).  The flat
+    ascending result IS the row-major [W, m] block, so no relayout is ever
+    needed.  Returns [..., W*m] (a free row-major reshape in XLA; the Pallas
+    kernel keeps it 3-D).
     """
-    level = 0
-    while x.shape[-2] > 1:
-        W, m = x.shape[-2], x.shape[-1]
-        x = x.reshape(x.shape[:-2] + (W // 2, 2 * m))  # rows now bitonic
-        if W // 2 > 1 or level > 0:
-            if level == 0:
-                pair = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 2)
-                neg = (pair & 1) == 1
-            else:
-                lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-                upper = (lane & m) != 0  # second (previously-negated) run
-                if W // 2 > 1:
-                    pair = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 2)
-                    neg = ((pair & 1) == 1) ^ upper
-                else:
-                    neg = upper
-            x = jnp.where(neg, -x, x)
-        x = _bitonic_merge_lastaxis(x, roll)
-        level += 1
-    return x[..., 0, :]
+    return _merge_cascade_grid(x, roll).reshape(x.shape[:-2] + (x.shape[-2] * x.shape[-1],))
+
+
+def _merge_cascade_grid(x, roll):
+    """Core of :func:`_merge_cascade`: [..., W, m] alternating-direction
+    sorted rows -> [..., W, m] whose row-major flattening is ascending."""
+    W, m = x.shape[-2], x.shape[-1]
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 2)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    levels = W.bit_length() - 1  # log2(W) merge levels
+    for j in range(levels):
+        # entry negation (sign-space direction handling; see docstring)
+        if j == 0:
+            neg = ((row >> 1) & 1) == 1
+        else:
+            neg = (((row >> (j + 1)) ^ (row >> j)) & 1) == 1
+        x = jnp.where(neg, -x, x)
+        # row-stride stages: flat stride s = sr*m pairs row r with r^sr
+        sr = 1 << j
+        while sr >= 1:
+            fwd = roll(x, -sr, x.ndim - 2)
+            bwd = roll(x, sr, x.ndim - 2)
+            is_low = (row & sr) == 0
+            x = jnp.where(is_low, jnp.minimum(x, fwd), jnp.maximum(x, bwd))
+            sr //= 2
+        # lane-stride stages: flat stride s < m pairs col c with c^s
+        s = m // 2
+        while s >= 1:
+            fwd = roll(x, -s, x.ndim - 1)
+            bwd = roll(x, s, x.ndim - 1)
+            is_low = (lane & s) == 0
+            x = jnp.where(is_low, jnp.minimum(x, fwd), jnp.maximum(x, bwd))
+            s //= 2
+    return x
 
 
 def _bitonic_sort_lastaxis(x, roll, desc=None):
@@ -163,7 +187,7 @@ def _sort_rows_kernel(x_ref, out_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tile_b"))
-def sort_rows_alternating(x, interpret: bool = False, tile_b: int = 8):
+def sort_rows_alternating(x, interpret: bool = False, tile_b: int = 16):
     """Pallas row sort with alternating directions: [B, Dp, m] (+inf for
     NaN/pads) -> rows sorted asc (even row index) / desc (odd).
 
@@ -180,6 +204,8 @@ def sort_rows_alternating(x, interpret: bool = False, tile_b: int = 8):
     # (several row-block-sized buffers) stay well inside VMEM.  Even block
     # sizes keep the global row parity equal to the in-block parity.
     rows_blk = 32 if Dp % 32 == 0 else Dp
+    from jax.experimental.pallas import tpu as pltpu
+
     out = pl.pallas_call(
         _sort_rows_kernel,
         grid=(Bp // tile_b, Dp // rows_blk),
@@ -187,6 +213,7 @@ def sort_rows_alternating(x, interpret: bool = False, tile_b: int = 8):
         out_specs=pl.BlockSpec((tile_b, rows_blk, m), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((Bp, Dp, m), x.dtype),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(x)
     return out[:B]
 
@@ -214,7 +241,7 @@ def merge_sorted_lists(x):
     return _merge_cascade(alternate_row_directions(x), _roll_xla)
 
 
-def _merge_kernel(slab_ref, out_ref, *, window: int, wpad: int, out_width: int):
+def _merge_kernel(slab_ref, out_ref, *, window: int, wpad: int, out_rows: int, pad_rows: int):
     """One (site-tile, group) program: slice the window rows off the resident
     slab, mask the pad rows, merge, emit.
 
@@ -239,8 +266,14 @@ def _merge_kernel(slab_ref, out_ref, *, window: int, wpad: int, out_width: int):
     if wpad > window:
         ridx = jax.lax.broadcasted_iota(jnp.int32, win.shape, 1)
         win = jnp.where(ridx >= window, jnp.inf, win)
-    merged = _merge_cascade(win, _roll_pallas)
-    out_ref[...] = merged[:, :out_width]
+    merged = _merge_cascade_grid(win, _roll_pallas)  # [TB, wpad, m] row-major asc
+    merged = merged[:, :out_rows, :]
+    if pad_rows:  # wpad < 8: Mosaic needs 8-row out blocks — append +inf rows
+        merged = jnp.concatenate(
+            [merged, jnp.full(merged.shape[:1] + (pad_rows, merged.shape[-1]), jnp.inf, merged.dtype)],
+            axis=1,
+        )
+    out_ref[...] = merged
 
 
 # populated lazily so the module imports without pallas
@@ -272,7 +305,7 @@ def merged_window_rows(
     window: int,
     n_groups: int,
     interpret: bool = False,
-    tile_b: int = 8,
+    tile_b: int | None = None,
     out_width: int | None = None,
 ):
     """Merge each group's ``window`` consecutive pre-sorted rows in VMEM.
@@ -288,12 +321,22 @@ def merged_window_rows(
     """
     pl = _ensure_pl()
     B, Dp, m = s_pad.shape
+    if tile_b is None:
+        # bigger batch tiles measured ~2.5x on v5e (fewer programs, deeper
+        # pipelining); fall back for small batches
+        tile_b = 16 if B >= 16 else 8
     wpad = _next_pow2(window)
     if out_width is None:
         out_width = wpad * m
-    # multiples of 128 keep the out block on the lane grid; tiny test shapes
-    # may use the full width instead
-    assert (out_width % 128 == 0 or out_width == wpad * m) and out_width <= wpad * m, out_width
+    # the out block is [rows, m]-shaped, so the stored width is a multiple of
+    # the list length m (rows past the max valid count are pure +inf); the
+    # row count is rounded to Mosaic's 8-sublane granularity, padding with
+    # +inf rows when the merge itself yields fewer
+    out_rows = min(-(-out_width // m), wpad)
+    rows_store = -(-out_rows // 8) * 8
+    out_rows = min(rows_store, wpad)
+    pad_rows = rows_store - out_rows
+    out_width = rows_store * m
     # last aligned superset load must fit: base(G-1) + wpad + 8 <= Dp
     assert ((n_groups - 1) // 8) * 8 + wpad + 8 <= Dp, "need spare rows past the last window"
     Bp = -(-B // tile_b) * tile_b
@@ -301,20 +344,24 @@ def merged_window_rows(
         s_pad = jnp.pad(s_pad, ((0, Bp - B), (0, 0), (0, 0)), constant_values=jnp.inf)
 
     # The slab block's index ignores g, so Pallas DMAs it once per batch tile
-    # and every group program reuses it from VMEM.  Output flattened over
-    # (group, merged) — a (tile_b, out_width) block keeps the trailing block
-    # dims on the TPU (8, 128) grid.
+    # and every group program reuses it from VMEM.  Output kept [rows, m]
+    # 3-D (the row-major block IS the flat ascending run — no sublane->lane
+    # relayout in the kernel).  The scoped-VMEM cap is raised past the 16 MB
+    # default so larger batch tiles can cut the program count.
+    from jax.experimental.pallas import tpu as pltpu
+
     out = pl.pallas_call(
         functools.partial(
-            _merge_kernel, window=window, wpad=wpad, out_width=out_width
+            _merge_kernel, window=window, wpad=wpad, out_rows=out_rows, pad_rows=pad_rows
         ),
         grid=(Bp // tile_b, n_groups),
         in_specs=[
             pl.BlockSpec((tile_b, Dp, m), lambda i, g: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((tile_b, out_width), lambda i, g: (i, g)),
-        out_shape=jax.ShapeDtypeStruct((Bp, n_groups * out_width), s_pad.dtype),
+        out_specs=pl.BlockSpec((tile_b, rows_store, m), lambda i, g: (i, g, 0)),
+        out_shape=jax.ShapeDtypeStruct((Bp, n_groups * rows_store, m), s_pad.dtype),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(s_pad)
     return out[:B].reshape(B, n_groups, out_width)
 

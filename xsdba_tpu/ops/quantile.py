@@ -11,6 +11,7 @@ it onto the VPU and fuses the surrounding elementwise work.
 
 from __future__ import annotations
 
+import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -47,33 +48,76 @@ def _quantile_on_sorted(sorted_x, valid, quantiles, alpha, beta, sentinel: str =
     out-of-range clip then tests +inf and all-empty rows yield NaN explicitly.
     """
     n = sorted_x.shape[-1]
-    v = valid[..., None].astype(sorted_x.dtype)
-    vi = _virtual_index(v, quantiles, alpha, beta)
-    prev = jnp.floor(vi)
-    # Bounds handling (nbutils.py:30-68): above valid-1 -> last element of the
-    # *full* row (index -1, NaN when NaNs present — later clipped to the max
-    # valid value); below 0 -> first element.
-    above = vi >= v - 1
-    below = vi < 0
-    prev_idx = jnp.clip(prev, 0, n - 1).astype(jnp.int32)
-    next_idx = jnp.clip(prev + 1, 0, n - 1).astype(jnp.int32)
-    last = jnp.int32(n - 1)
-    prev_idx = jnp.where(above, last, jnp.where(below, 0, prev_idx))
-    next_idx = jnp.where(above, last, jnp.where(below, 0, next_idx))
+    q1d = jnp.ndim(quantiles) == 1
 
-    left = jnp.take_along_axis(sorted_x, prev_idx, axis=-1)
-    right = jnp.take_along_axis(sorted_x, next_idx, axis=-1)
-    gamma = (vi - prev).astype(sorted_x.dtype)
-    interp = _lerp(left, right, gamma)
-    # NaN range clip: replace NaN interpolation by the max valid value
-    # (nbutils.py:144-147).  All-NaN rows keep NaN (max_valid is NaN there).
-    max_idx = jnp.clip(valid[..., None] - 1, 0, n - 1).astype(jnp.int32)
-    max_valid = jnp.take_along_axis(sorted_x, max_idx, axis=-1)
-    if sentinel == "inf":
-        bad = jnp.isnan(interp) | (interp == jnp.inf)
-        out = jnp.where(bad, max_valid, interp)
-        return jnp.where(valid[..., None] == 0, jnp.nan, out)
-    return jnp.where(jnp.isnan(interp), max_valid, interp)
+    def _indices(v):
+        # v: [..., 1] valid counts (float).  Bounds handling
+        # (nbutils.py:30-68): above valid-1 -> last element of the *full* row
+        # (index -1, NaN/+inf pad — later clipped to the max valid value);
+        # below 0 -> first element.
+        vi = _virtual_index(v, quantiles, alpha, beta)
+        prev = jnp.floor(vi)
+        above = vi >= v - 1
+        below = vi < 0
+        prev_idx = jnp.clip(prev, 0, n - 1).astype(jnp.int32)
+        next_idx = jnp.clip(prev + 1, 0, n - 1).astype(jnp.int32)
+        last = jnp.int32(n - 1)
+        prev_idx = jnp.where(above, last, jnp.where(below, 0, prev_idx))
+        next_idx = jnp.where(above, last, jnp.where(below, 0, next_idx))
+        gamma = (vi - prev).astype(sorted_x.dtype)
+        return prev_idx, next_idx, gamma
+
+    def _finish(left, right, gamma, max_valid, vcount):
+        interp = _lerp(left, right, gamma)
+        # NaN range clip: replace NaN interpolation by the max valid value
+        # (nbutils.py:144-147).  All-NaN rows keep NaN (max_valid NaN there).
+        if sentinel == "inf":
+            bad = jnp.isnan(interp) | (interp == jnp.inf)
+            out = jnp.where(bad, max_valid, interp)
+            return jnp.where(vcount == 0, jnp.nan, out)
+        return jnp.where(jnp.isnan(interp), max_valid, interp)
+
+    def _gather_path():
+        v = valid[..., None].astype(sorted_x.dtype)
+        prev_idx, next_idx, gamma = _indices(v)
+        left = jnp.take_along_axis(sorted_x, prev_idx, axis=-1)
+        right = jnp.take_along_axis(sorted_x, next_idx, axis=-1)
+        max_idx = jnp.clip(valid[..., None] - 1, 0, n - 1).astype(jnp.int32)
+        max_valid = jnp.take_along_axis(sorted_x, max_idx, axis=-1)
+        return _finish(left, right, gamma, max_valid, valid[..., None])
+
+    if not (sentinel == "inf" and q1d):
+        return _gather_path()
+
+    def _onehot_path():
+        # Uniform valid counts (the NaN-free norm): every row reads the SAME
+        # (prev, next, nv-1) columns, so the selection is one [n, 2nq+1]
+        # one-hot matmul on the MXU — measured ~10x the take_along_axis
+        # gathers at production width.  Precision.HIGHEST makes f32 selection
+        # exact (bf16x3 decomposes f32 exactly; {0,1} weights reconstruct the
+        # addends verbatim), so results are bit-identical to the gather path.
+        v0 = valid.reshape(-1)[0].astype(sorted_x.dtype)
+        prev_idx, next_idx, gamma = _indices(v0[None])
+        max_idx = jnp.clip(v0.astype(jnp.int32) - 1, 0, n - 1)
+        idx = jnp.concatenate([prev_idx, next_idx, max_idx[None]])
+        oh = (jnp.arange(n, dtype=jnp.int32)[:, None] == idx[None, :]).astype(sorted_x.dtype)
+        # non-finite entries would poison the matmul (inf*0 = NaN): select
+        # from a zeroed copy and reconstruct them from indicator matmuls
+        hi = jnp.isnan(sorted_x) | (sorted_x == jnp.inf)  # pads / NaN-mapped
+        lo = sorted_x == -jnp.inf
+        xs = jnp.where(hi | lo, jnp.zeros((), sorted_x.dtype), sorted_x)
+        hp = jax.lax.Precision.HIGHEST
+        sel = jnp.einsum("...n,nk->...k", xs, oh, precision=hp)
+        sel_hi = jnp.einsum("...n,nk->...k", hi.astype(sorted_x.dtype), oh, precision=hp)
+        sel_lo = jnp.einsum("...n,nk->...k", lo.astype(sorted_x.dtype), oh, precision=hp)
+        sel = jnp.where(sel_hi > 0, jnp.inf, jnp.where(sel_lo > 0, -jnp.inf, sel))
+        nq = prev_idx.shape[0]
+        left, right, max_valid = sel[..., :nq], sel[..., nq : 2 * nq], sel[..., 2 * nq :]
+        return _finish(left, right, gamma, max_valid, v0)
+
+    vmin = jnp.min(valid)
+    uniform = vmin == jnp.max(valid)
+    return jax.lax.cond(uniform, _onehot_path, _gather_path)
 
 
 def nan_quantile(x, quantiles, axis: int = -1, alpha: float = 1.0, beta: float = 1.0):
@@ -162,6 +206,31 @@ def _merge_backend_default(dtype) -> bool:
     return jax.default_backend() != "cpu" and jnp.dtype(dtype) == jnp.float32
 
 
+_PLAN_DEVICE_CACHE: "weakref.WeakKeyDictionary" = None  # type: ignore[assignment]
+
+
+def _plan_device_arrays(plan):
+    """Device copies of a WindowMergePlan's index arrays, cached per plan.
+
+    Re-uploading the host numpy indexes on every call costs real wall time
+    through a remote-device relay; plans are long-lived (cached on the
+    TimeIndex), so their device images are too."""
+    global _PLAN_DEVICE_CACHE
+    import weakref
+
+    if _PLAN_DEVICE_CACHE is None:
+        _PLAN_DEVICE_CACHE = weakref.WeakKeyDictionary()
+    hit = _PLAN_DEVICE_CACHE.get(plan)
+    if hit is None:
+        hit = (
+            jnp.asarray(plan.w1_gather),
+            jnp.asarray(plan.edge_ids),
+            jnp.asarray(plan.edge_gather),
+        )
+        _PLAN_DEVICE_CACHE[plan] = hit
+    return hit
+
+
 @jax.jit
 def _sorted_w1_lists(x, w1_gather, ypad: int | None = None):
     """Per-(batch, group) window-1 member lists, value-sorted, +inf padded.
@@ -184,6 +253,20 @@ from functools import partial as _partial  # noqa: E402
     static_argnames=(
         "half", "window", "ypad", "wpad", "dp", "use_kernel", "interpret",
         "alpha", "beta",
+    ),
+)
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "half",
+        "window",
+        "ypad",
+        "wpad",
+        "dp",
+        "use_kernel",
+        "interpret",
+        "alpha",
+        "beta",
     ),
 )
 def _windowed_group_quantile_core(
@@ -210,39 +293,44 @@ def _windowed_group_quantile_core(
         sort_rows_alternating,
     )
 
-    G, Ymax = w1_gather.shape
+    # w1_gather is EXTENDED: G + 2*half rows of virtual groups (year-shifted
+    # wrap lists at both ends; see grouper._window_merge_plan), laid out so
+    # group g's window is rows [g, g+window) directly.
+    Gx, Ymax = w1_gather.shape
+    G = Gx - 2 * half
     gi = jnp.asarray(w1_gather)
     vals = x[..., jnp.clip(gi, 0, x.shape[-1] - 1)]
     vals = jnp.where(gi < 0, jnp.nan, vals)
     V = jnp.sum(~jnp.isnan(vals), axis=-1).astype(jnp.int32)
-    raw = jnp.where(jnp.isnan(vals), jnp.inf, vals)  # [..., G, Ymax], unsorted
+    raw = jnp.where(jnp.isnan(vals), jnp.inf, vals)  # [..., Gx, Ymax], unsorted
     if ypad > Ymax:
         raw = jnp.pad(
             raw, [(0, 0)] * (raw.ndim - 1) + [(0, ypad - Ymax)], constant_values=jnp.inf
         )
     lead = x.shape[:-1]
-    # embed at row offset `half` so group g's window is rows [g, g+window)
     Sp = jnp.full(lead + (dp, ypad), jnp.inf, dtype=raw.dtype)
-    Sp = jax.lax.dynamic_update_slice_in_dim(Sp, raw, half, axis=raw.ndim - 2)
+    Sp = jax.lax.dynamic_update_slice_in_dim(Sp, raw, 0, axis=raw.ndim - 2)
     B = 1
     for d in lead:
         B *= d
     Sb = Sp.reshape((B, dp, ypad))
     # merged positions past the max possible member count are always +inf:
-    # truncating them saves HBM traffic on the merged intermediate
-    out_width = min(wpad * ypad, -(-(window * Ymax) // 128) * 128)
+    # truncating them saves HBM traffic on the merged intermediate.  Width is
+    # a multiple of ypad (the kernel's out block is [rows, ypad]-shaped).
+    out_width = min(wpad * ypad, -(-(window * Ymax) // ypad) * ypad)
     if use_kernel:
-        # rows sorted with alternating directions in-VMEM (XLA's sort on
-        # this chip is ~40x slower than the bitonic network; PERFORMANCE.md)
+        # rows sorted with alternating directions in-VMEM (measured ~2-3x
+        # XLA's sort+flip on this chip at 16-row batch tiles; PERFORMANCE.md)
         Sb = sort_rows_alternating(Sb, interpret=interpret)
         merged = merged_window_rows(Sb, window, G, interpret=interpret, out_width=out_width)
     else:
         Sb = alternate_row_directions(jnp.sort(Sb, axis=-1), axis_rows=-2)
         merged = merged_window_rows_xla(Sb, window, G, out_width=out_width)
-    merged = merged.reshape(lead + (G, out_width))
+    # the kernel may round the stored width up (8-row out blocks)
+    merged = merged.reshape(lead + (G, merged.shape[-1]))
 
-    # sliding valid counts: nv[g] = sum_{d in [g-half, g-half+window) ∩ [0,G)} V[d]
-    Vp = jnp.pad(V, [(0, 0)] * (V.ndim - 1) + [(half, window - half)])
+    # sliding valid counts over the extended rows: nv[g] = sum V[g : g+window]
+    Vp = jnp.pad(V, [(0, 0)] * (V.ndim - 1) + [(0, max(window - 2 * half, 0))])
     cs = jnp.cumsum(Vp, axis=-1)
     cs = jnp.pad(cs, [(0, 0)] * (cs.ndim - 1) + [(1, 0)])
     idx = jnp.arange(G)
@@ -287,12 +375,14 @@ def windowed_group_quantile(
     if use_kernel is None:
         use_kernel = _merge_backend_default(x.dtype)
 
+    w1_dev, eid_dev, eg_dev = _plan_device_arrays(plan)
+
     def run(xc):
         return _windowed_group_quantile_core(
             xc,
-            jnp.asarray(plan.w1_gather),
-            jnp.asarray(plan.edge_ids),
-            jnp.asarray(plan.edge_gather),
+            w1_dev,
+            eid_dev,
+            eg_dev,
             jnp.asarray(quantiles, dtype=x.dtype),
             half=plan.half,
             window=plan.window,
@@ -305,10 +395,13 @@ def windowed_group_quantile(
             beta=beta,
         )
 
-    # bound the merged intermediate ([chunk, G, wpad*ypad]) to ~2 GB f32
-    G = plan.w1_gather.shape[0]
-    per_site = G * plan.wpad * plan.ypad
-    max_chunk = max(1, (1 << 29) // per_site)
+    # bound the merged intermediate ([chunk, G, stored_width]) to ~4 GB f32;
+    # stored width is the 8-row-rounded truncation the kernel actually emits
+    G, Ymax = plan.w1_gather.shape
+    rows_desired = -(-(plan.window * Ymax) // plan.ypad)
+    rows = min(-(-rows_desired // 8) * 8, plan.wpad)
+    per_site = G * max(rows, 1) * plan.ypad
+    max_chunk = max(1, (1 << 30) // per_site)
     if x.ndim <= 1 or x.shape[0] <= max_chunk:
         return run(x)
     chunks = [run(x[i : i + max_chunk]) for i in range(0, x.shape[0], max_chunk)]

@@ -37,7 +37,7 @@ _PROPS = ("group", "month", "season", "dayofyear", "week")
 _SEASONS = ("DJF", "MAM", "JJA", "SON")
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)  # identity eq/hash: usable as a weak cache key
 class WindowMergePlan:
     """Host-side plan for the shared-sort windowed grouped quantile.
 
@@ -76,11 +76,21 @@ def _next_pow2(n: int) -> int:
 
 
 def _window_merge_plan(gidx, gather_idx, n_groups: int, window: int, prop: str):
-    """Build a :class:`WindowMergePlan` (or None when inapplicable)."""
+    """Build a :class:`WindowMergePlan` (or None when inapplicable).
+
+    ``w1_gather`` holds ``G + 2*half`` rows: row ``i`` is the member list of
+    *virtual* group ``i - half``.  The out-of-range virtual rows are the
+    year-shifted wrap lists (previous year's trailing doys minus its last
+    year; next year's leading doys minus its first year), which is exactly
+    what the rolling window crosses at year boundaries — so on regular
+    calendars every group satisfies the union property and no group needs
+    the exact re-sort path.  Groups whose gather row still differs (partial
+    first/last years, leap calendars) are verified per group and fall back
+    via ``edge_ids``.
+    """
     if window <= 1 or prop not in ("dayofyear", "5D"):
         return None
     G = n_groups
-    T = len(gidx)
     half = window // 2 if prop == "dayofyear" else (window - 1) // 2
     # window-1 member lists from group_idx
     order = np.argsort(gidx, kind="stable")
@@ -91,12 +101,27 @@ def _window_merge_plan(gidx, gather_idx, n_groups: int, window: int, prop: str):
     for g in range(G):
         m = order[starts[g] : starts[g + 1]]
         w1[g, : len(m)] = m
-    # exactness check: row g's valid set == union of w1 lists in its window
+    # extended rows: virtual groups -half..-1 and G..G+half-1
+    Gx = G + 2 * half
+    w1x = np.full((Gx, Ymax), -1, dtype=np.int32)
+    w1x[half : half + G] = w1
+    if prop == "dayofyear":
+        for i in range(half):
+            # virtual doy (i - half) < 0: previous year's doy G+i-half,
+            # shifted back one year => drop its last (latest-year) member
+            m = order[starts[G - half + i] : starts[G - half + i + 1]]
+            if len(m) > 1:
+                w1x[i, : len(m) - 1] = m[:-1]
+            # virtual doy G+i: next year's doy i, shifted forward one year
+            # => drop its first (earliest-year) member
+            m = order[starts[i] : starts[i + 1]]
+            if len(m) > 1:
+                w1x[G + half + i, : len(m) - 1] = m[1:]
+    # exactness check: row g's valid set == union of extended lists in window
     fast = np.zeros(G, dtype=bool)
     for g in range(G):
-        lo = max(g - half, 0)
-        hi = min(g - half + window, G)
-        union = np.concatenate([order[starts[d] : starts[d + 1]] for d in range(lo, hi)]) if hi > lo else np.empty(0, np.int64)
+        win = w1x[g : g + window]
+        union = win[win >= 0]
         row = gather_idx[g]
         row = np.sort(row[row >= 0])
         fast[g] = len(row) == len(union) and bool(np.array_equal(row, np.sort(union)))
@@ -106,11 +131,13 @@ def _window_merge_plan(gidx, gather_idx, n_groups: int, window: int, prop: str):
     wpad = _next_pow2(window)
     dblock = max(wpad, 32)
     dp = ((G - 1) // dblock + 2) * dblock
+    if dp < Gx + wpad + 8:  # superset loads must stay in range
+        dp = ((Gx + wpad + 8 - 1) // dblock + 1) * dblock
     return WindowMergePlan(
-        w1_gather=w1,
+        w1_gather=w1x,
         fast_mask=fast,
         edge_ids=edge_ids,
-        edge_gather=gather_idx[edge_ids].astype(np.int32),
+        edge_gather=gather_idx[edge_ids].astype(np.int32) if len(edge_ids) else np.empty((0, gather_idx.shape[1]), np.int32),
         half=half,
         window=window,
         ypad=_next_pow2(Ymax),
