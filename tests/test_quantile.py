@@ -74,7 +74,8 @@ def test_grouped_quantile_chunked_matches_full(random):
 
 def test_quantile_on_sorted_onehot_matches_gather():
     """The uniform-validity one-hot fast path must be bit-identical to the
-    gather path (it is dispatched by a runtime lax.cond)."""
+    gather path (dispatched by a STATIC host-checked flag — a runtime
+    lax.cond would execute both branches on TPU)."""
     import jax.numpy as jnp
 
     from xsdba_tpu.ops.quantile import _quantile_on_sorted
@@ -85,12 +86,11 @@ def test_quantile_on_sorted_onehot_matches_gather():
     m[..., :nv] = np.sort(rng.normal(0, 1, (B, G, nv)), axis=-1)
     q = np.linspace(0, 1, 31)
     uniform = jnp.full((B, G), nv, dtype=jnp.int32)
-    got_fast = np.asarray(_quantile_on_sorted(jnp.asarray(m), uniform, jnp.asarray(q), 1.0, 1.0, sentinel="inf"))
-    # force the gather path by making one count differ (same values at the
-    # perturbed cell are +inf anyway, so compare the others)
-    nonuni = uniform.at[0, 0].set(nv - 1)
-    got_slow = np.asarray(_quantile_on_sorted(jnp.asarray(m), nonuni, jnp.asarray(q), 1.0, 1.0, sentinel="inf"))
-    np.testing.assert_array_equal(got_fast[1:], got_slow[1:])
+    got_fast = np.asarray(
+        _quantile_on_sorted(jnp.asarray(m), uniform, jnp.asarray(q), 1.0, 1.0, sentinel="inf", assume_uniform=True)
+    )
+    got_slow = np.asarray(_quantile_on_sorted(jnp.asarray(m), uniform, jnp.asarray(q), 1.0, 1.0, sentinel="inf"))
+    np.testing.assert_array_equal(got_fast, got_slow)
     # oracle: np.quantile of the valid part
     want = np.quantile(m[2, 3, :nv], q)
     np.testing.assert_allclose(got_fast[2, 3], want, rtol=1e-12, atol=1e-12)

@@ -322,9 +322,9 @@ def merged_window_rows(
     pl = _ensure_pl()
     B, Dp, m = s_pad.shape
     if tile_b is None:
-        # bigger batch tiles measured ~2.5x on v5e (fewer programs, deeper
-        # pipelining); fall back for small batches
-        tile_b = 16 if B >= 16 else 8
+        # bigger batch tiles measured ~2x per doubling on v5e (fewer
+        # programs, deeper pipelining); fall back for small batches
+        tile_b = 32 if B >= 32 else (16 if B >= 16 else 8)
     wpad = _next_pow2(window)
     if out_width is None:
         out_width = wpad * m

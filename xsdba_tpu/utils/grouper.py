@@ -52,7 +52,7 @@ class WindowMergePlan:
     through the exact gather+sort path.
     """
 
-    w1_gather: np.ndarray   # [G, Ymax] int32, -1 padded window-1 member lists
+    w1_gather: np.ndarray   # [G + 2*half, Ymax] int32, -1 padded extended lists
     fast_mask: np.ndarray   # [G] bool: row == union of w1 lists in window
     edge_ids: np.ndarray    # [Ge] int32 groups needing the exact path
     edge_gather: np.ndarray  # [Ge, L] int32 rows of the exact gather matrix
@@ -62,6 +62,9 @@ class WindowMergePlan:
     wpad: int               # next pow2 >= window
     dblock: int             # kernel block rows (max(wpad, 32))
     dp: int                 # padded row count of the kernel input
+    nv_host: np.ndarray | None = None  # [G] windowed member counts (valid
+                                       # counts when the data is NaN-free —
+                                       # enables fully-static extraction)
 
     @property
     def n_fast(self) -> int:
@@ -133,6 +136,8 @@ def _window_merge_plan(gidx, gather_idx, n_groups: int, window: int, prop: str):
     dp = ((G - 1) // dblock + 2) * dblock
     if dp < Gx + wpad + 8:  # superset loads must stay in range
         dp = ((Gx + wpad + 8 - 1) // dblock + 1) * dblock
+    lens = (w1x >= 0).sum(axis=1).astype(np.int64)
+    nv_host = np.array([int(lens[g : g + window].sum()) for g in range(G)], dtype=np.int64)
     return WindowMergePlan(
         w1_gather=w1x,
         fast_mask=fast,
@@ -144,6 +149,7 @@ def _window_merge_plan(gidx, gather_idx, n_groups: int, window: int, prop: str):
         wpad=wpad,
         dblock=dblock,
         dp=dp,
+        nv_host=nv_host,
     )
 
 
