@@ -96,3 +96,22 @@ def test_graft_dryrun_other_sizes(n):
     if len(jax.devices()) < n:
         pytest.skip("not enough devices")
     g.dryrun_multichip(n)
+
+
+def test_sharded_pairwise_corr_matches_corrcoef():
+    """The all_gather spatial-diagnostics pattern: sharded pairwise Pearson
+    correlation equals np.corrcoef on the 8-device CPU mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    from xsdba_tpu.parallel.mesh import sharded_pairwise_corr, shard_sites, site_mesh
+
+    rng = np.random.default_rng(9)
+    S, T = 16, 300
+    x = rng.normal(0, 1, (S, T))
+    mesh = site_mesh(jax.devices()[:8])
+    xs = shard_sites(jnp.asarray(x), mesh)
+    with mesh:
+        c = sharded_pairwise_corr(xs, mesh)
+        c.block_until_ready()
+    np.testing.assert_allclose(np.asarray(c), np.corrcoef(x), rtol=1e-10, atol=1e-12)

@@ -20,7 +20,14 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["site_mesh", "shard_sites", "site_sharding", "SITE_AXIS", "VAR_AXIS"]
+__all__ = [
+    "site_mesh",
+    "shard_sites",
+    "sharded_pairwise_corr",
+    "site_sharding",
+    "SITE_AXIS",
+    "VAR_AXIS",
+]
 
 SITE_AXIS = "site"
 VAR_AXIS = "var"
@@ -52,6 +59,37 @@ def site_sharding(mesh: Mesh, ndim: int, site_axis: int = 0) -> NamedSharding:
 def shard_sites(arr, mesh: Mesh, site_axis: int = 0):
     """Place ``arr`` on the mesh, partitioned along its site axis."""
     return jax.device_put(arr, site_sharding(mesh, np.ndim(arr), site_axis))
+
+
+def sharded_pairwise_corr(x, mesh: Mesh):
+    """All-site pairwise Pearson correlation over a site-sharded mesh.
+
+    The one all-to-all pattern of this domain is the spatial diagnostics'
+    pairwise matrices (reference ``utils.py:977-1025`` / ``nbutils.py:424-445``
+    feeding ``spatial_correlogram`` / ``decorrelation_length``).  Each shard
+    standardizes its own site block, ``all_gather``s the standardized vectors
+    over ICI, and computes its ``[S_local, S_global]`` block on the MXU.
+
+    x: [S, T] site-sharded (NaNs excluded pairwise-complete is NOT applied —
+    rows with NaN yield NaN, as the reference's dense path).  Returns the
+    [S, S] correlation matrix, sharded on the first axis.
+    """
+    from functools import partial
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    @partial(shard_map, mesh=mesh, in_specs=P(SITE_AXIS, None), out_specs=P(SITE_AXIS, None))
+    def _f(xl):
+        xl = xl - jnp.mean(xl, axis=-1, keepdims=True)
+        nrm = jnp.sqrt(jnp.sum(xl * xl, axis=-1, keepdims=True))
+        xl = xl / jnp.where(nrm == 0, 1, nrm)
+        xg = jax.lax.all_gather(xl, SITE_AXIS, tiled=True)  # [S_global, T]
+        return jnp.einsum("lt,gt->lg", xl, xg, precision=jax.lax.Precision.HIGHEST)
+
+    return _f(x)
 
 
 def sharded_rotation_apply(rot, x, mesh: Mesh):
