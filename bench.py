@@ -127,8 +127,8 @@ def _bench_heavy_doy31(jax, jnp):
         return time.perf_counter() - t0
 
     t1 = timed(1)
-    t5 = timed(5)
-    dt = max((t5 - t1) / 4, 1e-9)
+    t9 = timed(9)
+    dt = max((t9 - t1) / 8, 1e-9)
     return round(n_sites * n_years / dt, 1)
 
 

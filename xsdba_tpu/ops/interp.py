@@ -253,11 +253,39 @@ def interp_grouped_partitioned(
     """
     v = jnp.asarray(v)
     xq_p, yq_p, nv_p = _pad_cyclic_tables(xq, yq)
+    nq = xq_p.shape[-1]
+
+    def _eval_tables(vals):
+        # Pallas path for the QM hot combination: XLA leaves the 50-step
+        # locate/select chain ~10x off roofline (measured; PERFORMANCE.md)
+        if (
+            method == "linear"
+            and extrap == "constant"
+            and nq <= 64
+            and vals.dtype == jnp.float32
+            and jax.default_backend() != "cpu"
+            and vals.shape[-1] >= 64
+        ):
+            from .pallas.interp_kernel import interp_table_pallas_3d, pallas_available
+
+            if pallas_available():
+                lead = vals.shape[:-2]
+                Gp, Lp = vals.shape[-2:]
+                B = 1
+                for d in lead:
+                    B *= d
+                v3 = vals.reshape(B, Gp, Lp)
+                x3 = jnp.broadcast_to(xq_p, lead + (Gp, nq)).reshape(B, Gp, nq)
+                y3 = jnp.broadcast_to(yq_p, lead + (Gp, nq)).reshape(B, Gp, nq)
+                n3 = jnp.broadcast_to(nv_p, lead + (Gp,)).reshape(B, Gp)
+                out = interp_table_pallas_3d(v3, x3, y3, n3)
+                return out.reshape(vals.shape)
+        return _interp_unrolled(vals, xq_p, yq_p, nv_p, method, extrap)
 
     def eval_partition(part, grp, slot):
         pi = jnp.asarray(part)
         vals = jnp.where(pi >= 0, v[..., jnp.clip(pi, 0, v.shape[-1] - 1)], jnp.nan)  # [..., Gp, Lp]
-        out = _interp_unrolled(vals, xq_p, yq_p, nv_p, method, extrap)                 # [..., Gp, Lp]
+        out = _eval_tables(vals)                                                       # [..., Gp, Lp]
         return out[..., jnp.asarray(grp), jnp.asarray(slot)]                            # [..., T]
 
     val0 = eval_partition(part0, g0, slot0)
