@@ -97,7 +97,7 @@ def _bench_heavy_doy31(jax, jnp):
     from xsdba_tpu.utils.calendar import date_range
     from xsdba_tpu.utils.grouper import Grouper
 
-    n_sites, n_years, nq = 128, 150, 50
+    n_sites, n_years, nq = 256, 150, 50  # 256 sites amortize per-step fixed costs
     t = date_range("1950-01-01", periods=365 * n_years, freq="D", calendar="noleap")
     gi = Grouper("time.dayofyear", window=31).indexes(t)
     rng = np.random.default_rng(1)

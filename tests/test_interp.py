@@ -161,3 +161,73 @@ def test_gathered_matches_unrolled_large_tables(random):
             a = np.asarray(_interp_unrolled(jnp.asarray(v), xsc, ysc, nv, method, extrap))
             b = np.asarray(_interp_gathered(jnp.asarray(v), xsc, ysc, nv, method, extrap))
             np.testing.assert_array_equal(a, b)
+
+
+def test_public_interp_on_quantiles_constant_nan(random):
+    """Mirror of reference tests/test_utils.py:70-113: lat-batched tables,
+    NaNs in newx, constant/nan extrapolation, and NaN table pairs."""
+    import jax.numpy as jnp
+
+    from xsdba_tpu import DataArray, date_range, interp_on_quantiles
+
+    quantiles = np.linspace(0, 1, num=25)
+    xq1 = np.linspace(205, 229, num=25)
+    yq1 = np.linspace(2, 4.4, num=25)
+    t = date_range("1900-03-01", periods=41, freq="D", calendar="standard")
+    newx_v = np.linspace(240, 200, num=41) - 0.5
+    newx_v = np.where(newx_v > 201, newx_v, np.nan)
+
+    lat = np.array([1, 2, 3])
+    mk = lambda v, dims, coords: DataArray(v, dims, coords, {}, "x")
+    xq = mk(np.broadcast_to(xq1, (3, 25)).copy(), ("lat", "quantiles"), {"lat": lat, "quantiles": quantiles})
+    yq = mk(np.broadcast_to(yq1, (3, 25)).copy(), ("lat", "quantiles"), {"lat": lat, "quantiles": quantiles})
+    newx = mk(np.broadcast_to(newx_v, (3, 41)).copy(), ("lat", "time"), {"lat": lat, "time": t})
+
+    for interp, expi in [("nearest", 2.9), ("linear", 2.95)]:
+        for extrap, expe in [("constant", 4.4), ("nan", np.nan)]:
+            out = np.asarray(interp_on_quantiles(newx, xq, yq, group="time", method=interp, extrapolation=extrap).data)
+            # first time = 239.5, above the table: constant -> last y, nan -> NaN
+            if np.isnan(expe):
+                assert np.isnan(out[:, 0]).all()
+            else:
+                np.testing.assert_allclose(out[1, 0], expe)
+            np.testing.assert_allclose(out[:, 25], expi, rtol=1e-6)
+            assert np.isnan(out[:, -1]).all()  # NaN input stays NaN
+
+            # NaN pair in the table is skipped, result unchanged elsewhere
+            xq2 = xq.copy(); yq2 = yq.copy()
+            d2 = np.asarray(xq2.data); d2[d2 == 220] = np.nan
+            e2 = np.asarray(yq2.data); e2[e2 == 3] = np.nan
+            out2 = np.asarray(interp_on_quantiles(newx, mk(d2, xq.dims, dict(xq.coords)), mk(e2, yq.dims, dict(yq.coords)), group="time", method=interp, extrapolation=extrap).data)
+            np.testing.assert_allclose(out2[:, 25], expi, rtol=1e-6)
+
+
+def test_public_interp_on_quantiles_monthly_no_nans(random):
+    """Mirror of reference tests/test_utils.py:116-148: grouped monthly
+    interpolation of correction factors never produces NaN."""
+    from xsdba_tpu import DataArray, date_range, interp_on_quantiles
+    from xsdba_tpu.ops.correction import equally_spaced_nodes, get_correction
+    from xsdba_tpu.ops.quantile import grouped_nan_quantile
+    from xsdba_tpu.utils.grouper import Grouper
+
+    t = date_range("2000-01-01", periods=365 * 31, freq="D", calendar="noleap")
+    doy = np.asarray(t.dayofyear)
+    days = np.arange(t.size)
+    ref_v = -20 * np.cos(2 * np.pi * doy / 365) + 2 * random.random(t.size) + 273.15 + 0.1 * days / 365
+    sim_v = -18 * np.cos(2 * np.pi * doy / 365) + 2 * random.random(t.size) + 273.15 + 0.11 * days / 365
+
+    n_hist = 365 * 15
+    gi = Grouper("time.month").indexes(t)
+    import jax.numpy as jnp
+
+    gih = Grouper("time.month").indexes(date_range("2000-01-01", periods=n_hist, freq="D", calendar="noleap"))
+    q = equally_spaced_nodes(15)
+    ref_q = grouped_nan_quantile(jnp.asarray(ref_v[:n_hist]), gih.gather_idx, jnp.asarray(q))
+    hist_q = grouped_nan_quantile(jnp.asarray(sim_v[:n_hist]), gih.gather_idx, jnp.asarray(q))
+    af = get_correction(hist_q, ref_q, "+")
+
+    mkq = lambda v: DataArray(np.asarray(v), ("month", "quantiles"), {"month": np.arange(1, 13), "quantiles": q}, {}, "q")
+    sim = DataArray(sim_v, ("time",), {"time": t}, {"units": "K"}, "sim")
+    for interp in ("nearest", "linear"):
+        afi = interp_on_quantiles(sim, mkq(hist_q), mkq(af), group="time.month", method=interp, extrapolation="constant")
+        assert np.isnan(np.asarray(afi.data)).sum() == 0, interp
