@@ -49,3 +49,31 @@ def test_interp_kernel_3d_matches_xla(random):
     got = np.asarray(interp_table_pallas_3d(vj, xsc, ysc, nv, interpret=True))
     # fp-identical up to FMA fusion differences (1-2 ulp f32)
     np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6, equal_nan=True)
+
+
+def test_shared_dyadic_merge_matches_per_group(random):
+    """merged_window_rows_shared must be bit-identical to the per-group
+    cascade for odd/even windows, incl. parity-dependent top-level runs."""
+    import jax.numpy as jnp
+
+    from xsdba_tpu.ops.pallas.merge_kernel import (
+        merged_window_rows,
+        merged_window_rows_shared,
+        sort_rows_alternating,
+    )
+
+    for (B, Dp, m, window, G, Ymax) in [
+        (2, 64, 32, 31, 20, 20),
+        (2, 96, 32, 24, 40, 10),
+        (2, 64, 32, 9, 30, 12),
+    ]:
+        x = np.full((B, Dp, m), np.inf, dtype=np.float32)
+        x[..., :Ymax] = random.normal(0, 1, (B, Dp, Ymax))
+        xs = sort_rows_alternating(jnp.asarray(x), interpret=True)
+        want = np.asarray(merged_window_rows(xs, window, G, interpret=True))
+        got = np.asarray(merged_window_rows_shared(xs, window, G, interpret=True, ymax=Ymax))
+        w = min(want.shape[-1], got.shape[-1])
+        np.testing.assert_array_equal(
+            np.nan_to_num(want[..., :w], posinf=1e300),
+            np.nan_to_num(got[..., :w], posinf=1e300),
+        )

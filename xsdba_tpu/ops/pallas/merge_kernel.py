@@ -106,36 +106,43 @@ def _merge_cascade(x, roll):
     return _merge_cascade_grid(x, roll).reshape(x.shape[:-2] + (x.shape[-2] * x.shape[-1],))
 
 
+def _cascade_level(x, roll, j: int):
+    """One level of the grid cascade on [..., R, m]: entry sign negation for
+    level ``j`` (runs of ``2**j`` rows pair into ``2**(j+1)``-row runs), then
+    the ascending-only row- and lane-stride compare-exchange stages.  Works
+    on any row count (runs merge independently by the iota masks)."""
+    m = x.shape[-1]
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 2)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    if j == 0:
+        neg = ((row >> 1) & 1) == 1
+    else:
+        neg = (((row >> (j + 1)) ^ (row >> j)) & 1) == 1
+    x = jnp.where(neg, -x, x)
+    sr = 1 << j
+    while sr >= 1:
+        fwd = roll(x, -sr, x.ndim - 2)
+        bwd = roll(x, sr, x.ndim - 2)
+        is_low = (row & sr) == 0
+        x = jnp.where(is_low, jnp.minimum(x, fwd), jnp.maximum(x, bwd))
+        sr //= 2
+    s = m // 2
+    while s >= 1:
+        fwd = roll(x, -s, x.ndim - 1)
+        bwd = roll(x, s, x.ndim - 1)
+        is_low = (lane & s) == 0
+        x = jnp.where(is_low, jnp.minimum(x, fwd), jnp.maximum(x, bwd))
+        s //= 2
+    return x
+
+
 def _merge_cascade_grid(x, roll):
     """Core of :func:`_merge_cascade`: [..., W, m] alternating-direction
     sorted rows -> [..., W, m] whose row-major flattening is ascending."""
-    W, m = x.shape[-2], x.shape[-1]
-    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 2)
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    W = x.shape[-2]
     levels = W.bit_length() - 1  # log2(W) merge levels
     for j in range(levels):
-        # entry negation (sign-space direction handling; see docstring)
-        if j == 0:
-            neg = ((row >> 1) & 1) == 1
-        else:
-            neg = (((row >> (j + 1)) ^ (row >> j)) & 1) == 1
-        x = jnp.where(neg, -x, x)
-        # row-stride stages: flat stride s = sr*m pairs row r with r^sr
-        sr = 1 << j
-        while sr >= 1:
-            fwd = roll(x, -sr, x.ndim - 2)
-            bwd = roll(x, sr, x.ndim - 2)
-            is_low = (row & sr) == 0
-            x = jnp.where(is_low, jnp.minimum(x, fwd), jnp.maximum(x, bwd))
-            sr //= 2
-        # lane-stride stages: flat stride s < m pairs col c with c^s
-        s = m // 2
-        while s >= 1:
-            fwd = roll(x, -s, x.ndim - 1)
-            bwd = roll(x, s, x.ndim - 1)
-            is_low = (lane & s) == 0
-            x = jnp.where(is_low, jnp.minimum(x, fwd), jnp.maximum(x, bwd))
-            s //= 2
+        x = _cascade_level(x, roll, j)
     return x
 
 
@@ -382,3 +389,313 @@ def merged_window_rows_xla(s_pad, window: int, n_groups: int, out_width: int | N
         win = jnp.where(jnp.arange(wpad)[None, None, :, None] >= window, jnp.inf, win)
     merged = _merge_cascade(win, _roll_xla)
     return merged if out_width is None else merged[..., :out_width]
+
+
+# ---------------------------------------------------------------------------
+# Shared-dyadic merge: amortize the cascade's lower levels across the
+# overlapping windows.  Adjacent groups share window-1 rows, so the aligned
+# dyadic runs (2, 4, .., 2^L rows) are built ONCE over the whole slab — they
+# are exactly the grid cascade's levels — and each group then pays only a
+# smallest-first fold of its ~5-6 dyadic window segments instead of the full
+# cascade: per-group stage-visits drop from sum over all levels to roughly
+# the top two levels (~2x at window 31).
+#
+# Direction algebra: a 2^k-row build run at absolute row offset o is stored
+# ascending with sign (-1)^(o >> k); its VALUES therefore read ascending or
+# descending by that parity.  Two runs merge directly iff their value
+# directions differ (the pair is bitonic in any common sign space), and the
+# OUTPUT direction is free (feed-negation trick) — so the fold plans each
+# intermediate output direction to oppose the next operand's fixed
+# direction.  With ``classes = 2^L`` groups per kernel the parities are
+# static except for the single largest run, whose parity alternates with the
+# per-class group index — handled by one scalar-masked negate.
+# ---------------------------------------------------------------------------
+
+
+def _dyadic_segments(c: int, window: int, max_rows: int):
+    """Aligned dyadic segments of [c, c+window): (delta, rows) pairs."""
+    segs = []
+    p, end = c, c + window
+    while p < end:
+        size = 1
+        while size * 2 <= max_rows and p % (size * 2) == 0 and p + size * 2 <= end:
+            size *= 2
+        segs.append((p - c, size))
+        p += size
+    return segs
+
+
+class _Dir:
+    """Value read-direction: ``asc ^ (flip and (group_index & 1))``."""
+
+    def __init__(self, asc: bool, flip: bool = False):
+        self.asc = asc
+        self.flip = flip
+
+    def opposite(self) -> "_Dir":
+        return _Dir(not self.asc, self.flip)
+
+    def same_as(self, other):
+        """True / False when statically known, None when parity-dependent."""
+        if self.flip == other.flip:
+            return self.asc == other.asc
+        return None
+
+
+def _run_dir(offset_static: int, k: int, classes: int) -> _Dir:
+    """Direction of the 2^k-row run at row offset ``classes*g' + offset``."""
+    if k == 0:
+        return _Dir(offset_static % 2 == 0)  # base rows alternate asc/desc
+    par = (offset_static >> k) & 1
+    if (1 << k) < classes:
+        return _Dir(par == 0)
+    if (1 << k) == classes:
+        return _Dir(par == 0, flip=True)
+    raise ValueError("run larger than the class modulus")
+
+
+def _fold_plan(c: int, window: int, classes: int):
+    """(delta, rows, level) fold order: smallest first; equal sizes keep
+    offset order (adjacent same-size top-level runs alternate parity, so
+    they merge with each other directly).  Returns None when the plan would
+    need a parity-dependent direction before the final steps (caller then
+    uses the plain per-group cascade)."""
+    segs = _dyadic_segments(c, window, classes)
+    runs = [(d, r, r.bit_length() - 1) for d, r in sorted(segs, key=lambda s: (s[1], s[0]))]
+    if len(runs) < 2:
+        return None
+    return runs
+
+
+def _bitonic_asc_grid(feed, m: int):
+    """Ascending merge of ONE bitonic flat run [..., R, m] in grid layout."""
+    R = feed.shape[-2]
+    row = jax.lax.broadcasted_iota(jnp.int32, feed.shape, feed.ndim - 2)
+    lane = jax.lax.broadcasted_iota(jnp.int32, feed.shape, feed.ndim - 1)
+    sr = R // 2
+    while sr >= 1:
+        fwd = _roll_pallas(feed, -sr, feed.ndim - 2)
+        bwd = _roll_pallas(feed, sr, feed.ndim - 2)
+        is_low = (row & sr) == 0
+        feed = jnp.where(is_low, jnp.minimum(feed, fwd), jnp.maximum(feed, bwd))
+        sr //= 2
+    s = m // 2
+    while s >= 1:
+        fwd = _roll_pallas(feed, -s, feed.ndim - 1)
+        bwd = _roll_pallas(feed, s, feed.ndim - 1)
+        is_low = (lane & s) == 0
+        feed = jnp.where(is_low, jnp.minimum(feed, fwd), jnp.maximum(feed, bwd))
+        s //= 2
+    return feed
+
+
+def _build_levels_kernel(slab_ref, lv_ref, *, n_levels: int):
+    """Grid-cascade levels 0..n_levels-1 over the whole slab; level k's
+    snapshot (aligned 2^(k+1)-row runs, sign-stored) lands in lv_ref[:, k]."""
+    x = slab_ref[...]
+    for j in range(n_levels):
+        x = _cascade_level(x, _roll_pallas, j)
+        lv_ref[:, j, :, :] = x
+
+
+def _shared_fold_kernel(
+    slab_ref, lv_ref, out_ref, *, c, classes, window, m, ymax, out_rows, plan
+):
+    gq = pl.program_id(1)
+    gpar = (gq & 1) == 1  # scalar bool: parity of the group within the class
+    TB = slab_ref.shape[0]
+
+    def values(delta: int, rows: int, k: int):
+        """Materialize a run's VALUES [TB, rows, m] and its direction."""
+        off = (c + delta) % 8
+        base = pl.multiple_of(classes * gq + (c + delta) - off, 8)
+        if k == 0:
+            sup = slab_ref[:, pl.ds(base, rows + 8), :]
+            return sup[:, off : off + rows, :], _run_dir(c + delta, 0, classes)
+        sup = lv_ref[:, k - 1, pl.ds(base, rows + 8), :]
+        w = sup[:, off : off + rows, :]
+        d = _run_dir(c + delta, k, classes)
+        # v = sigma * stored; sigma's sign bit IS the direction bit
+        if d.flip:
+            neg = jnp.logical_xor(jnp.asarray(not d.asc), gpar)
+            w = jnp.where(neg, -w, w)
+        elif not d.asc:
+            w = -w
+        return w, d
+
+    def sort_bitonic_to(w, out: _Dir):
+        """Sort a bitonic VALUES block to direction ``out``."""
+        if out.flip:
+            tau_neg = jnp.logical_xor(jnp.asarray(not out.asc), gpar)
+            w = jnp.where(tau_neg, -w, w)
+            w = _bitonic_asc_grid(w, m)
+            return jnp.where(tau_neg, -w, w)
+        if not out.asc:
+            return -_bitonic_asc_grid(-w, m)
+        return _bitonic_asc_grid(w, m)
+
+    def merge(acc, acc_dir: _Dir, op, op_dir: _Dir, out: _Dir):
+        """Merge two opposite-direction VALUES runs to direction ``out``.
+
+        +inf pads must extend a monotone flank, not break the single
+        rise-fall: with acc ascending they go BETWEEN acc and op (peak),
+        with acc descending they go in FRONT (valley).  acc's direction can
+        be parity-dependent (flip), so both layouts are built and selected
+        by the scalar — the layouts differ only in the pad block position.
+        """
+        del op_dir
+        ra, ro = acc.shape[1], op.shape[1]
+        R = _next_pow2(ra + ro)
+        npad = R - ra - ro
+        if npad:
+            pad = jnp.full((TB, npad, m), jnp.inf, acc.dtype)
+            mid = jnp.concatenate([acc, pad, op], axis=1)
+            if acc_dir.flip:
+                front = jnp.concatenate([pad, acc, op], axis=1)
+                acc_asc = jnp.logical_xor(jnp.asarray(acc_dir.asc), gpar)
+                w = jnp.where(acc_asc, mid, front)
+            elif acc_dir.asc:
+                w = mid
+            else:
+                w = jnp.concatenate([pad, acc, op], axis=1)
+        else:
+            w = jnp.concatenate([acc, op], axis=1)
+        return sort_bitonic_to(w, out)
+
+    d0, r0, k0 = plan[0]
+    acc, acc_dir = values(d0, r0, k0)
+    valid = r0 * ymax
+    want0 = _run_dir(c + plan[1][0], plan[1][2], classes).opposite()
+    if acc_dir.same_as(want0) is not True:
+        # bootstrap: re-sort the (monotone == bitonic) first run; covers
+        # both the static-flip and parity-dependent cases (identity when
+        # the direction already matches)
+        acc = sort_bitonic_to(acc, want0)
+        acc_dir = want0
+
+    for i in range(1, len(plan)):
+        dd, rr, kk = plan[i]
+        op, op_dir = values(dd, rr, kk)
+        if i + 1 < len(plan):
+            want = _run_dir(c + plan[i + 1][0], plan[i + 1][2], classes).opposite()
+        else:
+            want = _Dir(True)
+        acc = merge(acc, acc_dir, op, op_dir, want)
+        acc_dir = want
+        valid += rr * ymax
+        # compact: rows past the worst-case valid count are pure +inf (at
+        # the tail when ascending, at the head when descending)
+        need = _next_pow2(-(-valid // m))
+        if not want.flip and need < acc.shape[1]:
+            acc = acc[:, : need, :] if want.asc else acc[:, acc.shape[1] - need :, :]
+
+    R = acc.shape[1]
+    if R < out_rows:
+        acc = jnp.concatenate([acc, jnp.full((TB, out_rows - R, m), jnp.inf, acc.dtype)], axis=1)
+    out_ref[...] = acc[:, :out_rows, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window", "n_groups", "interpret", "tile_b", "out_width", "ymax")
+)
+def merged_window_rows_shared(
+    s_pad,
+    window: int,
+    n_groups: int,
+    interpret: bool = False,
+    tile_b: int | None = None,
+    out_width: int | None = None,
+    ymax: int | None = None,
+):
+    """Shared-dyadic version of :func:`merged_window_rows` (same contract).
+
+    Builds the aligned dyadic levels once per slab, then folds each group's
+    ~5-6 window segments per class kernel.  Requires ``window >= 8`` (class
+    modulus >= 8 keeps the superset row loads provably aligned).  ``ymax``
+    (valid entries per base row, <= m) tightens the fold's pad compaction.
+    """
+    pl_mod = _ensure_pl()
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Dp, m = s_pad.shape
+    wpad = _next_pow2(window)
+    classes = min(max(wpad // 2, 8), 16)
+    L = classes.bit_length() - 1
+    assert classes >= 8 and (1 << L) == classes
+    if tile_b is None:
+        tile_b = 8
+    if out_width is None:
+        out_width = wpad * m
+    out_rows = min(-(-out_width // m), wpad)
+    rows_store = -(-out_rows // 8) * 8
+    Bp = -(-B // tile_b) * tile_b
+    if Bp != B:
+        s_pad = jnp.pad(s_pad, ((0, Bp - B), (0, 0), (0, 0)), constant_values=jnp.inf)
+    if ymax is None:
+        ymax = m  # worst-case valid per row (loose; disables compaction)
+
+    cp = None if interpret else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    # ---- build the aligned levels once ------------------------------------
+    levels = pl_mod.pallas_call(
+        functools.partial(_build_levels_kernel, n_levels=L),
+        grid=(Bp // tile_b,),
+        in_specs=[pl_mod.BlockSpec((tile_b, Dp, m), lambda i: (i, 0, 0))],
+        out_specs=pl_mod.BlockSpec((tile_b, L, Dp, m), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((Bp, L, Dp, m), s_pad.dtype),
+        interpret=interpret,
+        compiler_params=cp,
+    )(s_pad)
+
+    # ---- per-class folds ---------------------------------------------------
+    n_classes_used = classes
+    outs = []
+    for c in range(n_classes_used):
+        g_c = -(-(n_groups - c) // classes) if c < n_groups else 0
+        if g_c == 0:
+            outs.append(None)
+            continue
+        plan = _fold_plan(c, window, classes)
+        if plan is None:
+            raise NotImplementedError("fold plan needs runtime bootstrap; use merged_window_rows")
+        # superset loads must stay in range for the last group of the class
+        assert classes * (g_c - 1) + c + window + 8 <= Dp, "slab too short for superset loads"
+        out_c = pl_mod.pallas_call(
+            functools.partial(
+                _shared_fold_kernel,
+                c=c,
+                classes=classes,
+                window=window,
+                m=m,
+                ymax=ymax,
+                out_rows=rows_store,
+                plan=plan,
+            ),
+            grid=(Bp // tile_b, g_c),
+            in_specs=[
+                pl_mod.BlockSpec((tile_b, Dp, m), lambda i, g: (i, 0, 0)),
+                pl_mod.BlockSpec((tile_b, L, Dp, m), lambda i, g: (i, 0, 0, 0)),
+            ],
+            out_specs=pl_mod.BlockSpec((tile_b, rows_store, m), lambda i, g: (i, g, 0)),
+            out_shape=jax.ShapeDtypeStruct((Bp, g_c * rows_store, m), s_pad.dtype),
+            interpret=interpret,
+            compiler_params=cp,
+        )(s_pad, levels)
+        outs.append(out_c.reshape(Bp, g_c, rows_store, m))
+
+    # ---- interleave class outputs back to group order ----------------------
+    Gc_max = max(o.shape[1] for o in outs if o is not None)
+    stackable = []
+    for c, o in enumerate(outs):
+        if o is None:
+            o = jnp.full((Bp, Gc_max, rows_store, m), jnp.inf, s_pad.dtype)
+        elif o.shape[1] < Gc_max:
+            o = jnp.concatenate(
+                [o, jnp.full((Bp, Gc_max - o.shape[1], rows_store, m), jnp.inf, s_pad.dtype)],
+                axis=1,
+            )
+        stackable.append(o)
+    # [classes, B, Gc, rows, m] -> [B, Gc, classes, rows, m] -> [B, Gc*classes, ...]
+    full = jnp.stack(stackable, axis=0).transpose(1, 2, 0, 3, 4)
+    full = full.reshape(Bp, Gc_max * classes, rows_store, m)[:, :n_groups]
+    return full[:B].reshape(B, n_groups, rows_store * m)

@@ -397,7 +397,16 @@ def _windowed_group_quantile_core(
         # rows sorted with alternating directions in-VMEM (measured ~2-3x
         # XLA's sort+flip on this chip at 16-row batch tiles; PERFORMANCE.md)
         Sb = sort_rows_alternating(Sb, interpret=interpret)
-        merged = merged_window_rows(Sb, window, G, interpret=interpret, out_width=out_width)
+        if window >= 9:
+            # shared-dyadic fold: aligned build runs amortized across the
+            # overlapping windows (~2x the per-group cascade at window 31)
+            from .pallas.merge_kernel import merged_window_rows_shared
+
+            merged = merged_window_rows_shared(
+                Sb, window, G, interpret=interpret, out_width=out_width, ymax=Ymax
+            )
+        else:
+            merged = merged_window_rows(Sb, window, G, interpret=interpret, out_width=out_width)
     else:
         Sb = alternate_row_directions(jnp.sort(Sb, axis=-1), axis_rows=-2)
         merged = merged_window_rows_xla(Sb, window, G, out_width=out_width)
