@@ -623,7 +623,7 @@ def merged_window_rows_shared(
     L = classes.bit_length() - 1
     assert classes >= 8 and (1 << L) == classes
     if tile_b is None:
-        tile_b = 8
+        tile_b = 16 if B >= 16 else 8  # 16-row tiles measured fastest on v5e
     if out_width is None:
         out_width = wpad * m
     out_rows = min(-(-out_width // m), wpad)
