@@ -68,6 +68,7 @@ def main():
     value = gp_years / dt
 
     heavy = _bench_heavy_doy31(jax, jnp)
+    mbcn_it = _bench_mbcn(jnp)
 
     print(
         json.dumps(
@@ -79,6 +80,7 @@ def main():
                 "extra": {
                     "heavy_config1_eqm_doy31w_gpyrs_per_s": heavy,
                     "heavy_vs_baseline": round(heavy / _BASELINE_GPYRS_PER_S, 3),
+                    "mbcn_train_iterations_per_s": mbcn_it,
                 },
             }
         )
@@ -130,6 +132,39 @@ def _bench_heavy_doy31(jax, jnp):
     t9 = timed(9)
     dt = max((t9 - t1) / 8, 1e-9)
     return round(n_sites * n_years / dt, 1)
+
+
+def _bench_mbcn(jnp):
+    """Secondary BASELINE metric: MBCn/NpdfTransform training iterations/s
+    (64 sites x 3 variables x 30-yr daily, 20 rotations, public API)."""
+    import time as _time
+
+    from xsdba_tpu import DataArray, MBCn, date_range, set_options
+
+    rng = np.random.default_rng(3)
+    S, V, T = 64, 3, 365 * 30
+    t = date_range("1981-01-01", periods=T, freq="D", calendar="noleap")
+    mv = np.array(["tasmax", "pr", "huss"])
+
+    def mk(seed):
+        r = np.random.default_rng(seed)
+        return DataArray(
+            r.normal(10, 3, (S, V, T)).astype(np.float32),
+            ("site", "multivar", "time"),
+            {"time": t, "multivar": mv, "site": np.arange(S)},
+            {"units": ""},
+            "data",
+        )
+
+    ref, hist = mk(1), mk(2)
+    kw = dict(base_kws={"nquantiles": 50, "group": "time"}, n_iter=20, n_escore=-1)
+    obj = MBCn.train(ref, hist, **kw)  # compile + warm
+    float(np.asarray(obj.ds["af_q"].data).ravel()[0])
+    t0 = _time.perf_counter()
+    obj = MBCn.train(ref, hist, skip_input_checks=True, **kw)
+    float(np.asarray(obj.ds["af_q"].data).ravel()[0])
+    dt = _time.perf_counter() - t0
+    return round(20 / dt, 1)
 
 
 if __name__ == "__main__":

@@ -283,3 +283,38 @@ class TestNpdfTransformArbitraryBase:
                 )
         corr_scen = np.corrcoef(np.asarray(out["scen"].data))[0, 1]
         assert corr_scen == pytest.approx(0.7, abs=0.2)
+
+
+def test_mbcn_site_batch_and_dim_order(random):
+    """MBCn accepts any dim order and extra batch dims; a site-batched run
+    matches per-site runs with the same rotations."""
+    from xsdba_tpu import DataArray, MBCn, date_range
+
+    S, V, T = 3, 2, 365 * 2
+    t = date_range("1981-01-01", periods=T, freq="D", calendar="noleap")
+    mv = np.array(["pr", "tas"])
+
+    def mk(seed):
+        r = np.random.default_rng(seed)
+        return DataArray(
+            r.normal(10, 3, (S, V, T)),
+            ("site", "multivar", "time"),
+            {"time": t, "multivar": mv, "site": np.arange(S)},
+            {"units": ""},
+            "data",
+        )
+
+    kw = dict(base_kws={"nquantiles": 8, "group": "time"}, n_iter=2, n_escore=-1)
+    obj = MBCn.train(mk(1), mk(2), **kw)
+    assert obj.ds["af_q"].dims[0] == "site"
+    scen = obj.adjust(mk(3), mk(1), mk(2))
+    assert scen.dims == ("site", "multivar", "time")
+
+    rot = np.asarray(obj.ds["rot_matrices"].data)
+    one = lambda da, i: DataArray(
+        np.asarray(da.data)[i], ("multivar", "time"), {"time": t, "multivar": mv}, {"units": ""}, "d"
+    )
+    r1, h1, s1 = mk(1), mk(2), mk(3)
+    obj0 = MBCn.train(one(r1, 1), one(h1, 1), rot_matrices=rot, **kw)
+    scen0 = obj0.adjust(one(s1, 1), one(r1, 1), one(h1, 1))
+    np.testing.assert_allclose(np.asarray(scen.data)[1], np.asarray(scen0.data), rtol=1e-10, atol=1e-10)

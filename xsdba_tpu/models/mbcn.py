@@ -43,6 +43,37 @@ def _mbcn_group(group) -> Grouper:
     return group
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("interp", "extrap", "n_escore"))
+def _mbcn_train_block(refa, hista, gidx_chunk, rotj, qj, *, interp, extrap, n_escore):
+    """One npdft training pass over a chunk of group blocks.
+
+    Module-level jit: a closure-local ``jax.jit`` would recompile on every
+    ``MBCn.train`` call (measured ~30 s per train through the remote relay).
+    """
+    from ..ops.segment import gather_groups
+
+    refb = jnp.moveaxis(gather_groups(refa, gidx_chunk), 0, -2)   # [..., C, V, Lw]
+    histb = jnp.moveaxis(gather_groups(hista, gidx_chunk), 0, -2)
+    return npdft_train_core.__wrapped__(
+        refb, histb, rotj, qj, interp=interp, extrap=extrap, n_escore=n_escore
+    )
+
+
+@_partial(jax.jit, static_argnames=("n_chunks", "chunk", "interp", "extrap", "n_escore"))
+def _mbcn_train_chunked(refa, hista, gip, rotj, qj, *, n_chunks, chunk, interp, extrap, n_escore):
+    Lw = gip.shape[-1]
+
+    def body(gc):
+        return _mbcn_train_block.__wrapped__(
+            refa, hista, gc, rotj, qj, interp=interp, extrap=extrap, n_escore=n_escore
+        )
+
+    return jax.lax.map(body, gip.reshape(n_chunks, chunk, Lw))
+
+
 def _stacked_to_blocks(da: DataArray, gi, pts_dim: str):
     """[V, ..., T] stacked array -> gathered blocks [..., G, V, L]."""
     arr = jnp.asarray(da.move_dim_last("time").data)  # [V, ..., T]
@@ -92,6 +123,13 @@ class MBCn(TrainAdjust):
         else:
             quantiles = np.asarray(base_kws["nquantiles"])
 
+        # the cores run in [V, ..., T] layout — normalize any input dim order
+        order = (pts_dim,) + tuple(d for d in ref.dims if d not in (pts_dim, "time")) + ("time",)
+        if ref.dims != order:
+            ref = ref.transpose(*order)
+        if hist.dims != order:
+            hist = hist.transpose(*order)
+
         V = int(np.shape(ref.data)[ref.dims.index(pts_dim)])
         if rot_matrices is None:
             rot = rand_rot_matrix(V, num=max(n_iter, 2))[:n_iter]
@@ -114,28 +152,20 @@ class MBCn(TrainAdjust):
         chunk = max(1, min(G, _TRAIN_CHUNK_BUDGET // max(batch * Lw, 1)))
         gidx = jnp.asarray(gi.gather_idx)
 
-        def train_chunk(gidx_chunk):
-            from ..ops.segment import gather_groups
-
-            refb = jnp.moveaxis(gather_groups(refa, gidx_chunk), 0, -2)   # [..., C, V, Lw]
-            histb = jnp.moveaxis(gather_groups(hista, gidx_chunk), 0, -2)
-            return npdft_train_core.__wrapped__(
-                refb, histb, rotj, qj,
+        if chunk >= G:
+            af_q, escores = _mbcn_train_block(
+                refa, hista, gidx, rotj, qj,
                 interp=adj_kws["interp"], extrap=adj_kws["extrapolation"], n_escore=int(n_escore),
             )
-
-        if chunk >= G:
-            af_q, escores = jax.jit(train_chunk)(gidx)
         else:
             n_chunks = -(-G // chunk)
             pad = n_chunks * chunk - G
             gip = jnp.concatenate([gidx, jnp.full((pad, Lw), -1, gidx.dtype)], axis=0) if pad else gidx
-
-            @jax.jit
-            def run(gip):
-                return jax.lax.map(train_chunk, gip.reshape(n_chunks, chunk, Lw))
-
-            af_q, escores = run(gip)
+            af_q, escores = _mbcn_train_chunked(
+                refa, hista, gip, rotj, qj,
+                n_chunks=n_chunks, chunk=chunk,
+                interp=adj_kws["interp"], extrap=adj_kws["extrapolation"], n_escore=int(n_escore),
+            )
             # [n_chunks, ..., C, I, V, nq] -> [..., G, I, V, nq]
             af_q = jnp.moveaxis(af_q, 0, -5)
             af_q = af_q.reshape(af_q.shape[:-5] + (n_chunks * chunk,) + af_q.shape[-3:])[..., :G, :, :, :]
@@ -144,17 +174,20 @@ class MBCn(TrainAdjust):
 
         gdim = group.prop_name if gi.prop != "group" else "group"
         vnames = np.asarray(ref.coords.get(pts_dim, np.arange(V)))
+        # extra batch dims (e.g. site) ride ahead of the grouped axes
+        bdims = tuple(d for d in ref.dims if d not in (pts_dim, "time"))
+        bcoords = {d: ref.coords[d] for d in bdims if d in ref.coords}
         ds = Dataset(
             {
                 "af_q": DataArray(
                     af_q,
-                    (gdim, "iterations", pts_dim + "_prime", "quantiles"),
-                    {gdim: np.arange(gi.n_groups), "quantiles": quantiles, pts_dim + "_prime": vnames},
+                    bdims + (gdim, "iterations", pts_dim + "_prime", "quantiles"),
+                    {**bcoords, gdim: np.arange(gi.n_groups), "quantiles": quantiles, pts_dim + "_prime": vnames},
                     {"standard_name": "Adjustment factors", "long_name": "Quantile mapping adjustment factors"},
                     "af_q",
                 ),
                 "escores": DataArray(
-                    escores, (gdim, "iterations"), {gdim: np.arange(gi.n_groups)}, {}, "escores"
+                    escores, bdims + (gdim, "iterations"), {**bcoords, gdim: np.arange(gi.n_groups)}, {}, "escores"
                 ),
                 "rot_matrices": DataArray(
                     rot, ("iterations", pts_dim, pts_dim + "_prime"), {pts_dim: vnames, pts_dim + "_prime": vnames}, {}, "rot_matrices"
@@ -192,6 +225,17 @@ class MBCn(TrainAdjust):
 
         pts_dim = self.pts_dims[0]
         group: Grouper = self.group
+        # normalize to the cores' [V, ..., T] layout; restore sim's original
+        # dim order on the way out
+        orig_dims = sim.dims
+
+        def _norm(da):
+            order = (pts_dim,) + tuple(d for d in da.dims if d not in (pts_dim, "time")) + ("time",)
+            return da.transpose(*order) if da.dims != order else da
+
+        sim = _norm(sim)
+        ref = _norm(ref)
+        hist = _norm(hist)
         vnames = [str(v) for v in np.asarray(sim.coords[pts_dim])]
         base_kws_vars = {k: dict(v) for k, v in (base_kws_vars or {}).items()}
         for v in vnames:
@@ -265,8 +309,8 @@ class MBCn(TrainAdjust):
             scen = jnp.where(in_chunk, vals, scen)
 
         out = DataArray(scen, simc.dims, dict(simc.coords), dict(sim.attrs), "scen")
-        if simc.dims != sim.dims:
-            out = out.transpose(*sim.dims)
+        if simc.dims != orig_dims:
+            out = out.transpose(*orig_dims)
         return out
 
 
@@ -385,6 +429,10 @@ class NpdfTransform(Adjust):
             # run the reference's python loop over rotations, dispatching
             # each univariate step through the base's own public train/adjust
             base_name = None
+
+        # normalize to the cores' [V, ..., T] layout
+        order = (pts_dim,) + tuple(d for d in ref.dims if d not in (pts_dim, "time")) + ("time",)
+        ref, hist, sim = (da.transpose(*((pts_dim,) + tuple(d for d in da.dims if d not in (pts_dim, "time")) + ("time",))) if da.dims != ((pts_dim,) + tuple(d for d in da.dims if d not in (pts_dim, "time")) + ("time",)) else da for da in (ref, hist, sim))
 
         V = int(np.shape(ref.data)[ref.dims.index(pts_dim)])
         if rot_matrices is None:
