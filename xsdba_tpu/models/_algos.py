@@ -260,8 +260,6 @@ def dqm_train_from_raw(ref, hist, gather_idx, quantiles, *, kind: str):
 def _windowed_group_mean(x, plan):
     """Per-group NaN-mean for windowed doy/5D groupings via sliding sums of
     the window-1 per-group sums (no gather amplification); edge groups exact."""
-    from ..ops.quantile import _sorted_w1_lists
-
     x = jnp.asarray(x)
     gi = jnp.asarray(plan.w1_gather)  # EXTENDED rows: [G + 2*half, Ymax]
     vals = jnp.where(gi < 0, jnp.nan, x[..., jnp.clip(gi, 0, x.shape[-1] - 1)])

@@ -33,9 +33,8 @@ import jax.numpy as jnp
 
 __all__ = [
     "alternate_row_directions",
-    "merge_alternating_lists",
-    "merge_sorted_lists",
     "merged_window_rows",
+    "merged_window_rows_shared",
     "merged_window_rows_xla",
 ]
 
@@ -48,31 +47,6 @@ def _roll_pallas(z, shift, axis):
     from jax.experimental.pallas import tpu as pltpu
 
     return pltpu.roll(z, shift=shift % z.shape[axis], axis=axis)
-
-
-def _bitonic_merge_lastaxis(c, roll, desc=None):
-    """Sort a bitonic last axis (len L, power of two).
-
-    Ascending by default; where ``desc`` (broadcastable bool mask, constant
-    along the last axis) is True, descending.  Stage at stride s pairs
-    position i with i^s; expressed as two rolls + iota mask + min/max —
-    shape-invariant, no reshapes/slices/gathers.
-    """
-    L = c.shape[-1]
-    pos = jax.lax.broadcasted_iota(jnp.int32, c.shape, c.ndim - 1)
-    s = L // 2
-    while s >= 1:
-        fwd = roll(c, -s, c.ndim - 1)  # c[i+s] at low positions
-        bwd = roll(c, s, c.ndim - 1)   # c[i-s] at high positions
-        is_low = (pos & s) == 0
-        asc = jnp.where(is_low, jnp.minimum(c, fwd), jnp.maximum(c, bwd))
-        if desc is None:
-            c = asc
-        else:
-            dsc = jnp.where(is_low, jnp.maximum(c, fwd), jnp.minimum(c, bwd))
-            c = jnp.where(desc, dsc, asc)
-        s //= 2
-    return c
 
 
 def _merge_cascade(x, roll):
@@ -227,25 +201,12 @@ def sort_rows_alternating(x, interpret: bool = False, tile_b: int = 16):
 
 def alternate_row_directions(s, axis_rows: int = -2):
     """Flip odd rows of ascending-sorted lists to descending (XLA-side prep
-    for :func:`merge_alternating_lists`; Pallas cannot lower `rev`)."""
+    for the merge cascade's alternating-direction layout; Pallas cannot
+    lower `rev`)."""
     ridx = jnp.arange(s.shape[axis_rows]) % 2 == 1
     shape = [1] * s.ndim
     shape[axis_rows] = s.shape[axis_rows]
     return jnp.where(ridx.reshape(shape), jnp.flip(s, axis=-1), s)
-
-
-def merge_alternating_lists(x, roll=_roll_xla):
-    """Merge ``W`` direction-alternating runs: [..., W, m] -> [..., W*m] asc."""
-    return _merge_cascade(x, roll)
-
-
-def merge_sorted_lists(x):
-    """Merge ``W`` ascending lists: [..., W, m] -> [..., W*m] ascending.
-
-    ``W`` and ``m`` must be powers of two (+inf-pad to reach them).
-    XLA-only convenience (flips odd rows, then runs the cascade).
-    """
-    return _merge_cascade(alternate_row_directions(x), _roll_xla)
 
 
 def _merge_kernel(slab_ref, out_ref, *, window: int, wpad: int, out_rows: int, pad_rows: int):

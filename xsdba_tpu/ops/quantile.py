@@ -310,20 +310,6 @@ def _plan_device_arrays(plan):
     return hit
 
 
-@jax.jit
-def _sorted_w1_lists(x, w1_gather, ypad: int | None = None):
-    """Per-(batch, group) window-1 member lists, value-sorted, +inf padded.
-
-    x [..., T]; w1_gather [G, Ymax] -1 padded.  Returns (S [..., G, Ymax],
-    V [..., G] valid counts)."""
-    gi = jnp.asarray(w1_gather)
-    vals = x[..., jnp.clip(gi, 0, x.shape[-1] - 1)]
-    vals = jnp.where(gi < 0, jnp.nan, vals)
-    V = jnp.sum(~jnp.isnan(vals), axis=-1).astype(jnp.int32)
-    S = jnp.sort(jnp.where(jnp.isnan(vals), jnp.inf, vals), axis=-1)
-    return S, V
-
-
 @functools.partial(
     jax.jit,
     static_argnames=(
