@@ -32,6 +32,12 @@ __all__ = ["MBCn", "NpdfTransform"]
 _TRAIN_CHUNK_BUDGET = 1 << 27
 
 
+def _to_vtime_layout(da: DataArray, pts_dim: str) -> DataArray:
+    """Normalize to the cores' [V, ..., T] dim order."""
+    order = (pts_dim,) + tuple(d for d in da.dims if d not in (pts_dim, "time")) + ("time",)
+    return da.transpose(*order) if da.dims != order else da
+
+
 def _mbcn_group(group) -> Grouper:
     group = Grouper(group) if isinstance(group, str) else group
     if group.prop == "month":
@@ -124,11 +130,8 @@ class MBCn(TrainAdjust):
             quantiles = np.asarray(base_kws["nquantiles"])
 
         # the cores run in [V, ..., T] layout — normalize any input dim order
-        order = (pts_dim,) + tuple(d for d in ref.dims if d not in (pts_dim, "time")) + ("time",)
-        if ref.dims != order:
-            ref = ref.transpose(*order)
-        if hist.dims != order:
-            hist = hist.transpose(*order)
+        ref = _to_vtime_layout(ref, pts_dim)
+        hist = _to_vtime_layout(hist, pts_dim)
 
         V = int(np.shape(ref.data)[ref.dims.index(pts_dim)])
         if rot_matrices is None:
@@ -229,13 +232,9 @@ class MBCn(TrainAdjust):
         # dim order on the way out
         orig_dims = sim.dims
 
-        def _norm(da):
-            order = (pts_dim,) + tuple(d for d in da.dims if d not in (pts_dim, "time")) + ("time",)
-            return da.transpose(*order) if da.dims != order else da
-
-        sim = _norm(sim)
-        ref = _norm(ref)
-        hist = _norm(hist)
+        sim = _to_vtime_layout(sim, pts_dim)
+        ref = _to_vtime_layout(ref, pts_dim)
+        hist = _to_vtime_layout(hist, pts_dim)
         vnames = [str(v) for v in np.asarray(sim.coords[pts_dim])]
         base_kws_vars = {k: dict(v) for k, v in (base_kws_vars or {}).items()}
         for v in vnames:
@@ -431,8 +430,9 @@ class NpdfTransform(Adjust):
             base_name = None
 
         # normalize to the cores' [V, ..., T] layout
-        order = (pts_dim,) + tuple(d for d in ref.dims if d not in (pts_dim, "time")) + ("time",)
-        ref, hist, sim = (da.transpose(*((pts_dim,) + tuple(d for d in da.dims if d not in (pts_dim, "time")) + ("time",))) if da.dims != ((pts_dim,) + tuple(d for d in da.dims if d not in (pts_dim, "time")) + ("time",)) else da for da in (ref, hist, sim))
+        ref = _to_vtime_layout(ref, pts_dim)
+        hist = _to_vtime_layout(hist, pts_dim)
+        sim = _to_vtime_layout(sim, pts_dim)
 
         V = int(np.shape(ref.data)[ref.dims.index(pts_dim)])
         if rot_matrices is None:
