@@ -452,19 +452,25 @@ def windowed_group_quantile(
 
     w1_dev, eid_dev, eg_dev = _plan_device_arrays(plan)
 
-    # one host-fetched scalar decides the extraction form statically: with
+    # One host-fetched scalar decides the extraction form statically: with
     # all-finite data the valid counts equal the plan's member counts, so
     # extraction indices are compile-time constants (a traced cond would
-    # execute both extraction branches on TPU)
-    static_counts: tuple | None = None
-    static_q: tuple | None = None
-    edge_tuple: tuple = ()
-    if np.ndim(quantiles) == 1 and plan.nv_host is not None and bool(_finite_probe(x)):
-        static_counts = tuple(int(c) for c in plan.nv_host)
-        static_q = tuple(float(qv) for qv in np.asarray(quantiles, np.float64))
-        edge_tuple = tuple(int(e) for e in plan.edge_ids)
+    # execute both extraction branches on TPU).  The fetch costs a full
+    # device round-trip (~90 ms over a remote relay), so the finite-path
+    # compute is dispatched OPTIMISTICALLY before the probe result is read —
+    # the common all-finite case pays no probe latency at all, and the
+    # NaN case discards one speculative run.
+    can_static = np.ndim(quantiles) == 1 and plan.nv_host is not None
+    probe_dev = _finite_probe(x) if can_static else None
 
-    def run(xc):
+    def run(xc, static: bool):
+        if static:
+            counts = tuple(int(c) for c in plan.nv_host)
+            q_static = tuple(float(qv) for qv in np.asarray(quantiles, np.float64))
+            edge_tuple = tuple(int(e) for e in plan.edge_ids)
+        else:
+            counts = q_static = None
+            edge_tuple = ()
         return _windowed_group_quantile_core(
             xc,
             w1_dev,
@@ -480,8 +486,8 @@ def windowed_group_quantile(
             interpret=interpret,
             alpha=alpha,
             beta=beta,
-            counts=static_counts,
-            q_static=static_q,
+            counts=counts,
+            q_static=q_static,
             edge_tuple=edge_tuple,
         )
 
@@ -492,14 +498,30 @@ def windowed_group_quantile(
     rows = min(-(-rows_desired // 8) * 8, plan.wpad)
     per_site = G * max(rows, 1) * plan.ypad
     max_chunk = max(1, (1 << 30) // per_site)
-    if x.ndim <= 1:
-        return run(x)
-    # chunk over the FLATTENED batch (leading dims may hide a large product)
-    lead = x.shape[:-1]
-    B = int(np.prod(lead)) if lead else 1
-    if B <= max_chunk:
-        return run(x)
-    xf = x.reshape((B, x.shape[-1]))
-    chunks = [run(xf[i : i + max_chunk]) for i in range(0, B, max_chunk)]
-    out = jnp.concatenate(chunks, axis=0)
-    return out.reshape(lead + out.shape[1:])
+
+    def run_all(xc):
+        if xc.ndim <= 1:
+            return _run_dispatch(xc)
+        lead = xc.shape[:-1]
+        B = int(np.prod(lead)) if lead else 1
+        if B <= max_chunk:
+            return _run_dispatch(xc)
+        # chunk over the FLATTENED batch (leading dims may hide a big product)
+        xf = xc.reshape((B, xc.shape[-1]))
+        chunks = [_run_dispatch(xf[i : i + max_chunk]) for i in range(0, B, max_chunk)]
+        out = jnp.concatenate(chunks, axis=0)
+        return out.reshape(lead + out.shape[1:])
+
+    probe_val: list = []
+
+    def _run_dispatch(xc):
+        if probe_dev is None:
+            return run(xc, static=False)
+        out_fast = run(xc, static=True)  # speculative, races the probe fetch
+        if not probe_val:
+            probe_val.append(bool(probe_dev))
+        if probe_val[0]:
+            return out_fast
+        return run(xc, static=False)
+
+    return run_all(x)
