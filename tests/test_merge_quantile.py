@@ -101,3 +101,29 @@ def test_eqm_model_windowed_dispatch():
     np.testing.assert_allclose(np.asarray(eqm.ds["af"].data), np.asarray(af_c), rtol=1e-10, equal_nan=True)
     scen = eqm.adjust(hist, interp="linear")
     assert np.isfinite(np.asarray(scen.data)).mean() > 0.99
+
+
+def test_windowed_quantile_nan_data_dispatch():
+    """NaN data must take the exact (gather) extraction and still match the
+    re-sort path; the speculative static path is discarded."""
+    import jax.numpy as jnp
+
+    from xsdba_tpu.ops.correction import equally_spaced_nodes
+    from xsdba_tpu.ops.quantile import grouped_nan_quantile, windowed_group_quantile
+    from xsdba_tpu.utils.grouper import Grouper
+
+    rng = np.random.default_rng(7)
+    t = date_range("2000-01-01", periods=365 * 4, freq="D", calendar="noleap")
+    gi = Grouper("time.dayofyear", window=11).indexes(t)
+    x = rng.normal(0, 1, (3, len(t)))
+    x[0, 100:200] = np.nan  # a NaN gap
+    x[2, :] = np.nan        # an all-NaN site
+    q = equally_spaced_nodes(7)
+    got = np.asarray(windowed_group_quantile(jnp.asarray(x), gi.merge_plan, jnp.asarray(q)))
+    want = np.asarray(grouped_nan_quantile(jnp.asarray(x), gi.gather_idx, jnp.asarray(q)))
+    # NaN data takes the exact-count gather extraction: value-exact to ulps
+    # (the finite path is bit-exact; see the tests above)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12, equal_nan=True)
+    # second call exercises the no-speculation path (plan hint is now False)
+    got2 = np.asarray(windowed_group_quantile(jnp.asarray(x), gi.merge_plan, jnp.asarray(q)))
+    np.testing.assert_allclose(got2, want, rtol=1e-12, atol=1e-12, equal_nan=True)

@@ -285,6 +285,10 @@ def _static_strip_extract(merged, counts, q_static, edge_ids, alpha, beta):
     return out
 
 
+import weakref
+
+_PLAN_FINITE_HINT: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
 _PLAN_DEVICE_CACHE: "weakref.WeakKeyDictionary" = None  # type: ignore[assignment]
 
 
@@ -462,6 +466,9 @@ def windowed_group_quantile(
     # NaN case discards one speculative run.
     can_static = np.ndim(quantiles) == 1 and plan.nv_host is not None
     probe_dev = _finite_probe(x) if can_static else None
+    # plans are long-lived: once a plan has seen non-finite data, stop
+    # speculating for it (the wasted fast run would tax every call)
+    speculate = can_static and _PLAN_FINITE_HINT.get(plan, True)
 
     def run(xc, static: bool):
         if static:
@@ -514,13 +521,20 @@ def windowed_group_quantile(
 
     probe_val: list = []
 
+    def _probe() -> bool:
+        if not probe_val:
+            ok = bool(probe_dev)
+            probe_val.append(ok)
+            _PLAN_FINITE_HINT[plan] = ok
+        return probe_val[0]
+
     def _run_dispatch(xc):
         if probe_dev is None:
             return run(xc, static=False)
+        if not speculate:
+            return run(xc, static=True) if _probe() else run(xc, static=False)
         out_fast = run(xc, static=True)  # speculative, races the probe fetch
-        if not probe_val:
-            probe_val.append(bool(probe_dev))
-        if probe_val[0]:
+        if _probe():
             return out_fast
         return run(xc, static=False)
 
