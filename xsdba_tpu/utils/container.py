@@ -19,6 +19,17 @@ from .calendar import TimeIndex
 __all__ = ["DataArray", "Dataset"]
 
 
+def _date_key(s, end: bool) -> int:
+    """YYYYMMDD integer for a (possibly partial) date-string bound: missing
+    components fill to the period start (``end=False``) or end (``end=True``,
+    day 31 compares correctly as an upper bound in key space)."""
+    parts = str(s).split("-")
+    y = int(parts[0])
+    m = int(parts[1]) if len(parts) > 1 else (12 if end else 1)
+    d = int(parts[2]) if len(parts) > 2 else (31 if end else 1)
+    return y * 10000 + m * 100 + d
+
+
 def _asarray(data):
     import jax.numpy as jnp
 
@@ -129,6 +140,42 @@ class DataArray:
                 coords[dim] = c.isel(idx) if isinstance(c, TimeIndex) else np.asarray(c)[idx]
         return DataArray(data, self.dims, coords, dict(self.attrs), self.name)
 
+    def sel(self, **indexers) -> "DataArray":
+        """Label-based selection (the xarray idiom used throughout the
+        reference's workflows): ``time=slice("1981", "2010")`` (inclusive,
+        partial dates fill to period bounds) or exact labels / label lists
+        on any coordinate.  Scalar labels drop the dimension."""
+        out = self
+        for dim, lab in indexers.items():
+            ax = out.dims.index(dim)
+            c = out.coords.get(dim)
+            if isinstance(lab, slice):
+                if isinstance(c, TimeIndex):
+                    keys = c.year * 10000 + c.month * 100 + c.day
+                    lo = _date_key(lab.start, end=False) if lab.start is not None else keys.min()
+                    hi = _date_key(lab.stop, end=True) if lab.stop is not None else keys.max()
+                    idx = np.flatnonzero((keys >= lo) & (keys <= hi))
+                else:
+                    cv = np.asarray(c)
+                    lo = lab.start if lab.start is not None else cv.min()
+                    hi = lab.stop if lab.stop is not None else cv.max()
+                    idx = np.flatnonzero((cv >= lo) & (cv <= hi))
+                out = out.isel(**{dim: idx})
+            else:
+                cv = np.asarray(c)
+                if np.ndim(lab) == 0:
+                    hits = np.flatnonzero(cv == lab)
+                    if len(hits) != 1:
+                        raise KeyError(f"{lab!r} not found (or not unique) in coordinate {dim!r}")
+                    data = np.take(np.asarray(out.data), hits[0], axis=ax) if isinstance(out.data, np.ndarray) else out.data.take(hits[0], axis=ax)
+                    dims = tuple(d for d in out.dims if d != dim)
+                    coords = {k: v for k, v in out.coords.items() if k != dim}
+                    out = DataArray(data, dims, coords, dict(out.attrs), out.name)
+                else:
+                    idx = np.concatenate([np.flatnonzero(cv == v) for v in lab])
+                    out = out.isel(**{dim: idx})
+        return out
+
     def expand_dims(self, dim: str, axis: int = 0, coord=None) -> "DataArray":
         import jax.numpy as jnp
 
@@ -187,6 +234,22 @@ class Dataset:
 
     def copy(self) -> "Dataset":
         return Dataset({k: v.copy() for k, v in self.data_vars.items()}, dict(self.attrs))
+
+    def sel(self, **indexers) -> "Dataset":
+        """Label-based selection applied to every variable (dims absent from
+        a variable are skipped for it)."""
+        out = {}
+        for k, v in self.data_vars.items():
+            here = {d: lab for d, lab in indexers.items() if d in v.dims}
+            out[k] = v.sel(**here) if here else v.copy()
+        return Dataset(out, dict(self.attrs))
+
+    def isel(self, **indexers) -> "Dataset":
+        out = {}
+        for k, v in self.data_vars.items():
+            here = {d: idx for d, idx in indexers.items() if d in v.dims}
+            out[k] = v.isel(**here) if here else v.copy()
+        return Dataset(out, dict(self.attrs))
 
 
 def _binop(op):
