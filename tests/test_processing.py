@@ -103,3 +103,23 @@ def test_rng_reproducible():
     seed(123)
     b = np.asarray(uniform_noise_like(da).data)
     np.testing.assert_array_equal(a, b)
+
+
+def test_adapt_freq_rolling_window(random):
+    """Notebook scenario (advanced_example: 'Frequency adaption with a
+    rolling window'): windowed doy grouping adapts the dry-day frequency."""
+    from xsdba_tpu import DataArray, date_range
+    from xsdba_tpu.processing import adapt_freq
+    from xsdba_tpu.utils.grouper import Grouper
+
+    t = date_range("2000-01-01", periods=365 * 4, freq="D", calendar="noleap")
+    pr_ref = np.where(random.random(t.size) < 0.6, 0.0, random.gamma(2, 2, t.size))
+    pr_sim = np.where(random.random(t.size) < 0.8, 0.0, random.gamma(2, 2, t.size))
+    mk = lambda v, n: DataArray(v, ("time",), {"time": t}, {"units": "mm/d"}, n)
+    out = adapt_freq(mk(pr_ref, "ref"), mk(pr_sim, "sim"), group=Grouper("time.dayofyear", window=31), thresh="1 mm/d")
+    sim_ad = np.asarray(out["sim_ad"].data)
+    assert out["pth"].dims == ("dayofyear",)
+    dry_ref = (pr_ref <= 1).mean()
+    dry_sim = (pr_sim <= 1).mean()
+    dry_ad = (sim_ad <= 1).mean()
+    assert abs(dry_ad - dry_ref) < abs(dry_sim - dry_ref) * 0.25
