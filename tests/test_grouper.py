@@ -142,3 +142,20 @@ class TestApplyTransform:
         # each timestep's own (window-center) value
         out = Grouper("time.dayofyear", window=31).apply(lambda v: v, da)
         np.testing.assert_allclose(np.asarray(out.data), x, rtol=0, atol=0)
+
+
+def test_get_index():
+    """Reference base.py:274-345: group label per timestep; interp gives the
+    fractional month index."""
+    from xsdba_tpu import date_range
+    from xsdba_tpu.utils.grouper import Grouper
+
+    t = date_range("2001-01-01", periods=365, freq="D", calendar="noleap")
+    gi = Grouper("time.month").get_index(t)
+    assert gi.dims == ("time",) and gi.name == "month"
+    assert int(np.asarray(gi.data)[0]) == 1 and int(np.asarray(gi.data)[-1]) == 12
+    fi = Grouper("time.month").get_index(t, interp=True)
+    v = np.asarray(fi.data)
+    assert 0.5 <= v[0] < 0.6 and v[-1] > 12.4
+    g1 = Grouper("time").get_index(t)
+    assert (np.asarray(g1.data) == 1).all() and g1.name == "group"

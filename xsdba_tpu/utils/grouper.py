@@ -387,6 +387,24 @@ class Grouper:
             return np.ones(len(time), dtype=np.float64)
         raise ValueError(f"Interpolation is not supported for time.{self.prop}.")
 
+    def get_index(self, da, interp: bool | None = None):
+        """Group index of each timestep as a DataArray (reference
+        ``base.py:274-345``): the 1-based group label per element, or the
+        fractional interpolation index when ``interp`` (month/season)."""
+        from .container import DataArray
+
+        time = da.time if hasattr(da, "time") else da
+        if self.prop == "group":
+            vals = np.ones(len(time), dtype=np.int64)
+        elif interp:
+            vals = self.interp_index(time)
+        else:
+            gidx = self.group_of(time)
+            coord = self.get_coordinate(time)
+            vals = coord[gidx] if coord.dtype.kind in "iuf" else gidx
+        name = self.prop_name if self.prop != "group" else "group"
+        return DataArray(vals, ("time",), {"time": time}, {}, name)
+
     def n_groups(self, time: TimeIndex | None = None) -> int:
         return len(self.get_coordinate(time))
 
