@@ -18,6 +18,7 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..ops.correction import apply_correction, get_correction
@@ -285,25 +286,101 @@ def _windowed_group_mean(x, plan):
     return mu
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "half", "window", "ypad", "wpad", "dp", "use_kernel", "kind",
+        "counts", "q_static", "edge_tuple",
+    ),
+)
+def _eqm_train_windowed_fused(
+    ref, hist, w1, eid, eg, q, *,
+    half, window, ypad, wpad, dp, use_kernel, kind, counts, q_static, edge_tuple,
+):
+    """Fully-fused EQM windowed train: stack + grouped quantiles + factors in
+    ONE program (every intermediate eager op costs a dispatch round-trip over
+    a remote-device link)."""
+    from ..ops.quantile import _windowed_group_quantile_core
+
+    both = jnp.stack([ref, hist], axis=0)
+    q2 = _windowed_group_quantile_core.__wrapped__(
+        both, w1, eid, eg, q,
+        half=half, window=window, ypad=ypad, wpad=wpad, dp=dp,
+        use_kernel=use_kernel, interpret=False, alpha=1.0, beta=1.0,
+        counts=counts, q_static=q_static, edge_tuple=edge_tuple,
+    )
+    return get_correction(q2[1], q2[0], kind), q2[1]
+
+
 def eqm_train_windowed(ref, hist, plan, quantiles, *, kind: str):
     """EQM train on a windowed doy/5D grouping via the shared-sort merge path
     (``ops.quantile.windowed_group_quantile``) — numerically identical to
     ``eqm_train_from_raw`` on the same grouping, ~1/window of the sort work.
 
-    ref and hist ride one stacked kernel invocation when their shapes match
-    (halves per-call fixed costs on the sort/merge/extract pipeline)."""
-    from ..ops.quantile import windowed_group_quantile
+    Matching-shape ref/hist ride one fused program (stack + quantiles +
+    factors); the finiteness probe is dispatched alongside it (speculative,
+    as in ``windowed_group_quantile``)."""
+    from ..ops.quantile import (
+        _PLAN_FINITE_HINT,
+        _merge_backend_default,
+        _pair_finite_probe,
+        _plan_device_arrays,
+        windowed_group_quantile,
+    )
 
     ref = jnp.asarray(ref)
     hist = jnp.asarray(hist)
-    if ref.shape == hist.shape and ref.dtype == hist.dtype:
-        both = jnp.concatenate([ref[None], hist[None]], axis=0)
-        q2 = windowed_group_quantile(both, plan, quantiles)
-        ref_q, hist_q = q2[0], q2[1]
-    else:
-        ref_q = windowed_group_quantile(ref, plan, quantiles)
-        hist_q = windowed_group_quantile(hist, plan, quantiles)
-    return get_correction(hist_q, ref_q, kind), hist_q
+    pairable = (
+        ref.shape == hist.shape
+        and ref.dtype == hist.dtype
+        and np.ndim(quantiles) == 1
+        and plan.nv_host is not None
+        # the fused program materializes the stacked merge intermediate:
+        # bound it like windowed_group_quantile's chunker (~4 GB)
+        and 2 * int(np.prod(ref.shape[:-1])) * plan.w1_gather.shape[0] * plan.wpad * plan.ypad
+        <= (1 << 31)
+    )
+    if not pairable:
+        if ref.shape == hist.shape and ref.dtype == hist.dtype:
+            both = jnp.concatenate([ref[None], hist[None]], axis=0)
+            q2 = windowed_group_quantile(both, plan, quantiles)
+            ref_q, hist_q = q2[0], q2[1]
+        else:
+            ref_q = windowed_group_quantile(ref, plan, quantiles)
+            hist_q = windowed_group_quantile(hist, plan, quantiles)
+        return get_correction(hist_q, ref_q, kind), hist_q
+
+    w1, eid, eg = _plan_device_arrays(plan)
+    use_kernel = _merge_backend_default(ref.dtype)
+    qdev = jnp.asarray(quantiles, dtype=ref.dtype)
+    probe = _pair_finite_probe(ref, hist)
+    speculate = _PLAN_FINITE_HINT.get(plan, True)
+
+    def call(static: bool):
+        if static:
+            counts = tuple(int(c) for c in plan.nv_host)
+            q_static = tuple(float(v) for v in np.asarray(quantiles, np.float64))
+            edge_tuple = tuple(int(e) for e in plan.edge_ids)
+        else:
+            counts = q_static = None
+            edge_tuple = ()
+        return _eqm_train_windowed_fused(
+            ref, hist, w1, eid, eg, qdev,
+            half=plan.half, window=plan.window, ypad=plan.ypad, wpad=plan.wpad,
+            dp=plan.dp, use_kernel=bool(use_kernel), kind=kind,
+            counts=counts, q_static=q_static, edge_tuple=edge_tuple,
+        )
+
+    if speculate:
+        out_fast = call(static=True)  # races the probe fetch
+        ok = bool(probe)
+        _PLAN_FINITE_HINT[plan] = ok
+        if ok:
+            return out_fast
+        return call(static=False)
+    ok = bool(probe)
+    _PLAN_FINITE_HINT[plan] = ok
+    return call(static=True) if ok else call(static=False)
 
 
 def dqm_train_windowed(ref, hist, plan, quantiles, *, kind: str):

@@ -217,6 +217,12 @@ def _finite_probe(x):
     return jnp.all(jnp.isfinite(x))
 
 
+@jax.jit
+def _pair_finite_probe(a, b):
+    """Finiteness of a (ref, hist) pair in one dispatch."""
+    return jnp.all(jnp.isfinite(a)) & jnp.all(jnp.isfinite(b))
+
+
 def _static_strip_extract(merged, counts, q_static, edge_ids, alpha, beta):
     """Extraction with host-known per-group valid counts: all indices and
     lerp weights are compile-time constants, so each quantile reads a narrow
