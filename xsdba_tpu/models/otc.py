@@ -1,17 +1,34 @@
 """OTC and dOTC — (dynamical) Optimal Transport Correction (Robin 2021).
 
-Reference: ``adjustment.py:1394-1715``, ``_adjustment.py:1236-1680``.
-The method is inherently host-orchestrated (data-dependent histogram supports
-and an exact network solver), as in the reference, which delegates to the C++
-POT package; here the exact solver is the in-tree C++ ``native.emd`` and a
-TPU Sinkhorn path is available via ``solver="sinkhorn"``.
+Behavioral reference: ``adjustment.py:1394-1715``, ``_adjustment.py:1236-1680``
+(histogram both datasets, solve an exact transport plan between the occupied
+bins, stochastically send every source point to a target bin drawn from its
+bin's plan row, optional in-bin jitter; dOTC additionally transports the
+hist→sim evolution onto ref).
+
+This implementation is organized differently from the reference:
+
+- the stochastic bin assignment is a single vectorized inverse-CDF over the
+  plan's row CDFs (``_send_points``) instead of a Python loop over occupied
+  source bins drawing ``np.random.choice`` per bin;
+- all uniforms come from the session JAX PRNG (``utils.rng``), drawn on
+  device in padded blocks so repeated group calls reuse compiled shapes;
+- the exact plan solves (in-tree C++ ``native.emd``; the reference delegates
+  to the POT package) run thread-parallel across groups — each group's
+  transport is independent and the solver releases the GIL;
+- the dOTC motion/rescale algebra is vectorized over variables with a
+  multiplicative-kind mask rather than per-column loops, and the Cholesky
+  cov rescale uses triangular solves instead of an explicit inverse.
 """
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+from typing import NamedTuple
+
 import numpy as np
 
-from ..ops.ot import bin_width_estimator, eps_cholesky, histogram, optimal_transport
+from ..ops.ot import bin_width_estimator, eps_cholesky, optimal_transport
 from ..utils.container import DataArray
 from ..utils.grouper import Grouper
 from ..utils.rng import next_key
@@ -19,117 +36,162 @@ from .base import Adjust
 
 __all__ = ["OTC", "dOTC"]
 
-
-def _np_rng():
-    import jax
-
-    seed = int(jax.random.randint(next_key(), (), 0, 2**31 - 1))
-    return np.random.default_rng(seed)
+_MAX_PLAN_THREADS = 8
 
 
-def _prepare_bins(bin_width, bin_origin, arrays, nvar, vnames):
-    if isinstance(bin_width, dict):
-        bw = bin_width_estimator(arrays)
-        for k, v in bin_width.items():
-            bw[vnames.index(k) if isinstance(k, str) else k] = v
-    elif bin_width is None:
-        bw = bin_width_estimator(arrays)
-    elif np.isscalar(bin_width):
-        bw = np.ones(nvar) * bin_width
-    else:
-        bw = np.asarray(bin_width)
-    if isinstance(bin_origin, dict):
-        bo = np.zeros(nvar)
-        for k, v in bin_origin.items():
-            bo[vnames.index(k) if isinstance(k, str) else k] = v
-    elif bin_origin is None:
-        bo = np.zeros(nvar)
-    elif np.isscalar(bin_origin):
-        bo = np.ones(nvar) * bin_origin
-    else:
-        bo = np.asarray(bin_origin)
-    return bw, bo
+class _Support(NamedTuple):
+    """Occupied-bin histogram support of a point cloud."""
+
+    centers: np.ndarray  # [B, V] lattice centers of the occupied bins
+    weights: np.ndarray  # [B] relative frequencies
+    cell_of: np.ndarray  # [N] occupied-bin row of each point
 
 
-def _otc_core(X, Y, bin_width, bin_origin, num_iter_max, jitter_inside_bins, normalization, solver, rng):
-    """Reference ``_otc_adjust`` (``_adjustment.py:1236-1341``) on [P, V]."""
-    X_og = X.copy()
-    mask = (~np.isnan(X)).all(axis=1)
-    X = X[mask]
-    Y = Y[(~np.isnan(Y)).all(axis=1)]
-    if len(X) == 0 or len(Y) == 0:
-        return np.full_like(X_og, np.nan)
-    if bin_width is None:
-        # reference _otc_adjust re-estimates per call when not specified
-        bin_width = bin_width_estimator([Y, X])
-    if bin_origin is None:
-        bin_origin = np.zeros(X.shape[1])
-
-    gridX, muX, binX = histogram(X, bin_width, bin_origin)
-    gridY, muY, _ = histogram(Y, bin_width, bin_origin)
-    plan = optimal_transport(gridX, gridY, muX, muY, num_iter_max, normalization, solver)
-
-    gridY_i = np.floor((gridY - bin_origin) / bin_width)
-
-    # group points by their source bin, draw a target bin per point from the
-    # plan row (reference _adjustment.py:1318-1334)
-    binX_sort = np.lexsort(binX[:, ::-1].T)
-    sorted_bins = binX[binX_sort]
-    _, binX_start, binX_count = np.unique(sorted_bins, return_index=True, return_counts=True, axis=0)
-    binX_groups = np.split(binX_sort, np.sort(binX_start)[1:])
-
-    out = np.empty(X.shape)
-    for i, grp in enumerate(binX_groups):
-        choice = rng.choice(muY.size, p=plan[i, :], size=len(grp))
-        out[grp] = (gridY_i[choice] + 0.5) * bin_width + bin_origin
-
-    if jitter_inside_bins:
-        out += rng.uniform(low=-bin_width / 2, high=bin_width / 2, size=out.shape)
-
-    Z = X_og
-    Z[mask] = out
-    Z[~mask] = np.nan
-    return Z
+def _support(pts: np.ndarray, width: np.ndarray, origin: np.ndarray) -> _Support:
+    """Histogram ``pts`` [N, V] over the (width, origin) lattice, keeping only
+    occupied cells (reference ``utils.py:1054-1071``) plus the point→cell map
+    that the vectorized sampler needs."""
+    cells = np.floor((pts - origin) / width)
+    occ, cell_of, counts = np.unique(cells, axis=0, return_inverse=True, return_counts=True)
+    return _Support((occ + 0.5) * width + origin, counts / counts.sum(), cell_of.ravel())
 
 
-def _dotc_core(X1, Y0, X0, bin_width, bin_origin, num_iter_max, cov_factor, jitter_inside_bins, kind, normalization, solver, rng):
-    """Reference ``_dotc_adjust`` (``_adjustment.py:1428-1563``)."""
-    X1_og = X1.copy()
-    mask = ~np.isnan(X1).any(axis=1)
-    X1 = X1[mask]
-    X0 = X0[~np.isnan(X0).any(axis=1)]
-    Y0 = Y0[~np.isnan(Y0).any(axis=1)]
+class _Draws:
+    """Uniform variates from the session JAX PRNG.
 
-    args = (bin_width, bin_origin, num_iter_max)
-    yX0 = _otc_core(Y0, X0, *args, False, normalization, solver, rng)
-    yX1 = _otc_core(yX0, X1, *args, False, normalization, solver, rng)
+    Each instance owns one subkey (split on the main thread, so group workers
+    never touch the global stream concurrently) and derives per-call subkeys
+    from a counter.  Draws happen on device in power-of-two padded blocks to
+    bound the number of distinct compiled shapes.
+    """
 
-    motion = np.empty(yX0.shape)
-    for j in range(yX0.shape[1]):
-        if kind is not None and j in kind and kind[j] == "*":
-            motion[:, j] = yX1[:, j] / yX0[:, j]
-        else:
-            motion[:, j] = yX1[:, j] - yX0[:, j]
+    def __init__(self, key):
+        self._key = key
+        self._n = 0
 
+    def uniform(self, *shape: int) -> np.ndarray:
+        import jax
+
+        self._n += 1
+        sub = jax.random.fold_in(self._key, self._n)
+        n = int(np.prod(shape)) if shape else 1
+        padded = 1 << max(6, (max(n, 1) - 1).bit_length())
+        block = np.asarray(jax.random.uniform(sub, (padded,)), dtype=np.float64)
+        return block[:n].reshape(shape)
+
+
+class _BinSpec(NamedTuple):
+    """User bin configuration; ``None`` entries are estimated per transport
+    from the participating clouds (Freedman-Diaconis, as the reference does
+    when ``bin_width`` is not given)."""
+
+    width: np.ndarray | None
+    origin: np.ndarray | None
+
+    def resolve(self, clouds: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+        nvar = clouds[0].shape[1]
+        width = bin_width_estimator(clouds) if self.width is None else self.width
+        origin = np.zeros(nvar) if self.origin is None else self.origin
+        return np.broadcast_to(width, (nvar,)).astype(float), np.broadcast_to(origin, (nvar,)).astype(float)
+
+
+def _parse_bin_arg(value, default, nvar: int, vnames: list[str]) -> np.ndarray | None:
+    """Lower the public ``bin_width``/``bin_origin`` argument (scalar, array,
+    or per-variable dict; reference ``_adjustment.py:1360-1388``) to a [V]
+    vector, or None when it must be estimated from the data."""
+    if value is None:
+        return None
+    if isinstance(value, dict):
+        out = default.copy()
+        for k, v in value.items():
+            out[vnames.index(k) if isinstance(k, str) else k] = v
+        return out
+    if np.isscalar(value):
+        return np.full(nvar, float(value))
+    return np.asarray(value, dtype=float)
+
+
+def _send_points(
+    X: np.ndarray,
+    Y: np.ndarray,
+    spec: _BinSpec,
+    draws: _Draws,
+    *,
+    num_iter_max: int,
+    normalization: str,
+    solver: str,
+    jitter: bool,
+) -> np.ndarray:
+    """Map finite rows of ``X`` [N, V] onto the distribution of ``Y`` [M, V].
+
+    Every source point inherits the plan row of its histogram cell — a
+    categorical over target cells — and picks a target by inverting that
+    row's CDF at one uniform.  Output is the target cell's lattice center,
+    optionally jittered uniformly within the cell.
+    """
+    width, origin = spec.resolve([Y, X])
+    src, tgt = _support(X, width, origin), _support(Y, width, origin)
+    plan = optimal_transport(
+        src.centers, tgt.centers, src.weights, tgt.weights, num_iter_max, normalization, solver
+    )
+    row_cdf = np.cumsum(plan, axis=1)[src.cell_of]  # [N, Bt]
+    # guard against rows not summing exactly to 1 by scaling u into the row's range
+    u = draws.uniform(len(X)) * row_cdf[:, -1]
+    picked = np.minimum((row_cdf < u[:, None]).sum(axis=1), row_cdf.shape[1] - 1)
+    mapped = tgt.centers[picked]
+    if jitter:
+        mapped = mapped + (draws.uniform(*mapped.shape) - 0.5) * width
+    return mapped
+
+
+def _finite_rows(a: np.ndarray) -> np.ndarray:
+    return np.isfinite(a).all(axis=1)
+
+
+def _otc_group(X, Y, spec, draws, *, num_iter_max, normalization, solver, jitter) -> np.ndarray:
+    """One group's OTC: transport hist points ``X`` onto ref ``Y``, preserving
+    NaN rows (window pads / missing data) in place."""
+    keep_x, keep_y = _finite_rows(X), _finite_rows(Y)
+    out = np.full_like(X, np.nan)
+    if keep_x.any() and keep_y.any():
+        out[keep_x] = _send_points(
+            X[keep_x], Y[keep_y], spec, draws,
+            num_iter_max=num_iter_max, normalization=normalization, solver=solver, jitter=jitter,
+        )
+    return out
+
+
+def _dotc_group(
+    X1, Y0, X0, spec, draws, *, num_iter_max, cov_factor, jitter, mult_mask, normalization, solver
+) -> np.ndarray:
+    """One group's dOTC (reference semantics, restructured).
+
+    Read the simulated evolution at the ref points by pulling them through
+    hist then sim; rescale that motion; displace ref by it; finally transport
+    the sim points onto the displaced ref.
+    """
+    keep = _finite_rows(X1)
+    sim_f, ref_f, hist_f = X1[keep], Y0[_finite_rows(Y0)], X0[_finite_rows(X0)]
+    out = np.full_like(X1, np.nan)
+    if not (len(sim_f) and len(ref_f) and len(hist_f)):
+        return out
+
+    common = dict(num_iter_max=num_iter_max, normalization=normalization, solver=solver)
+    ref_at_hist = _send_points(ref_f, hist_f, spec, draws, jitter=False, **common)
+    ref_at_sim = _send_points(ref_at_hist, sim_f, spec, draws, jitter=False, **common)
+
+    motion = np.where(mult_mask, ref_at_sim / ref_at_hist, ref_at_sim - ref_at_hist)
     if cov_factor == "cholesky":
-        fact0 = eps_cholesky(np.cov(Y0, rowvar=False))
-        fact1 = eps_cholesky(np.cov(X0, rowvar=False))
-        motion = (fact0 @ np.linalg.inv(fact1) @ motion.T).T
+        L_ref = eps_cholesky(np.cov(ref_f, rowvar=False))
+        L_hist = eps_cholesky(np.cov(hist_f, rowvar=False))
+        # right-multiply by (L_ref @ L_hist^-1)^T without forming an inverse
+        motion = motion @ np.linalg.solve(L_hist.T, L_ref.T)
     elif cov_factor == "std":
-        motion = motion @ np.diag(np.std(Y0, axis=0) / np.std(X0, axis=0))
+        motion = motion * (ref_f.std(axis=0) / hist_f.std(axis=0))
 
-    Y1 = np.empty(yX0.shape)
-    for j in range(yX0.shape[1]):
-        if kind is not None and j in kind and kind[j] == "*":
-            Y1[:, j] = Y0[:, j] * motion[:, j]
-        else:
-            Y1[:, j] = Y0[:, j] + motion[:, j]
-
-    out = _otc_core(X1, Y1, *args, jitter_inside_bins, normalization, solver, rng)
-    Z1 = X1_og
-    Z1[mask] = out
-    Z1[~mask] = np.nan
-    return Z1
+    displaced_ref = np.where(mult_mask, ref_f * motion, ref_f + motion)
+    out[keep] = _send_points(sim_f, displaced_ref, spec, draws, jitter=jitter, **common)
+    return out
 
 
 def _grouped_PV(da: DataArray, gi, pts_dim: str):
@@ -144,6 +206,30 @@ def _grouped_PV(da: DataArray, gi, pts_dim: str):
         vals = np.where(idx[None, :] >= 0, arr[:, np.clip(idx, 0, arr.shape[-1] - 1)], np.nan)
         out.append(vals.T)  # [P, V]
     return out
+
+
+def _run_groups(worker, n_groups: int):
+    """Run the per-group transports thread-parallel (plan solves dominate and
+    release the GIL in the C++ solver)."""
+    if n_groups == 1:
+        return [worker(0)]
+    with ThreadPoolExecutor(max_workers=min(_MAX_PLAN_THREADS, n_groups)) as pool:
+        return list(pool.map(worker, range(n_groups)))
+
+
+def _assemble(da_like: DataArray, gi, pts_dim: str, group_results) -> DataArray:
+    """Scatter per-group [P, V] results back onto the time axis (window
+    centers only) and rewrap as a DataArray shaped like ``da_like``."""
+    dac = da_like.move_dim_last("time")
+    ax = dac.dims.index(pts_dim)
+    out = np.full(np.moveaxis(np.asarray(dac.data), ax, 0).shape, np.nan)  # [V, T]
+    for g, Z in enumerate(group_results):
+        members = np.flatnonzero(gi.group_idx == g)
+        out[:, members] = Z[gi.scatter_slot[members]].T
+    res = DataArray(np.moveaxis(out, 0, ax), dac.dims, dict(dac.coords), dict(da_like.attrs), "scen")
+    if dac.dims != da_like.dims:
+        res = res.transpose(*da_like.dims)
+    return res
 
 
 class OTC(Adjust):
@@ -178,35 +264,30 @@ class OTC(Adjust):
             raise ValueError("OTC does not take a `sim` argument, the hist period is adjusted.")
         group = Grouper(group) if isinstance(group, str) else group
         vnames = [str(v) for v in np.asarray(ref.coords[pts_dim])]
+        nvar = len(vnames)
         hist = _apply_adapt_freq(adapt_freq_thresh, ref, hist, group, pts_dim, vnames)
 
-        gi_h = group.indexes(hist.time)
-        gi_r = group.indexes(ref.time)
-        ref_blocks = _grouped_PV(ref, gi_r, pts_dim)
-        hist_blocks = _grouped_PV(hist, gi_h, pts_dim)
+        gi = group.indexes(hist.time)
+        ref_blocks = _grouped_PV(ref, group.indexes(ref.time), pts_dim)
+        hist_blocks = _grouped_PV(hist, gi, pts_dim)
+        spec = _BinSpec(
+            _parse_bin_arg(bin_width, np.full(nvar, np.nan), nvar, vnames),
+            _parse_bin_arg(bin_origin, np.zeros(nvar), nvar, vnames),
+        )
+        if spec.width is not None and np.isnan(spec.width).any():
+            # dict form with unnamed variables: estimate the missing entries once from the pooled data
+            est = bin_width_estimator([np.concatenate([b[_finite_rows(b)] for b in ref_blocks + hist_blocks])])
+            spec = spec._replace(width=np.where(np.isnan(spec.width), est, spec.width))
+        draw_keys = [next_key() for _ in range(gi.n_groups)]
 
-        rng = _np_rng()
-        histc = hist.move_dim_last("time")
-        ax = histc.dims.index(pts_dim)
-        out = np.full(np.moveaxis(np.asarray(histc.data), ax, 0).shape, np.nan)  # [V, T]
-        for g in range(gi_h.n_groups):
-            X = hist_blocks[g]
-            Y = ref_blocks[g]
-            if bin_width is None and bin_origin is None:
-                bw = bo = None
-            else:
-                arrays = [Y[~np.isnan(Y).any(1)], X[~np.isnan(X).any(1)]]
-                bw, bo = _prepare_bins(bin_width, bin_origin, arrays, len(vnames), vnames)
-            Z = _otc_core(X, Y, bw, bo, num_iter_max, jitter_inside_bins, normalization, solver, rng)
-            # write back window centers
-            members = np.flatnonzero(gi_h.group_idx == g)
-            slots = gi_h.scatter_slot[members]
-            out[:, members] = Z[slots].T
+        def worker(g: int) -> np.ndarray:
+            return _otc_group(
+                hist_blocks[g], ref_blocks[g], spec, _Draws(draw_keys[g]),
+                num_iter_max=num_iter_max, normalization=normalization,
+                solver=solver, jitter=jitter_inside_bins,
+            )
 
-        res = DataArray(np.moveaxis(out, 0, ax), histc.dims, dict(histc.coords), dict(hist.attrs), "scen")
-        if histc.dims != hist.dims:
-            res = res.transpose(*hist.dims)
-        return res
+        return _assemble(hist, gi, pts_dim, _run_groups(worker, gi.n_groups))
 
 
 class dOTC(Adjust):
@@ -236,36 +317,35 @@ class dOTC(Adjust):
     ):
         group = Grouper(group) if isinstance(group, str) else group
         vnames = [str(v) for v in np.asarray(ref.coords[pts_dim])]
+        nvar = len(vnames)
         hist = _apply_adapt_freq(adapt_freq_thresh, ref, hist, group, pts_dim, vnames)
-        kind_idx = {vnames.index(k) if isinstance(k, str) else k: v for k, v in (kind or {}).items()} or None
+        mult_mask = np.zeros(nvar, dtype=bool)
+        for k, v in (kind or {}).items():
+            mult_mask[vnames.index(k) if isinstance(k, str) else k] = v == "*"
 
-        gi_r = group.indexes(ref.time)
-        gi_h = group.indexes(hist.time)
-        gi_s = group.indexes(sim.time)
-        ref_blocks = _grouped_PV(ref, gi_r, pts_dim)
-        hist_blocks = _grouped_PV(hist, gi_h, pts_dim)
-        sim_blocks = _grouped_PV(sim, gi_s, pts_dim)
+        gi = group.indexes(sim.time)
+        ref_blocks = _grouped_PV(ref, group.indexes(ref.time), pts_dim)
+        hist_blocks = _grouped_PV(hist, group.indexes(hist.time), pts_dim)
+        sim_blocks = _grouped_PV(sim, gi, pts_dim)
+        spec = _BinSpec(
+            _parse_bin_arg(bin_width, np.full(nvar, np.nan), nvar, vnames),
+            _parse_bin_arg(bin_origin, np.zeros(nvar), nvar, vnames),
+        )
+        if spec.width is not None and np.isnan(spec.width).any():
+            est = bin_width_estimator(
+                [np.concatenate([b[_finite_rows(b)] for b in ref_blocks + hist_blocks + sim_blocks])]
+            )
+            spec = spec._replace(width=np.where(np.isnan(spec.width), est, spec.width))
+        draw_keys = [next_key() for _ in range(gi.n_groups)]
 
-        rng = _np_rng()
-        simc = sim.move_dim_last("time")
-        ax = simc.dims.index(pts_dim)
-        out = np.full(np.moveaxis(np.asarray(simc.data), ax, 0).shape, np.nan)
-        for g in range(gi_s.n_groups):
-            X1, Y0, X0 = sim_blocks[g], ref_blocks[g], hist_blocks[g]
-            if bin_width is None and bin_origin is None:
-                bw = bo = None
-            else:
-                arrays = [a[~np.isnan(a).any(1)] for a in (Y0, X0, X1)]
-                bw, bo = _prepare_bins(bin_width, bin_origin, arrays, len(vnames), vnames)
-            Z = _dotc_core(X1, Y0, X0, bw, bo, num_iter_max, cov_factor, jitter_inside_bins, kind_idx, normalization, solver, rng)
-            members = np.flatnonzero(gi_s.group_idx == g)
-            slots = gi_s.scatter_slot[members]
-            out[:, members] = Z[slots].T
+        def worker(g: int) -> np.ndarray:
+            return _dotc_group(
+                sim_blocks[g], ref_blocks[g], hist_blocks[g], spec, _Draws(draw_keys[g]),
+                num_iter_max=num_iter_max, cov_factor=cov_factor, jitter=jitter_inside_bins,
+                mult_mask=mult_mask, normalization=normalization, solver=solver,
+            )
 
-        res = DataArray(np.moveaxis(out, 0, ax), simc.dims, dict(simc.coords), dict(sim.attrs), "scen")
-        if simc.dims != sim.dims:
-            res = res.transpose(*sim.dims)
-        return res
+        return _assemble(sim, gi, pts_dim, _run_groups(worker, gi.n_groups))
 
 
 def _apply_adapt_freq(adapt_freq_thresh, ref, hist, group, pts_dim, vnames):
@@ -277,7 +357,7 @@ def _apply_adapt_freq(adapt_freq_thresh, ref, hist, group, pts_dim, vnames):
 
     from ..ops.segment import gather_groups, scatter_back
     from ..processing import _adapt_freq_grouped
-    from ..utils.units import convert_units_to, str2quantity
+    from ..utils.units import str2quantity
 
     gi = group.indexes(hist.time)
     histc = hist.move_dim_last("time")
