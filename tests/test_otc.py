@@ -50,6 +50,29 @@ def test_emd_matches_lp(random):
     assert (plan * C).sum() == pytest.approx(res.fun, abs=1e-9)
 
 
+def test_simplex_matches_ssp(random):
+    """Network simplex vs the independent successive-shortest-paths solver."""
+    from xsdba_tpu.native import _load
+
+    lib = _load()
+    for _ in range(8):
+        n, m = int(random.integers(2, 80)), int(random.integers(2, 80))
+        mu = random.random(n) + 1e-3
+        mu /= mu.sum()
+        nu = random.random(m) + 1e-3
+        nu /= nu.sum()
+        x = random.normal(0, 1, (n, 2))
+        y = random.normal(0.4, 1.1, (m, 2))
+        C = ((x[:, None, :] - y[None, :, :]) ** 2).sum(-1)
+        plan = emd(mu, nu, C)
+        ref = np.zeros((n, m))
+        rc = lib.emd_solve_ssp(n, m, np.ascontiguousarray(mu), np.ascontiguousarray(nu), np.ascontiguousarray(C), ref)
+        assert rc == 0
+        np.testing.assert_allclose(plan.sum(1), mu, atol=1e-10)
+        np.testing.assert_allclose(plan.sum(0), nu, atol=1e-10)
+        assert (plan * C).sum() == pytest.approx((ref * C).sum(), abs=1e-8)
+
+
 def test_sinkhorn_close_to_emd(random):
     n, m = 20, 22
     mu = np.ones(n) / n

@@ -249,3 +249,59 @@ class TestReferenceParityChecklist:
         )
         assert float(np.asarray(out.data)) == 50.0
         assert out.attrs["aspect"] == "multivariate"
+
+
+class TestBatchedFitKernels:
+    """Device-side linregress / GEV kernels vs scipy (the host loops they replaced)."""
+
+    def test_linregress_fields_match_scipy(self, random):
+        from scipy import stats as sps
+
+        from xsdba_tpu.ops.fitting import linregress_field
+
+        P = 24
+        Y = random.normal(0, 1, (20, P)) + 0.2 * np.arange(P)
+        Y[random.random(Y.shape) < 0.2] = np.nan
+        x = np.arange(P, dtype=float)
+        for f in ["slope", "intercept", "rvalue", "pvalue", "stderr", "intercept_stderr"]:
+            ours = np.asarray(linregress_field(Y, x, f))
+            for i, row in enumerate(Y):
+                m = ~np.isnan(row)
+                if m.sum() < 3:
+                    assert np.isnan(ours[i])
+                    continue
+                res = sps.linregress(x[m], row[m])
+                want = res.intercept_stderr if f == "intercept_stderr" else getattr(res, f)
+                assert ours[i] == pytest.approx(want, abs=1e-10), f
+
+    def test_gev_ml_at_least_as_good_as_scipy(self, random):
+        from scipy import stats as sps
+
+        from xsdba_tpu.ops.fitting import gev_fit_ml
+
+        X = sps.genextreme.rvs(0.12, loc=30, scale=3, size=(8, 60), random_state=1)
+        X[random.random(X.shape) < 0.1] = np.nan
+        c, loc, scale = gev_fit_ml(X)
+        for i, row in enumerate(X):
+            r = row[~np.isnan(row)]
+            sp = sps.genextreme.fit(r)
+            ours = -sps.genextreme.logpdf(r, float(c[i]), float(loc[i]), float(scale[i])).sum()
+            theirs = -sps.genextreme.logpdf(r, *sp).sum()
+            assert ours <= theirs + 1e-3
+
+    def test_gev_pwm_recovers_params(self):
+        from scipy import stats as sps
+
+        from xsdba_tpu.ops.fitting import gev_fit_pwm
+
+        X = sps.genextreme.rvs(0.1, loc=30, scale=3, size=(1, 20000), random_state=2)
+        c, loc, scale = gev_fit_pwm(X)
+        assert float(c[0]) == pytest.approx(0.1, abs=0.05)
+        assert float(loc[0]) == pytest.approx(30, abs=0.15)
+        assert float(scale[0]) == pytest.approx(3, abs=0.1)
+
+    def test_gev_all_nan(self):
+        from xsdba_tpu.ops.fitting import gev_fit_ml
+
+        c, loc, scale = gev_fit_ml(np.full((2, 10), np.nan))
+        assert np.isnan(np.asarray(c)).all()

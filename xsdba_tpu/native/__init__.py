@@ -14,7 +14,7 @@ import threading
 
 import numpy as np
 
-__all__ = ["emd", "have_native"]
+__all__ = ["emd", "emd_ssp", "have_native"]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libxsdba_emd.so")
@@ -36,8 +36,7 @@ def _load():
         if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(os.path.join(_DIR, "emd.cpp")):
             _build()
         lib = ctypes.CDLL(_SO)
-        lib.emd_solve.restype = ctypes.c_int
-        lib.emd_solve.argtypes = [
+        argtypes = [
             ctypes.c_int,
             ctypes.c_int,
             np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS"),
@@ -45,6 +44,10 @@ def _load():
             np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS"),
         ]
+        lib.emd_solve.restype = ctypes.c_int
+        lib.emd_solve.argtypes = argtypes
+        lib.emd_solve_ssp.restype = ctypes.c_int
+        lib.emd_solve_ssp.argtypes = argtypes
         _lib = lib
         return lib
 

@@ -362,33 +362,30 @@ def _transition_probability(da, *, initial_op=">=", final_op=">=", thresh="1 mm 
 
 def _trend(da, *, group="time", output="slope"):
     """Interannual linear trend of per-period means (scipy.linregress
-    attributes; reference properties.py:1189-1255)."""
-    from scipy import stats as sps
+    attributes; reference properties.py:1189-1255).
+
+    Device-vectorized: period means are gathered into a [..., G, Pmax] block
+    (periods in chronological order per group, NaN-padded) and all
+    regressions run through one closed-form ``linregress_field`` call."""
+    from .ops.fitting import linregress_field
 
     dac = da.move_dim_last("time")
-    x = np.asarray(dac.data)
+    x = jnp.asarray(dac.data)
     gather, period_group = period_blocks(da.time, group.prop)
-    xg = np.where(gather >= 0, x[..., np.clip(gather, 0, x.shape[-1] - 1)], np.nan)
-    pm = np.nanmean(xg, axis=-1)  # [..., P]
+    xg = jnp.where(jnp.asarray(gather) >= 0, x[..., jnp.clip(jnp.asarray(gather), 0, x.shape[-1] - 1)], jnp.nan)
+    pm = jnp.nanmean(xg, axis=-1)  # [..., P]
 
     G = group.n_groups(da.time)
-    outs = []
+    counts = np.bincount(period_group, minlength=G)
+    pmax = max(int(counts.max()), 1)
+    idx = np.full((G, pmax), -1, dtype=np.int64)
     for g in range(G):
-        sel = np.flatnonzero(period_group == g)
-        y = pm[..., sel]
-        t = np.arange(len(sel), dtype=float)
-
-        def lr(row):
-            m = ~np.isnan(row)
-            if m.sum() < 3:
-                return np.nan
-            res = sps.linregress(t[m], row[m])
-            if output == "intercept_stderr":
-                return res.intercept_stderr
-            return getattr(res, output)
-
-        outs.append(np.apply_along_axis(lr, -1, y))
-    vals = np.stack(outs, axis=-1)
+        sel = np.flatnonzero(period_group == g)  # chronological (periods sorted by key)
+        idx[g, : len(sel)] = sel
+    idx_j = jnp.asarray(idx)
+    y = jnp.where(idx_j >= 0, pm[..., jnp.clip(idx_j, 0, pm.shape[-1] - 1)], jnp.nan)  # [..., G, Pmax]
+    t = jnp.arange(pmax, dtype=y.dtype)  # position within the group's period list
+    vals = linregress_field(y, t, output)
     bdims = dac.dims[:-1]
     bcoords = {d: dac.coords[d] for d in bdims if d in dac.coords}
     gi = group.indexes(da.time)
@@ -401,25 +398,36 @@ def _trend(da, *, group="time", output="slope"):
 
 def _return_value(da, *, period=20, op="max", method="ML", group="time"):
     """T-year return value from a GEV fit on annual extremes (reference
-    properties.py:1258-1307)."""
-    from scipy import stats as sps
+    properties.py:1258-1307).
 
-    from .ops.fitting import fit_scipy
-
+    ML and PWM fits run batched on device (``ops.fitting.gev_fit_ml`` /
+    ``gev_fit_pwm``); other methods fall back to the per-row scipy dispatch."""
     dac = da.move_dim_last("time")
     x = np.asarray(dac.data)
     gather, _ = period_blocks(da.time, "group")
     xg = np.where(gather >= 0, x[..., np.clip(gather, 0, x.shape[-1] - 1)], np.nan)
-    extremes = np.nanmax(xg, axis=-1) if op == "max" else np.nanmin(xg, axis=-1)
+    with np.errstate(all="ignore"):
+        extremes = np.nanmax(xg, axis=-1) if op == "max" else np.nanmin(xg, axis=-1)
     q = 1 - 1.0 / period if op == "max" else 1.0 / period
 
-    def rv(row):
-        params = fit_scipy(row, sps.genextreme, method=method)
-        if np.any(np.isnan(params)):
-            return np.nan
-        return sps.genextreme.ppf(q, *params)
+    if method in ("ML", "PWM"):
+        from .ops.fitting import gev_fit_ml, gev_fit_pwm, gev_ppf
 
-    vals = np.apply_along_axis(rv, -1, extremes)
+        fit = gev_fit_ml if method == "ML" else gev_fit_pwm
+        c, loc, scale = fit(jnp.asarray(extremes))
+        vals = np.asarray(gev_ppf(q, c, loc, scale))
+    else:
+        from scipy import stats as sps
+
+        from .ops.fitting import fit_scipy
+
+        def rv(row):
+            params = fit_scipy(row, sps.genextreme, method=method)
+            if np.any(np.isnan(params)):
+                return np.nan
+            return sps.genextreme.ppf(q, *params)
+
+        vals = np.apply_along_axis(rv, -1, extremes)
     bdims = dac.dims[:-1]
     bcoords = {d: dac.coords[d] for d in bdims if d in dac.coords}
     return DataArray(vals, bdims, bcoords, {"units": da.units}, "return_value")
