@@ -55,7 +55,10 @@ class TestGPDFit:
 
 
 class TestExtremeValues:
-    @pytest.mark.parametrize("q_thresh,frac,power", [(0.95, 0.25, 1), (0.90, 1e-6, 1)])
+    @pytest.mark.parametrize(
+        "q_thresh,frac,power",
+        [(0.95, 0.25, 1), pytest.param(0.90, 1e-6, 1, marks=pytest.mark.slow)],
+    )
     def test_simple(self, random, q_thresh, frac, power):
         """Reference test design (tests/test_adjustment.py:1302-1342):
         clipped normal bulk + genpareto tail; extremes must stay extreme."""
@@ -151,6 +154,7 @@ class TestPCA:
         assert np.asarray(scen.data).std() == pytest.approx(np.asarray(ref_v).std(), rel=0.1)
 
 
+@pytest.mark.slow
 def test_ref_params_reuse(random):
     """Train once, reuse the fitted ref GPD in a second training
     (reference ref_params option)."""
@@ -191,6 +195,7 @@ class TestExtremeValuesScalability:
         np.testing.assert_allclose(mx[:2], [5.0, 7.0])
         assert np.isnan(mx[2:]).all()
 
+    @pytest.mark.slow
     def test_long_series_train(self, random):
         """150-yr daily train works with the (1-q)T bound and padded-length
         bucketing (one compile per 4096-length bucket)."""

@@ -20,8 +20,8 @@ def _series(calendar, years, n_sites, seed=0):
     return t, x
 
 
-@pytest.mark.parametrize("calendar", ["noleap", "standard"])
-@pytest.mark.parametrize("window", [5, 31])
+@pytest.mark.parametrize("calendar", ["noleap", pytest.param("standard", marks=pytest.mark.slow)])
+@pytest.mark.parametrize("window", [5, pytest.param(31, marks=pytest.mark.slow)])
 def test_windowed_doy_quantile_matches_resort(calendar, window):
     t, x = _series(calendar, years=6, n_sites=3)
     gi = Grouper("time.dayofyear", window=window).indexes(t)
@@ -62,7 +62,7 @@ def test_no_plan_for_month_or_unwindowed():
     assert Grouper("time.dayofyear").indexes(t).merge_plan is None
 
 
-@pytest.mark.parametrize("kind", ["+", "*"])
+@pytest.mark.parametrize("kind", [pytest.param("+", marks=pytest.mark.slow), "*"])
 def test_dqm_train_windowed_matches_chunked(kind):
     import jax.numpy as jnp
 
@@ -81,6 +81,7 @@ def test_dqm_train_windowed_matches_chunked(kind):
     np.testing.assert_allclose(np.asarray(af_w), np.asarray(af_c), rtol=1e-9, atol=1e-11, equal_nan=True)
 
 
+@pytest.mark.slow
 def test_eqm_model_windowed_dispatch():
     """End-to-end: EQM train with doy+window grouping goes through the merge
     path and adjusts identically to the chunked path."""

@@ -100,7 +100,14 @@ class TestNpdfTransform:
 
 
 class TestMBCn:
-    @pytest.mark.parametrize("group,window", [("time", 1), ("time.dayofyear", 31), ("5D", 3)])
+    @pytest.mark.parametrize(
+        "group,window",
+        [
+            ("time", 1),
+            pytest.param("time.dayofyear", 31, marks=pytest.mark.slow),
+            pytest.param("5D", 3, marks=pytest.mark.slow),
+        ],
+    )
     def test_train_adjust(self, random, group, window):
         n = 365 * 3
         cov_ref = np.array([[1.0, 0.6], [0.6, 1.0]])
@@ -120,6 +127,7 @@ class TestMBCn:
             corr_ref = np.corrcoef(np.asarray(ref.data))[0, 1]
             assert corr_scen == pytest.approx(corr_ref, abs=0.15)
 
+    @pytest.mark.slow
     def test_escore_decreases(self, random):
         n = 1500
         ref = bivariate(random, n, [0, 0], np.array([[1.0, 0.8], [0.8, 1.0]]))
@@ -135,6 +143,7 @@ class TestMBCn:
         with pytest.raises(NotImplementedError, match="Monthly"):
             MBCn.train(ref, hist, base_kws={"group": "time.month"})
 
+    @pytest.mark.slow
     def test_mbcn_recovers_marginals(self, random):
         """With QDM base, each variable's marginal approaches ref's."""
         n = 365 * 4
@@ -157,6 +166,7 @@ def test_escore_public_wrapper(random):
     assert np.isfinite(float(np.asarray(e.data)))
 
 
+@pytest.mark.slow
 def test_mbcn_period_dim(random):
     """MBCn with sim stacked into overlapping periods (reference
     tests/test_adjustment.py:1188-1219 period_dim path)."""
@@ -184,6 +194,7 @@ def test_mbcn_period_dim(random):
     assert abs(sv[1].mean() - rv[1].mean()) < 0.5
 
 
+@pytest.mark.slow
 def test_npdf_grouped_base(random):
     """NpdfTransform with a seasonal-grouped QDM base."""
     ref = bivariate(random, 365 * 3, [0, 0], np.array([[1.0, 0.6], [0.6, 1.0]]))
@@ -196,6 +207,7 @@ def test_npdf_grouped_base(random):
     assert abs(corr_scen - corr_ref) < 0.25
 
 
+@pytest.mark.slow
 def test_mbcn_train_chunked_matches(random, monkeypatch):
     """Group-chunked MBCn training must equal the single-pass result."""
     from xsdba_tpu.models import mbcn as mbcn_mod
@@ -285,6 +297,7 @@ class TestNpdfTransformArbitraryBase:
         assert corr_scen == pytest.approx(0.7, abs=0.2)
 
 
+@pytest.mark.slow
 def test_mbcn_site_batch_and_dim_order(random):
     """MBCn accepts any dim order and extra batch dims; a site-batched run
     matches per-site runs with the same rotations."""

@@ -51,9 +51,7 @@ def test_interp_kernel_3d_matches_xla(random):
     np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6, equal_nan=True)
 
 
-def test_shared_dyadic_merge_matches_per_group(random):
-    """merged_window_rows_shared must be bit-identical to the per-group
-    cascade for odd/even windows, incl. parity-dependent top-level runs."""
+def _check_shared_dyadic_merge(random, cases):
     import jax.numpy as jnp
 
     from xsdba_tpu.ops.pallas.merge_kernel import (
@@ -62,11 +60,7 @@ def test_shared_dyadic_merge_matches_per_group(random):
         sort_rows_alternating,
     )
 
-    for (B, Dp, m, window, G, Ymax) in [
-        (2, 64, 32, 31, 20, 20),
-        (2, 96, 32, 24, 40, 10),
-        (2, 64, 32, 9, 30, 12),
-    ]:
+    for (B, Dp, m, window, G, Ymax) in cases:
         x = np.full((B, Dp, m), np.inf, dtype=np.float32)
         x[..., :Ymax] = random.normal(0, 1, (B, Dp, Ymax))
         xs = sort_rows_alternating(jnp.asarray(x), interpret=True)
@@ -77,3 +71,23 @@ def test_shared_dyadic_merge_matches_per_group(random):
             np.nan_to_num(want[..., :w], posinf=1e300),
             np.nan_to_num(got[..., :w], posinf=1e300),
         )
+
+
+def test_shared_dyadic_merge_small(random):
+    """merged_window_rows_shared vs the per-group cascade, one small
+    odd-window case (fast lane; the full variant sweep is in the slow lane)."""
+    _check_shared_dyadic_merge(random, [(1, 64, 32, 9, 16, 10)])
+
+
+@pytest.mark.slow
+def test_shared_dyadic_merge_matches_per_group(random):
+    """Bit-identical for odd/even windows, incl. parity-dependent top-level
+    runs (interpret-mode Pallas — minutes on CPU)."""
+    _check_shared_dyadic_merge(
+        random,
+        [
+            (2, 64, 32, 31, 20, 20),
+            (2, 96, 32, 24, 40, 10),
+            (2, 64, 32, 9, 30, 12),
+        ],
+    )
