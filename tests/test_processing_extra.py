@@ -168,3 +168,48 @@ class TestStackPeriodsGeneralFreq:
         # a Dec/Mar/Jun/Sep month boundary
         month0 = int(np.asarray(st.coords["period"])[0][5:7])
         assert month0 in (3, 6, 9, 12)
+
+
+class TestStackPeriodsFreqParity:
+    """Non-start-anchored and weekly offsets (reference base.py:1072-1270
+    accepts any parseable offset; end-anchored bins equal the start-anchored
+    offset rooted one month later, weekly anchors are dropped as in reference
+    parse_offset base.py:969-973)."""
+
+    @staticmethod
+    def _series(calendar="noleap", n=365 * 8 + 2, start="2000-01-03"):
+        t = xt.date_range(start, periods=n, freq="D", calendar=calendar)
+        return xt.DataArray(np.arange(float(n)), ("time",), {"time": t}, {"units": "K"}, "x")
+
+    def test_end_anchored_year_starts_next_month(self):
+        da = self._series()
+        s = stack_periods(da, window=2, stride=2, freq="YE-JUN")
+        tt = da.time
+        for st, _ in s.attrs["_stack_periods"]["segments"]:
+            assert (int(tt.month[st]), int(tt.day[st])) == (7, 1)
+
+    @pytest.mark.parametrize(
+        "freq_e,freq_s,window",
+        [("YE", "YS", 2), ("QE-DEC", "QS", 2), ("ME", "MS", 3)],
+    )
+    def test_end_anchored_bins_equal_start_equivalent(self, freq_e, freq_s, window):
+        da = self._series(calendar="360_day", n=360 * 6, start="2000-01-01")
+        s1 = stack_periods(da, window=window, stride=window, freq=freq_e)
+        s2 = stack_periods(da, window=window, stride=window, freq=freq_s)
+        assert s1.attrs["_stack_periods"]["segments"] == s2.attrs["_stack_periods"]["segments"]
+
+    @pytest.mark.parametrize("freq", ["W", "W-MON", "2W"])
+    def test_weekly_roundtrip(self, freq):
+        da = self._series()
+        s = stack_periods(da, window=9, stride=3, freq=freq)
+        u = unstack_periods(s)
+        covered = ~np.isnan(np.asarray(u.data))
+        assert covered.any()
+        assert np.array_equal(np.asarray(u.data)[covered], np.asarray(da.data)[covered])
+
+    def test_end_anchored_overlapping_roundtrip(self):
+        da = self._series()
+        s = stack_periods(da, window=3, stride=1, freq="YE-JUN")
+        u = unstack_periods(s)
+        covered = ~np.isnan(np.asarray(u.data))
+        assert np.array_equal(np.asarray(u.data)[covered], np.asarray(da.data)[covered])

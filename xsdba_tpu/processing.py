@@ -497,18 +497,29 @@ _ANCHOR_MONTHS = {
 }
 
 
-def _period_unit_ids(time, base: str, anchor: str | None):
+def _anchor_month(start_anchored: bool, anchor: str | None) -> int:
+    """Effective *start* anchor month of a Y/Q/M offset.
+
+    End-anchored offsets bin identically to the start-anchored offset rooted
+    one month later (YE-JUN periods are Jul..Jun years = YS-JUL periods;
+    pandas defaults the end anchor to DEC, whose start equivalent is JAN)."""
+    if start_anchored:
+        return _ANCHOR_MONTHS[anchor.upper()] if anchor else 1
+    am = _ANCHOR_MONTHS[anchor.upper()] if anchor else 12
+    return am % 12 + 1
+
+
+def _period_unit_ids(time, base: str, anchor_month: int):
     """Absolute integer id of the base-frequency period holding each timestep
     (the static equivalent of the reference's ``resample(...).groups``
     anchoring, base.py:1198-1229)."""
     if base == "D":
         return time.ordinal.astype(np.int64)
-    am = _ANCHOR_MONTHS[anchor.upper()] if anchor else 1
     p = {"Y": 12, "A": 12, "Q": 3, "M": 1}[base]
-    return (time.year.astype(np.int64) * 12 + (time.month - 1) - (am - 1)) // p
+    return (time.year.astype(np.int64) * 12 + (time.month - 1) - (anchor_month - 1)) // p
 
 
-def _virtual_next_uid(time, base: str, anchor: str | None, srcfreq: str):
+def _virtual_next_uid(time, base: str, anchor_month: int, srcfreq: str):
     """Unit id of the element one sampling step past the end (the reference's
     ``time2`` extra step, base.py:1188-1196)."""
     from .utils.calendar import TimeIndex, _ordinal_to_ymd
@@ -521,7 +532,7 @@ def _virtual_next_uid(time, base: str, anchor: str | None, srcfreq: str):
         step = int(np.median(np.diff(time.ordinal))) if len(time) > 1 else 1
         y, mo, d = _ordinal_to_ymd(np.array([time.ordinal[-1] + step]), time.calendar)
         ext = TimeIndex(y, mo, d, time.calendar, None)
-    return int(_period_unit_ids(ext, base, anchor)[0])
+    return int(_period_unit_ids(ext, base, anchor_month)[0])
 
 
 def stack_periods(
@@ -554,8 +565,7 @@ def stack_periods(
     mult, base, start_anchored, anchor = parse_offset(freq)
     if base not in ("Y", "A", "Q", "M", "D"):
         raise NotImplementedError(f"stack_periods does not support base frequency {base!r}.")
-    if not start_anchored:
-        raise NotImplementedError("stack_periods requires a start-anchored frequency (YS/QS/MS/D).")
+    am = _anchor_month(start_anchored, anchor) if base != "D" else 1
     cal = time.calendar
     srcfreq = time.infer_freq() or "D"
 
@@ -576,12 +586,11 @@ def stack_periods(
     dac = da.move_dim_last("time")
     x = np.asarray(dac.data)
     T = x.shape[-1]
-    uid = _period_unit_ids(time, base, anchor)
+    uid = _period_unit_ids(time, base, am)
     rel = uid - uid[0]
-    rel_ext = _virtual_next_uid(time, base, anchor, srcfreq) - uid[0]
+    rel_ext = _virtual_next_uid(time, base, am, srcfreq) - uid[0]
 
     stride_u, win_u, minl_u = stride * mult, window * mult, min_length * mult
-    am = _ANCHOR_MONTHS[anchor.upper()] if anchor else 1
     p_months = {"Y": 12, "A": 12, "Q": 3, "M": 1}.get(base)
     first_is_period_start = (
         base == "D" or ((int(time.year[0]) * 12 + int(time.month[0]) - 1 - (am - 1)) % p_months == 0)

@@ -359,8 +359,11 @@ def parse_offset(freq: str) -> tuple[int, str, bool, str | None]:
     if base.endswith(("S", "E")):
         base = base[:-1]
     if base == "W":
+        # weekly lowers to 7-day periods; the weekday anchor is dropped, as in
+        # the reference (base.py:969-973: xarray cftime has no "W")
         mult *= 7
         base = "D"
+        anchor = None
     return mult, base, start, anchor
 
 
