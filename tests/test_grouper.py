@@ -159,3 +159,56 @@ def test_get_index():
     assert 0.5 <= v[0] < 0.6 and v[-1] > 12.4
     g1 = Grouper("time").get_index(t)
     assert (np.asarray(g1.data) == 1).all() and g1.name == "group"
+
+
+class TestApplyChunked:
+    """Public Grouper.apply must give identical results chunked vs one-shot
+    (the memory-bounding treatment; windowed-doy gathers on big site batches
+    would otherwise exceed the element budget)."""
+
+    @staticmethod
+    def _da(random, sites=5, years=4):
+        n = 365 * years
+        from xsdba_tpu import DataArray
+
+        t = date_range("2001-01-01", periods=n, freq="D", calendar="noleap")
+        x = random.normal(10, 3, (sites, n))
+        return DataArray(x, ("site", "time"), {"time": t}, {"units": "K"}, "tas")
+
+    def test_reduction_parity(self, random):
+        import jax.numpy as jnp
+
+        da = self._da(random)
+        g = Grouper("time.dayofyear", window=31)
+        full = g.apply("mean", da, group_chunk=10**9)
+        chunked = g.apply("mean", da, group_chunk=37)
+        np.testing.assert_array_equal(np.asarray(full.data), np.asarray(chunked.data))
+        fn = lambda v: jnp.nanquantile(v, 0.9, axis=-1)
+        full = g.apply(fn, da, group_chunk=10**9)
+        chunked = g.apply(fn, da, group_chunk=41)
+        np.testing.assert_array_equal(np.asarray(full.data), np.asarray(chunked.data))
+
+    def test_transform_parity(self, random):
+        import jax.numpy as jnp
+
+        da = self._da(random)
+        g = Grouper("time.dayofyear", window=5)
+
+        def center(v):
+            return v - jnp.nanmean(v, axis=-1, keepdims=True)
+
+        full = g.apply(center, da, group_chunk=10**9)
+        chunked = g.apply(center, da, group_chunk=23)
+        assert full.dims == chunked.dims == da.dims
+        np.testing.assert_array_equal(np.asarray(full.data), np.asarray(chunked.data))
+
+    def test_auto_chunk_under_budget(self, random, monkeypatch):
+        """Force a tiny budget so auto-chunking must engage, and check parity."""
+        from xsdba_tpu.utils import grouper as grouper_mod
+
+        da = self._da(random)
+        g = Grouper("time.month")
+        full = g.apply("std", da)
+        monkeypatch.setattr(grouper_mod, "_APPLY_CHUNK_BUDGET", 4096)
+        chunked = g.apply("std", da)
+        np.testing.assert_array_equal(np.asarray(full.data), np.asarray(chunked.data))

@@ -548,7 +548,64 @@ def parse_group(func=None, *, kwargs=None):
     return _decorator
 
 
-def _grouper_apply(self, func, da, main_only: bool = False):
+#: element budget for one gathered [..., chunk, L] slice in Grouper.apply
+#: (~1 GB at f64); windowed-doy gathers on large site batches would otherwise
+#: materialize [..., 366, years*window] in one shot.
+_APPLY_CHUNK_BUDGET = 1 << 27
+
+
+def _apply_func_chunked(x, gi, func, group_chunk: int | None, allow_transform: bool = True):
+    """Evaluate ``func`` over the gathered group matrix of ``x`` [..., T] in
+    group chunks, bounding peak memory to one [..., chunk, L] slice (the
+    public-apply counterpart of the model cores' ``group_chunk``/``lax.map``
+    treatment, e.g. ``ops.quantile.grouped_nan_quantile``).
+
+    Returns ``("reduce", out [..., G, ...])`` or — when ``func`` keeps the
+    [..., C, L] shape — ``("transform", ts [..., T])`` with each timestep's
+    window-center value scattered back.
+    """
+    import jax.numpy as jnp
+
+    G, L = gi.gather_idx.shape
+    batch = int(np.prod(x.shape[:-1], dtype=np.int64)) if x.ndim > 1 else 1
+    if group_chunk is None:
+        group_chunk = max(1, min(G, _APPLY_CHUNK_BUDGET // max(batch * L, 1)))
+    gidx = jnp.asarray(gi.gather_idx)
+
+    def gathered(sl):
+        chunk = gidx[sl]
+        vals = x[..., jnp.clip(chunk, 0, x.shape[-1] - 1)]
+        return jnp.where(chunk < 0, jnp.nan, vals)
+
+    C0 = min(group_chunk, G)
+    first = func(gathered(slice(0, C0)))
+    is_transform = allow_transform and first.ndim == x.ndim + 1 and first.shape[-2:] == (C0, L)
+    if group_chunk >= G:
+        if is_transform:
+            from ..ops.segment import scatter_back
+
+            return "transform", scatter_back(first, jnp.asarray(gi.group_idx), jnp.asarray(gi.scatter_slot))
+        return "reduce", first
+
+    g_of_t = jnp.asarray(gi.group_idx)
+    slot = jnp.asarray(gi.scatter_slot)
+    if is_transform:
+        ts = jnp.full(x.shape, jnp.nan, dtype=first.dtype)
+        for k in range(0, G, group_chunk):
+            C = min(group_chunk, G - k)
+            out_k = first if k == 0 else func(gathered(slice(k, k + C)))
+            sel = (g_of_t >= k) & (g_of_t < k + C)
+            local = jnp.clip(g_of_t - k, 0, C - 1)
+            ts = jnp.where(sel, out_k[..., local, slot], ts)
+        return "transform", ts
+    outs = [first]
+    for k in range(group_chunk, G, group_chunk):
+        outs.append(func(gathered(slice(k, min(k + group_chunk, G)))))
+    # the group axis sits where the time axis was (func reduced L away)
+    return "reduce", jnp.concatenate(outs, axis=x.ndim - 1)
+
+
+def _grouper_apply(self, func, da, main_only: bool = False, group_chunk: int | None = None):
     """Apply a reduction group-wise (reference ``Grouper.apply``,
     base.py:347-457, reduced to its tensor essence).
 
@@ -561,10 +618,18 @@ def _grouper_apply(self, func, da, main_only: bool = False):
     + isel(window=window//2) behavior (base.py:438-450).  Unless
     ``main_only``, ``add_dims`` are folded into the gathered axis and
     reduced too (reference base.py:413).
+
+    Groups are processed ``group_chunk`` at a time (auto-sized to a fixed
+    element budget) so windowed-doy applies on large site batches never
+    materialize the full [..., G, L] gather.
     """
     import jax.numpy as jnp
 
     from .container import DataArray
+
+    if not callable(func):
+        red = {"mean": jnp.nanmean, "std": jnp.nanstd, "sum": jnp.nansum, "min": jnp.nanmin, "max": jnp.nanmax}[func]
+        func = lambda v: red(v, axis=-1)  # noqa: E731
 
     gi = self.indexes(da.time)
     if self.add_dims and not main_only:
@@ -572,33 +637,16 @@ def _grouper_apply(self, func, da, main_only: bool = False):
 
         (x,), bdims_f, bcoords_f, n_add = fold_add_dims(self, da)
         gi = gi.expand(n_add)
-        gidx = jnp.asarray(gi.gather_idx)
-        vals = jnp.where(gidx < 0, jnp.nan, x[..., jnp.clip(gidx, 0, x.shape[-1] - 1)])
-        if callable(func):
-            out = func(vals)
-        else:
-            red = {"mean": jnp.nanmean, "std": jnp.nanstd, "sum": jnp.nansum, "min": jnp.nanmin, "max": jnp.nanmax}[func]
-            out = red(vals, axis=-1)
+        _, out = _apply_func_chunked(x, gi, func, group_chunk, allow_transform=False)
         prop = self.prop_name if gi.prop != "group" else "group"
         coords = dict(bcoords_f)
         coords[prop] = gi.coord
         return DataArray(out, bdims_f + (prop,), coords, dict(da.attrs), da.name)
     dac = da.move_dim_last("time")
     x = jnp.asarray(dac.data)
-    gidx = jnp.asarray(gi.gather_idx)
-    vals = jnp.where(gidx < 0, jnp.nan, x[..., jnp.clip(gidx, 0, x.shape[-1] - 1)])
-    if callable(func):
-        out = func(vals)
-        if out.ndim == vals.ndim and out.shape[-2:] == vals.shape[-2:]:
-            # non-reducing transform: scatter each timestep's window-center
-            # value back onto the time axis
-            from ..ops.segment import scatter_back
-
-            ts = scatter_back(out, jnp.asarray(gi.group_idx), jnp.asarray(gi.scatter_slot))
-            return DataArray(ts, dac.dims, dict(dac.coords), dict(da.attrs), da.name)
-    else:
-        red = {"mean": jnp.nanmean, "std": jnp.nanstd, "sum": jnp.nansum, "min": jnp.nanmin, "max": jnp.nanmax}[func]
-        out = red(vals, axis=-1)
+    kind, out = _apply_func_chunked(x, gi, func, group_chunk)
+    if kind == "transform":
+        return DataArray(out, dac.dims, dict(dac.coords), dict(da.attrs), da.name)
     prop = self.prop_name if gi.prop != "group" else "group"
     bdims = dac.dims[:-1]
     coords = {d: dac.coords[d] for d in bdims if d in dac.coords}
