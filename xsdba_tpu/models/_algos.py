@@ -55,6 +55,16 @@ def broadcast_groups_core(f, brackets):
     # partitions index padded groups (G+2) unless G == 1
     f_p = _pad_cyclic_factors(f) if part0.shape[0] != f.shape[-1] else f
 
+    regular0 = getattr(brackets, "regular0", None)
+    if regular0 is not None and part1 is None and part0.shape[0] == f_p.shape[-1]:
+        # regular layout (Brackets.regular0): factor of timestep t is
+        # f_p[1 + (t % P)] — a broadcast + reshape, no gathers
+        P = int(regular0)
+        Y = part0.shape[-1]
+        lead = f_p.shape[:-1]
+        grid = jnp.broadcast_to(f_p[..., None, 1 : P + 1], lead + (Y, P))
+        return grid.reshape(lead + (Y * P,))
+
     def eval_part(part, grp, slot):
         Lp = part.shape[-1]
         grid = jnp.broadcast_to(f_p[..., None], f_p.shape + (Lp,))
@@ -95,7 +105,8 @@ def qm_adjust_core(sim, hist_q, af, brackets, *, kind: str, interp: str, extrapo
     else:
         part0, g0, slot0, part1, g1, slot1, w = brackets
         af_t = interp_grouped_partitioned(
-            sim, hist_q, af, part0, g0, slot0, part1, g1, slot1, w, interp, extrapolation
+            sim, hist_q, af, part0, g0, slot0, part1, g1, slot1, w, interp, extrapolation,
+            regular0=getattr(brackets, "regular0", None),
         )
     return apply_correction(sim, af_t, kind)
 
@@ -129,7 +140,8 @@ def qdm_adjust_core(
     else:
         part0, g0, slot0, part1, g1, slot1, w = brackets
         af_t = interp_grouped_partitioned(
-            sim_q, qtab, af, part0, g0, slot0, part1, g1, slot1, w, interp, extrapolation
+            sim_q, qtab, af, part0, g0, slot0, part1, g1, slot1, w, interp, extrapolation,
+            regular0=getattr(brackets, "regular0", None),
         )
     return apply_correction(sim, af_t, kind), sim_q
 
@@ -290,12 +302,13 @@ def _windowed_group_mean(x, plan):
     jax.jit,
     static_argnames=(
         "half", "window", "ypad", "wpad", "dp", "use_kernel", "kind",
-        "counts", "q_static", "edge_tuple",
+        "counts", "q_static", "edge_tuple", "regular",
     ),
 )
 def _eqm_train_windowed_fused(
     ref, hist, w1, eid, eg, q, *,
     half, window, ypad, wpad, dp, use_kernel, kind, counts, q_static, edge_tuple,
+    regular=None,
 ):
     """Fully-fused EQM windowed train: stack + grouped quantiles + factors in
     ONE program (every intermediate eager op costs a dispatch round-trip over
@@ -307,7 +320,7 @@ def _eqm_train_windowed_fused(
         both, w1, eid, eg, q,
         half=half, window=window, ypad=ypad, wpad=wpad, dp=dp,
         use_kernel=use_kernel, interpret=False, alpha=1.0, beta=1.0,
-        counts=counts, q_static=q_static, edge_tuple=edge_tuple,
+        counts=counts, q_static=q_static, edge_tuple=edge_tuple, regular=regular,
     )
     return get_correction(q2[1], q2[0], kind), q2[1]
 
@@ -369,6 +382,7 @@ def eqm_train_windowed(ref, hist, plan, quantiles, *, kind: str):
             half=plan.half, window=plan.window, ypad=plan.ypad, wpad=plan.wpad,
             dp=plan.dp, use_kernel=bool(use_kernel), kind=kind,
             counts=counts, q_static=q_static, edge_tuple=edge_tuple,
+            regular=plan.regular_period,
         )
 
     if speculate:

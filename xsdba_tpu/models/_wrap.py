@@ -8,11 +8,47 @@ import numpy as np
 from ..utils.container import DataArray
 from ..utils.grouper import GroupIndexes
 
-__all__ = ["batch_of", "device_brackets", "fold_add_dims", "grouped_var", "scen_like", "to_compute"]
+__all__ = ["Brackets", "batch_of", "device_brackets", "fold_add_dims", "grouped_var", "scen_like", "to_compute"]
+
+
+class Brackets:
+    """Bracket-partition bundle for the jitted cores (registered pytree).
+
+    Children are the device index arrays (the legacy 7-tuple layout — the
+    object unpacks like that tuple); aux data carries the static
+    regular-layout period: when ``regular0 == P``, partition rows ``1..P`` of
+    the padded-group axis are exactly the transpose of the ``[years, P]``
+    reshape of the time axis and the pad rows are empty, so the partition
+    gather AND the scatter back lower to reshape+swapaxes (measured ~10x
+    cheaper than the element gathers on v5e — docs/PERFORMANCE.md).
+    """
+
+    def __init__(self, part0, g0, slot0, part1, g1, slot1, w, regular0=None):
+        self.part0, self.g0, self.slot0 = part0, g0, slot0
+        self.part1, self.g1, self.slot1, self.w = part1, g1, slot1, w
+        self.regular0 = regular0
+
+    def __iter__(self):
+        return iter((self.part0, self.g0, self.slot0, self.part1, self.g1, self.slot1, self.w))
+
+    def tree_flatten(self):
+        return (
+            (self.part0, self.g0, self.slot0, self.part1, self.g1, self.slot1, self.w),
+            (self.regular0,),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, regular0=aux[0])
+
+
+import jax  # noqa: E402
+
+jax.tree_util.register_pytree_node_class(Brackets)
 
 
 def device_brackets(gi: GroupIndexes, method: str = "linear"):
-    """Device-ready bracket-partition tuple for the jitted cores.
+    """Device-ready bracket partitions for the jitted cores.
 
     Collapsed brackets (nearest method, integer fractional indexes like
     dayofyear) drop the second partition entirely (None is static pytree
@@ -27,8 +63,8 @@ def device_brackets(gi: GroupIndexes, method: str = "linear"):
     # collapsed brackets, or integer fractional indexes (dayofyear): the g1
     # side always has zero weight, so skip its partition entirely
     if bool((b["g0"] == b["g1"]).all()) or bool((b["w"] == 0).all()):
-        return (part0, g0, slot0, None, None, None, None)
-    return (
+        return Brackets(part0, g0, slot0, None, None, None, None, regular0=b.get("regular0"))
+    return Brackets(
         part0,
         g0,
         slot0,
@@ -36,7 +72,50 @@ def device_brackets(gi: GroupIndexes, method: str = "linear"):
         jnp.asarray(b["g1"]),
         jnp.asarray(b["slot1"]),
         jnp.asarray(b["w"]),
+        regular0=b.get("regular0"),
     )
+
+
+_DEV_CACHE: dict = {}
+_DEV_CACHE_MAX = 32
+
+
+def to_device_cached(a):
+    """Device copy of a host array, cached by buffer identity.
+
+    Repeated public-API calls on the same numpy-backed DataArrays (train then
+    adjust, parameter sweeps) would otherwise re-upload identical inputs on
+    every call — over a remote-device relay that upload dominates e.g.
+    ``MBCn.train`` wall time (docs/PERFORMANCE.md).  Keys carry the owning
+    buffer id + (ptr, shape, strides, dtype) so numpy views hit the cache
+    too; entries die with the owning buffer, with an LRU cap as backstop.
+    Caller contract (as with xarray+dask graphs): inputs are not mutated in
+    place between calls.
+    """
+    import weakref
+
+    import jax.numpy as jnp
+
+    if not isinstance(a, np.ndarray):
+        return jnp.asarray(a)
+    owner = a.base if a.base is not None else a
+    try:
+        ptr = a.__array_interface__["data"][0]
+    except Exception:
+        return jnp.asarray(a)
+    key = (id(owner), ptr, a.shape, a.strides, a.dtype.str)
+    hit = _DEV_CACHE.get(key)
+    if hit is not None:
+        return hit
+    dev = jnp.asarray(a)
+    while len(_DEV_CACHE) >= _DEV_CACHE_MAX:
+        _DEV_CACHE.pop(next(iter(_DEV_CACHE)))
+    _DEV_CACHE[key] = dev
+    try:
+        weakref.finalize(owner, _DEV_CACHE.pop, key, None)
+    except TypeError:
+        pass
+    return dev
 
 
 def to_compute(da: DataArray):
@@ -44,7 +123,7 @@ def to_compute(da: DataArray):
     da = da.move_dim_last("time")
     batch_dims = da.dims[:-1]
     batch_coords = {d: da.coords[d] for d in batch_dims if d in da.coords}
-    return jnp.asarray(da.data), batch_dims, batch_coords
+    return to_device_cached(da.data), batch_dims, batch_coords
 
 
 def fold_add_dims(group, *das: DataArray):

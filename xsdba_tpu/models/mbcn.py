@@ -23,6 +23,7 @@ from ..ops.rotation import rand_rot_matrix
 from ..utils.container import DataArray, Dataset
 from ..utils.grouper import Grouper
 from ._npdft import npdft_adjust_core, npdft_train_core, standardize_lastaxis
+from ._wrap import to_device_cached
 from .base import Adjust, TrainAdjust
 from .eqm import QuantileDeltaMapping
 
@@ -82,7 +83,7 @@ def _mbcn_train_chunked(refa, hista, gip, rotj, qj, *, n_chunks, chunk, interp, 
 
 def _stacked_to_blocks(da: DataArray, gi, pts_dim: str):
     """[V, ..., T] stacked array -> gathered blocks [..., G, V, L]."""
-    arr = jnp.asarray(da.move_dim_last("time").data)  # [V, ..., T]
+    arr = to_device_cached(da.move_dim_last("time").data)  # [V, ..., T]
     from ..ops.segment import gather_groups
 
     g = gather_groups(arr, gi.gather_idx)             # [V, ..., G, L]
@@ -140,8 +141,8 @@ class MBCn(TrainAdjust):
             rot = jnp.asarray(rot_matrices if not isinstance(rot_matrices, DataArray) else rot_matrices.data)
 
         gi = group.indexes(ref.time)
-        refa = jnp.asarray(ref.move_dim_last("time").data)    # [V, ..., T]
-        hista = jnp.asarray(hist.move_dim_last("time").data)
+        refa = to_device_cached(ref.move_dim_last("time").data)    # [V, ..., T]
+        hista = to_device_cached(hist.move_dim_last("time").data)
         dtype = refa.dtype
         rotj = jnp.asarray(rot, dtype=dtype)
         qj = jnp.asarray(quantiles, dtype=dtype)
@@ -343,9 +344,9 @@ def _per_block_univariate(base, ref_v, hist_v, sim_v, rows_ref, rows_sim, base_k
     if kws:
         raise NotImplementedError(f"Unsupported base_kws_vars options: {sorted(kws)}")
 
-    refa = jnp.asarray(ref_v.move_dim_last("time").data)
-    hista = jnp.asarray(hist_v.move_dim_last("time").data)
-    sima = jnp.asarray(sim_v.move_dim_last("time").data)
+    refa = to_device_cached(ref_v.move_dim_last("time").data)
+    hista = to_device_cached(hist_v.move_dim_last("time").data)
+    sima = to_device_cached(sim_v.move_dim_last("time").data)
     q = jnp.asarray(nquantiles, dtype=refa.dtype)
 
     if jitter_under is not None:
@@ -443,9 +444,9 @@ class NpdfTransform(Adjust):
         gi = group.indexes(ref.time)
         gi_sim = group.indexes(sim.time)
 
-        refa = jnp.asarray(ref.move_dim_last("time").data)   # [V, ..., T]
-        hista = jnp.asarray(hist.move_dim_last("time").data)
-        sima = jnp.asarray(sim.move_dim_last("time").data)
+        refa = to_device_cached(ref.move_dim_last("time").data)   # [V, ..., T]
+        hista = to_device_cached(hist.move_dim_last("time").data)
+        sima = to_device_cached(sim.move_dim_last("time").data)
         refa = jnp.moveaxis(refa, 0, -2)                     # [..., V, T]
         hista = jnp.moveaxis(hista, 0, -2)
         sima = jnp.moveaxis(sima, 0, -2)

@@ -240,6 +240,7 @@ def interp_grouped_partitioned(
     w,
     method: str = "linear",
     extrap: str = "constant",
+    regular0: int | None = None,
 ):
     """Grouped table lookup via static bracketing partitions.
 
@@ -256,8 +257,28 @@ def interp_grouped_partitioned(
     nq = xq_p.shape[-1]
 
     def _eval_tables(vals):
-        # Pallas path for the QM hot combination: XLA leaves the 50-step
-        # locate/select chain ~10x off roofline (measured; PERFORMANCE.md)
+        return _eval_tables_sliced(vals, xq_p, yq_p, nv_p)
+
+    def eval_partition(part, grp, slot):
+        pi = jnp.asarray(part)
+        vals = jnp.where(pi >= 0, v[..., jnp.clip(pi, 0, v.shape[-1] - 1)], jnp.nan)  # [..., Gp, Lp]
+        out = _eval_tables(vals)                                                       # [..., Gp, Lp]
+        return out[..., jnp.asarray(grp), jnp.asarray(slot)]                            # [..., T]
+
+    def eval_partition_regular(P):
+        # partition rows 1..P are the transpose of the [years, P] reshape of
+        # the time axis (Brackets.regular0): skip the element gathers and the
+        # empty pad rows entirely — reshape in, evaluate against the matching
+        # table rows, reshape out
+        T = v.shape[-1]
+        Y = T // P
+        lead = v.shape[:-1]
+        core = jnp.swapaxes(v.reshape(lead + (Y, P)), -1, -2)  # [..., P, Y]
+        sl = (Ellipsis, slice(1, P + 1), slice(None))
+        out = _eval_tables_sliced(core, xq_p[sl], yq_p[sl], nv_p[..., 1 : P + 1])
+        return jnp.swapaxes(out, -1, -2).reshape(lead + (T,))
+
+    def _eval_tables_sliced(vals, xqs, yqs, nvs):
         if (
             method == "linear"
             and extrap == "constant"
@@ -270,23 +291,19 @@ def interp_grouped_partitioned(
 
             if pallas_available():
                 lead = vals.shape[:-2]
-                Gp, Lp = vals.shape[-2:]
+                Gs, Lp = vals.shape[-2:]
                 B = 1
                 for d in lead:
                     B *= d
-                v3 = vals.reshape(B, Gp, Lp)
-                x3 = jnp.broadcast_to(xq_p, lead + (Gp, nq)).reshape(B, Gp, nq)
-                y3 = jnp.broadcast_to(yq_p, lead + (Gp, nq)).reshape(B, Gp, nq)
-                n3 = jnp.broadcast_to(nv_p, lead + (Gp,)).reshape(B, Gp)
-                out = interp_table_pallas_3d(v3, x3, y3, n3)
-                return out.reshape(vals.shape)
-        return _interp_unrolled(vals, xq_p, yq_p, nv_p, method, extrap)
+                v3 = vals.reshape(B, Gs, Lp)
+                x3 = jnp.broadcast_to(xqs, lead + (Gs, nq)).reshape(B, Gs, nq)
+                y3 = jnp.broadcast_to(yqs, lead + (Gs, nq)).reshape(B, Gs, nq)
+                n3 = jnp.broadcast_to(nvs, lead + (Gs,)).reshape(B, Gs)
+                return interp_table_pallas_3d(v3, x3, y3, n3).reshape(vals.shape)
+        return _interp_unrolled(vals, xqs, yqs, nvs, method, extrap)
 
-    def eval_partition(part, grp, slot):
-        pi = jnp.asarray(part)
-        vals = jnp.where(pi >= 0, v[..., jnp.clip(pi, 0, v.shape[-1] - 1)], jnp.nan)  # [..., Gp, Lp]
-        out = _eval_tables(vals)                                                       # [..., Gp, Lp]
-        return out[..., jnp.asarray(grp), jnp.asarray(slot)]                            # [..., T]
+    if regular0 is not None and part1 is None:
+        return eval_partition_regular(int(regular0))
 
     val0 = eval_partition(part0, g0, slot0)
     if part1 is None:  # collapsed brackets (nearest method / integer indexes)

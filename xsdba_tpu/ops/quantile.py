@@ -335,6 +335,7 @@ def _plan_device_arrays(plan):
         "counts",
         "q_static",
         "edge_tuple",
+        "regular",
     ),
 )
 def _windowed_group_quantile_core(
@@ -356,6 +357,7 @@ def _windowed_group_quantile_core(
     counts: tuple | None = None,
     q_static: tuple | None = None,
     edge_tuple: tuple = (),
+    regular: int | None = None,
 ):
     from .pallas.merge_kernel import (
         alternate_row_directions,
@@ -369,9 +371,22 @@ def _windowed_group_quantile_core(
     # group g's window is rows [g, g+window) directly.
     Gx, Ymax = w1_gather.shape
     G = Gx - 2 * half
-    gi = jnp.asarray(w1_gather)
-    vals = x[..., jnp.clip(gi, 0, x.shape[-1] - 1)]
-    vals = jnp.where(gi < 0, jnp.nan, vals)
+    if regular is not None:
+        # regular layout (plan.regular_period): the slab is the transpose of
+        # the [years, P] time reshape plus year-dropped wrap slices — no
+        # element gathers (bit-identical values by construction)
+        P = regular
+        lead_ = x.shape[:-1]
+        Y = x.shape[-1] // P
+        core = jnp.swapaxes(x.reshape(lead_ + (Y, P)), -1, -2)  # [..., P, Y]
+        napad = jnp.full(lead_ + (half, 1), jnp.nan, x.dtype)
+        head = jnp.concatenate([core[..., P - half : P, : Y - 1], napad], axis=-1)
+        tail = jnp.concatenate([core[..., 0:half, 1:], napad], axis=-1)
+        vals = jnp.concatenate([head, core, tail], axis=-2)  # [..., Gx, Y]
+    else:
+        gi = jnp.asarray(w1_gather)
+        vals = x[..., jnp.clip(gi, 0, x.shape[-1] - 1)]
+        vals = jnp.where(gi < 0, jnp.nan, vals)
     V = jnp.sum(~jnp.isnan(vals), axis=-1).astype(jnp.int32)
     raw = jnp.where(jnp.isnan(vals), jnp.inf, vals)  # [..., Gx, Ymax], unsorted
     if ypad > Ymax:
@@ -502,6 +517,7 @@ def windowed_group_quantile(
             counts=counts,
             q_static=q_static,
             edge_tuple=edge_tuple,
+            regular=plan.regular_period,
         )
 
     # bound the merged intermediate ([chunk, G, stored_width]) to ~4 GB f32;

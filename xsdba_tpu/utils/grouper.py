@@ -65,6 +65,11 @@ class WindowMergePlan:
     nv_host: np.ndarray | None = None  # [G] windowed member counts (valid
                                        # counts when the data is NaN-free —
                                        # enables fully-static extraction)
+    regular_period: int | None = None  # P when w1 core rows are the transpose
+                                       # of the [years, P] time reshape (and
+                                       # the virtual wrap rows are year-shifted
+                                       # slices of it): slab build by
+                                       # reshape+swapaxes instead of gathers
 
     @property
     def n_fast(self) -> int:
@@ -138,6 +143,24 @@ def _window_merge_plan(gidx, gather_idx, n_groups: int, window: int, prop: str):
         dp = ((Gx + wpad + 8 - 1) // dblock + 1) * dblock
     lens = (w1x >= 0).sum(axis=1).astype(np.int64)
     nv_host = np.array([int(lens[g : g + window].sum()) for g in range(G)], dtype=np.int64)
+
+    # regular layout: T == G*Ymax with w1[half+g, y] == y*G + g, and the
+    # virtual wrap rows equal to the year-dropped slices the fast slab build
+    # would construct — then the whole gather is a reshape+swapaxes
+    regular = None
+    T = len(gidx)
+    if prop == "dayofyear" and T == G * Ymax and half > 0:
+        y_i, g_i = np.meshgrid(np.arange(Ymax, dtype=np.int64), np.arange(G, dtype=np.int64))
+        core_ok = np.array_equal(w1x[half : half + G], (y_i * G + g_i).astype(np.int32))
+        if core_ok:
+            head = np.full((half, Ymax), -1, dtype=np.int32)
+            tail = np.full((half, Ymax), -1, dtype=np.int32)
+            for i in range(half):
+                head[i, : Ymax - 1] = np.arange(Ymax - 1, dtype=np.int64) * G + (G - half + i)
+                tail[i, : Ymax - 1] = (np.arange(Ymax - 1, dtype=np.int64) + 1) * G + i
+            if np.array_equal(w1x[:half], head) and np.array_equal(w1x[half + G :], tail):
+                regular = G
+
     return WindowMergePlan(
         w1_gather=w1x,
         fast_mask=fast,
@@ -150,6 +173,7 @@ def _window_merge_plan(gidx, gather_idx, n_groups: int, window: int, prop: str):
         dblock=dblock,
         dp=dp,
         nv_host=nv_host,
+        regular_period=regular,
     )
 
 
@@ -267,6 +291,18 @@ class GroupIndexes:
 
         part0, slot0 = partition(g0)
         part1, slot1 = partition(g1)
+
+        def regular_period(part):
+            # rows 1..P full with part[1+i, y] == y*P + i and empty pad rows:
+            # the partition gather is then a [years, P] reshape + transpose
+            P, (Gp_, Lp) = part.shape[0] - 2, part.shape
+            if P < 1 or P * Lp != len(frac):
+                return None
+            if (part[0] != -1).any() or (part[-1] != -1).any():
+                return None
+            expect = (np.arange(Lp, dtype=np.int64)[None, :] * P + np.arange(P, dtype=np.int64)[:, None])
+            return P if np.array_equal(part[1:-1], expect.astype(part.dtype)) else None
+
         return {
             "g0": g0.astype(np.int32),
             "g1": g1.astype(np.int32),
@@ -276,6 +312,7 @@ class GroupIndexes:
             "part1": part1,
             "slot1": slot1,
             "n_padded": Gp,
+            "regular0": regular_period(part0),
         }
 
 
