@@ -50,8 +50,8 @@ class TestAddDims:
         assert scen.dims == h.dims and scen.shape == h.shape
 
     def test_windowed_doy_with_add_dims(self, random):
-        """Windowed dayofyear + add_dims goes through the exact gather path
-        (merge plan disabled) and pools window x member."""
+        """Windowed dayofyear + add_dims pools window x member (and now rides
+        the shared-sort merge plan — see test_expanded_merge_plan_parity)."""
         M, T = 2, 365 * 3
         ref = random.normal(0, 1, (M, T))
         hist = random.normal(1, 1, (M, T))
@@ -70,6 +70,32 @@ class TestAddDims:
         q = equally_spaced_nodes(10)
         want = np.nanquantile(pooled_ref, q) - np.nanquantile(pooled_hist, q)
         np.testing.assert_allclose(af[100], want, rtol=1e-6, atol=1e-6)
+
+    @pytest.mark.parametrize("with_nans", [False, True])
+    def test_expanded_merge_plan_parity(self, random, with_nans):
+        """The pooled (add_dims-expanded) merge plan matches the exact
+        window-amplified gather+sort path on EVERY group, including the
+        year-wrap edges, for finite and NaN-bearing data (to f64 lerp ULPs —
+        the CPU fallback associates the interpolation differently; the Pallas
+        path is bit-exact on hardware)."""
+        from xsdba_tpu.ops.quantile import grouped_nan_quantile, windowed_group_quantile
+
+        M, T = 3, 365 * 4
+        x = random.normal(0, 1, (M, T))
+        if with_nans:
+            x[x > 1.7] = np.nan
+        t = date_range("2000-01-01", periods=T, freq="D", calendar="noleap")
+        gi = Grouper("time.dayofyear", window=31).indexes(
+            _mk(x, calendar="noleap").time
+        )
+        gx = gi.expand(M)
+        assert gx.merge_plan is not None, "pooled plan must survive expand"
+        assert gx.expand(M) is gx or gi.expand(M) is gx  # memoized identity
+        q = equally_spaced_nodes(10)
+        flat = np.asarray(x).reshape(-1)  # [M*T], copy-major as expand assumes
+        merged = np.asarray(windowed_group_quantile(flat, gx.merge_plan, q))
+        exact = np.asarray(grouped_nan_quantile(flat, gx.gather_idx, q))
+        np.testing.assert_allclose(merged, exact, rtol=1e-12, atol=1e-13)
 
     def test_loci_member_pooling(self, random):
         """LOCI with add_dims=['member'] (reference test_adjustment.py:202)."""

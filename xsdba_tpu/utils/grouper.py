@@ -221,13 +221,58 @@ class GroupIndexes:
         """
         if n_add == 1:
             return self
+        # memoized per instance: the expanded plan is an identity key for
+        # device-side caches (plan arrays, finite hints), so repeated API
+        # calls must see the SAME object
+        memo = self.__dict__.get("_expand_memo")
+        if memo is None:
+            memo = {}
+            object.__setattr__(self, "_expand_memo", memo)
+        if n_add in memo:
+            return memo[n_add]
         T = len(self.group_idx)
         G, L = self.gather_idx.shape
         offs = (np.arange(n_add, dtype=np.int64) * T)[:, None, None]
         g = np.where(self.gather_idx[None] < 0, -1, self.gather_idx[None].astype(np.int64) + offs)
         gather = np.moveaxis(g, 0, 1).reshape(G, n_add * L)
         slot = (np.arange(n_add, dtype=np.int64)[:, None] * L + self.scatter_slot[None, :]).reshape(-1)
-        return GroupIndexes(
+        # The merge plan survives pooling: copy ``a`` of virtual group ``i``'s
+        # window-1 member list is the original list offset by ``a*T``, so the
+        # pooled extended row is the concatenation of the offset copies (order
+        # within a row is irrelevant — rows are sorted before merging), and
+        # the union property per group is preserved verbatim (both the pooled
+        # gather row and the pooled window union are the offset-union of the
+        # originals).  Only the regular-reshape fast path is lost: its wrap
+        # rows drop one year per *copy*, which a single flat reshape of the
+        # ``[A*T]`` axis cannot express.
+        plan = self.merge_plan
+        if plan is not None:
+            Gx, Ymax = plan.w1_gather.shape
+            w1 = np.where(
+                plan.w1_gather[None] < 0,
+                np.int64(-1),
+                plan.w1_gather[None].astype(np.int64) + offs,
+            )
+            w1 = np.moveaxis(w1, 0, 1).reshape(Gx, n_add * Ymax).astype(np.int32)
+            plan = WindowMergePlan(
+                w1_gather=w1,
+                fast_mask=plan.fast_mask,
+                edge_ids=plan.edge_ids,
+                edge_gather=gather[plan.edge_ids].astype(np.int32)
+                if len(plan.edge_ids)
+                else np.empty((0, gather.shape[1]), np.int32),
+                half=plan.half,
+                window=plan.window,
+                ypad=_next_pow2(n_add * Ymax),
+                wpad=plan.wpad,
+                dblock=plan.dblock,
+                dp=plan.dp,
+                nv_host=None
+                if plan.nv_host is None
+                else (plan.nv_host * n_add).astype(np.int64),
+                regular_period=None,
+            )
+        out = GroupIndexes(
             n_groups=self.n_groups,
             group_idx=np.tile(self.group_idx, n_add),
             frac_idx=np.tile(self.frac_idx, n_add),
@@ -237,8 +282,10 @@ class GroupIndexes:
             coord=self.coord,
             prop=self.prop,
             window=self.window,
-            merge_plan=None,  # pooled rows break the union property; exact path
+            merge_plan=plan,
         )
+        memo[n_add] = out
+        return out
 
     def bracket_partitions(self, method: str = "linear"):
         """Static partitions of the time axis by *bracketing padded group*.
