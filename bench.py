@@ -106,7 +106,7 @@ def _bench_heavy_doy31(jax, jnp):
     merge kernel; see ops/pallas/merge_kernel.py)."""
     import jax.numpy as jnp
 
-    from xsdba_tpu.models._algos import eqm_train_windowed, qm_adjust_core
+    from xsdba_tpu.models._algos import eqm_train_adjust_windowed
     from xsdba_tpu.models._wrap import device_brackets
     from xsdba_tpu.ops.correction import equally_spaced_nodes
     from xsdba_tpu.utils.calendar import date_range
@@ -124,8 +124,12 @@ def _bench_heavy_doy31(jax, jnp):
     brackets = device_brackets(gi, "linear")
 
     def step(r):
-        af, hist_q = eqm_train_windowed(r, hist, gi.merge_plan, q, kind="+")
-        scen = qm_adjust_core(sim, hist_q, af, brackets, kind="+", interp="linear", extrapolation="constant")
+        # one-dispatch fused train+adjust (numerically identical to the
+        # two-call train -> adjust sequence; parity-tested on CPU and TPU)
+        scen, _, _ = eqm_train_adjust_windowed(
+            r, hist, sim, gi.merge_plan, q, brackets,
+            kind="+", interp="linear", extrapolation="constant",
+        )
         return jnp.nansum(scen)
 
     s = float(step(ref))

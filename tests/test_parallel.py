@@ -56,6 +56,37 @@ def test_sharded_qdm_matches_unsharded(mesh):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12)
 
 
+def test_sharded_windowed_eqm_matches_unsharded(mesh):
+    """The heavy production config (doy+31-window EQM, fused train+adjust)
+    is pure site-data-parallelism: sharded output must match unsharded."""
+    from xsdba_tpu.models._algos import eqm_train_adjust_windowed
+    from xsdba_tpu.models._wrap import device_brackets
+    from xsdba_tpu.ops.correction import equally_spaced_nodes
+    from xsdba_tpu.utils.calendar import date_range
+    from xsdba_tpu.utils.grouper import Grouper
+
+    n_sites, n_years = 8, 3
+    t = date_range("1950-01-01", periods=365 * n_years, freq="D", calendar="noleap")
+    gi = Grouper("time.dayofyear", window=31).indexes(t)
+    rng = np.random.default_rng(7)
+    T = len(t)
+    ref = jnp.asarray(rng.normal(10, 2, (n_sites, T)))
+    hist = jnp.asarray(rng.normal(12, 3, (n_sites, T)))
+    sim = jnp.asarray(rng.normal(13, 3, (n_sites, T)))
+    q = jnp.asarray(equally_spaced_nodes(20).astype(np.float64))
+    br = device_brackets(gi, "linear")
+
+    want, _, _ = eqm_train_adjust_windowed(ref, hist, sim, gi.merge_plan, q, br, kind="+")
+    want = np.asarray(want)
+
+    ds = site_sharding(mesh, 2)
+    ref_s, hist_s, sim_s = (jax.device_put(a, ds) for a in (ref, hist, sim))
+    with mesh:
+        got, _, _ = eqm_train_adjust_windowed(ref_s, hist_s, sim_s, gi.merge_plan, q, br, kind="+")
+        got.block_until_ready()
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12)
+
+
 def test_shard_sites_layout(mesh):
     x = jnp.arange(8.0 * 10).reshape(8, 10)
     xs = shard_sites(x, mesh)

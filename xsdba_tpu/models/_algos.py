@@ -27,6 +27,7 @@ from ..ops.segment import grouped_rank
 
 __all__ = [
     "broadcast_groups_core",
+    "eqm_train_adjust_windowed",
     "eqm_train_core",
     "qdm_adjust_core",
     "qm_adjust_core",
@@ -323,6 +324,105 @@ def _eqm_train_windowed_fused(
         counts=counts, q_static=q_static, edge_tuple=edge_tuple, regular=regular,
     )
     return get_correction(q2[1], q2[0], kind), q2[1]
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "half", "window", "ypad", "wpad", "dp", "use_kernel", "kind",
+        "counts", "q_static", "edge_tuple", "regular", "interp", "extrapolation",
+    ),
+)
+def _eqm_train_adjust_windowed_fused(
+    ref, hist, sim, w1, eid, eg, q, brackets, *,
+    half, window, ypad, wpad, dp, use_kernel, kind, counts, q_static, edge_tuple,
+    regular=None, interp="linear", extrapolation="constant",
+):
+    """Windowed EQM train + adjust in ONE program: stack + grouped quantiles +
+    factors + grouped table lookup + correction.  One dispatch per step —
+    every eager boundary between train and adjust costs a dispatch round-trip
+    over a remote-device link (docs/PERFORMANCE.md), and XLA can overlap the
+    adjust-side slab transpose with the train-side merge when both live in
+    the same program."""
+    af, hist_q = _eqm_train_windowed_fused.__wrapped__(
+        ref, hist, w1, eid, eg, q,
+        half=half, window=window, ypad=ypad, wpad=wpad, dp=dp,
+        use_kernel=use_kernel, kind=kind, counts=counts, q_static=q_static,
+        edge_tuple=edge_tuple, regular=regular,
+    )
+    scen = qm_adjust_core.__wrapped__(
+        sim, hist_q, af, brackets, kind=kind, interp=interp, extrapolation=extrapolation
+    )
+    return scen, af, hist_q
+
+
+def eqm_train_adjust_windowed(
+    ref, hist, sim, plan, quantiles, brackets, *,
+    kind: str, interp: str = "linear", extrapolation: str = "constant",
+):
+    """One-dispatch windowed EQM train+adjust (the doy+window production
+    pipeline); numerically identical to ``eqm_train_windowed`` followed by
+    ``qm_adjust_core``.  Returns (scen, af, hist_q).
+
+    Same speculative static dispatch as ``eqm_train_windowed``: the fused
+    static-count program races the finiteness-probe fetch."""
+    from ..ops.quantile import (
+        _PLAN_FINITE_HINT,
+        _merge_backend_default,
+        _pair_finite_probe,
+        _plan_device_arrays,
+    )
+
+    ref = jnp.asarray(ref)
+    hist = jnp.asarray(hist)
+    sim = jnp.asarray(sim)
+    pairable = (
+        ref.shape == hist.shape
+        and ref.dtype == hist.dtype
+        and np.ndim(quantiles) == 1
+        and plan.nv_host is not None
+        and 2 * int(np.prod(ref.shape[:-1])) * plan.w1_gather.shape[0] * plan.wpad * plan.ypad
+        <= (1 << 31)
+    )
+    if not pairable:
+        af, hist_q = eqm_train_windowed(ref, hist, plan, quantiles, kind=kind)
+        scen = qm_adjust_core(
+            sim, hist_q, af, brackets, kind=kind, interp=interp, extrapolation=extrapolation
+        )
+        return scen, af, hist_q
+
+    w1, eid, eg = _plan_device_arrays(plan)
+    use_kernel = _merge_backend_default(ref.dtype)
+    qdev = jnp.asarray(quantiles, dtype=ref.dtype)
+    probe = _pair_finite_probe(ref, hist)
+    speculate = _PLAN_FINITE_HINT.get(plan, True)
+
+    def call(static: bool):
+        if static:
+            counts = tuple(int(c) for c in plan.nv_host)
+            q_static = tuple(float(v) for v in np.asarray(quantiles, np.float64))
+            edge_tuple = tuple(int(e) for e in plan.edge_ids)
+        else:
+            counts = q_static = None
+            edge_tuple = ()
+        return _eqm_train_adjust_windowed_fused(
+            ref, hist, sim, w1, eid, eg, qdev, brackets,
+            half=plan.half, window=plan.window, ypad=plan.ypad, wpad=plan.wpad,
+            dp=plan.dp, use_kernel=bool(use_kernel), kind=kind,
+            counts=counts, q_static=q_static, edge_tuple=edge_tuple,
+            regular=plan.regular_period, interp=interp, extrapolation=extrapolation,
+        )
+
+    if speculate:
+        out_fast = call(static=True)  # races the probe fetch
+        ok = bool(probe)
+        _PLAN_FINITE_HINT[plan] = ok
+        if ok:
+            return out_fast
+        return call(static=False)
+    ok = bool(probe)
+    _PLAN_FINITE_HINT[plan] = ok
+    return call(static=True) if ok else call(static=False)
 
 
 def eqm_train_windowed(ref, hist, plan, quantiles, *, kind: str):
