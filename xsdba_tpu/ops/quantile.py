@@ -374,11 +374,18 @@ def _windowed_group_quantile_core(
     if regular is not None:
         # regular layout (plan.regular_period): the slab is the transpose of
         # the [years, P] time reshape plus year-dropped wrap slices — no
-        # element gathers (bit-identical values by construction)
+        # element gathers (bit-identical values by construction).  The
+        # transpose runs on PADDED pow2/128-aligned dims: XLA lowers the raw
+        # [Y=150, P=365] swapaxes as a gather (~150 ms at B=512 on v5e); the
+        # aligned form tiles onto (8,128) vregs (~7 ms, bit-exact).
         P = regular
         lead_ = x.shape[:-1]
         Y = x.shape[-1] // P
-        core = jnp.swapaxes(x.reshape(lead_ + (Y, P)), -1, -2)  # [..., P, Y]
+        resh = x.reshape(lead_ + (Y, P))
+        Ppad = -(-P // 128) * 128
+        Ypad_t = -(-Y // 8) * 8
+        resh = jnp.pad(resh, [(0, 0)] * (resh.ndim - 2) + [(0, Ypad_t - Y), (0, Ppad - P)])
+        core = jnp.swapaxes(resh, -1, -2)[..., :P, :Y]  # [..., P, Y]
         napad = jnp.full(lead_ + (half, 1), jnp.nan, x.dtype)
         head = jnp.concatenate([core[..., P - half : P, : Y - 1], napad], axis=-1)
         tail = jnp.concatenate([core[..., 0:half, 1:], napad], axis=-1)
