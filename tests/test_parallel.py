@@ -65,7 +65,7 @@ def test_sharded_windowed_eqm_matches_unsharded(mesh):
     from xsdba_tpu.utils.calendar import date_range
     from xsdba_tpu.utils.grouper import Grouper
 
-    n_sites, n_years = 8, 3
+    n_sites, n_years = 8, 2
     t = date_range("1950-01-01", periods=365 * n_years, freq="D", calendar="noleap")
     gi = Grouper("time.dayofyear", window=31).indexes(t)
     rng = np.random.default_rng(7)
@@ -73,7 +73,7 @@ def test_sharded_windowed_eqm_matches_unsharded(mesh):
     ref = jnp.asarray(rng.normal(10, 2, (n_sites, T)))
     hist = jnp.asarray(rng.normal(12, 3, (n_sites, T)))
     sim = jnp.asarray(rng.normal(13, 3, (n_sites, T)))
-    q = jnp.asarray(equally_spaced_nodes(20).astype(np.float64))
+    q = jnp.asarray(equally_spaced_nodes(10).astype(np.float64))
     br = device_brackets(gi, "linear")
 
     want, _, _ = eqm_train_adjust_windowed(ref, hist, sim, gi.merge_plan, q, br, kind="+")

@@ -67,6 +67,7 @@ class TestSel:
             da.sel(site="zz")
 
 
+@pytest.mark.slow
 def test_advanced_notebook_chain(random):
     group = Grouper("time.dayofyear", window=31)
     dref = _mk(1, tas_mu=15.0, pr_scale=2.0)
