@@ -19,6 +19,43 @@ import numpy as np
 _BASELINE_GPYRS_PER_S = 1_036_800 * 150 / 60 / 8  # = 324_000
 
 
+def _inscan_rate(jax, jnp, step, ref, gpy_per_step, n_steps=12, reps=3):
+    """Chip-throughput timing: ``n_steps`` dependent full steps inside ONE
+    jitted ``lax.scan`` — one dispatch, one scalar fetch — minus the measured
+    trivial dispatch+fetch roundtrip.  Through the remote-TPU relay,
+    per-dispatch latency varies run to run by up to ~3x on identical
+    programs; chaining dispatches (the old scheme) lets that latency
+    masquerade as compute.  In-graph chaining measures what the chip
+    actually sustains, which is also the production regime (few large
+    dispatches)."""
+    @jax.jit
+    def scan_steps(r0):
+        def body(carry, _):
+            acc = step(carry)
+            return ref + 0 * acc, acc  # data-chain so steps can't be elided
+
+        _, accs = jax.lax.scan(body, r0, None, length=n_steps)
+        return jnp.nansum(accs)
+
+    @jax.jit
+    def triv(x):
+        return jnp.nansum(x) * 1.0000001
+
+    s = float(scan_steps(ref))  # compile + first run
+    assert np.isfinite(s)
+    float(triv(ref))
+    t_triv = min(_timed_fetch(lambda: triv(ref)) for _ in range(reps))
+    t_scan = min(_timed_fetch(lambda: scan_steps(ref)) for _ in range(reps))
+    dt = max((t_scan - t_triv) / n_steps, 1e-9)
+    return gpy_per_step / dt
+
+
+def _timed_fetch(f):
+    t0 = time.perf_counter()
+    float(f())
+    return time.perf_counter() - t0
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -32,40 +69,19 @@ def main():
     n_sites = 512
     args = _example_problem(n_sites=n_sites, n_years=n_years)
 
-    @jax.jit
-    def step_sum(ref, *a):
+    ref, rest = args[0], args[1:]
+
+    def step(r):
         # scalar summary fused into the step: forcing its transfer to host is
         # the only reliable sync point through the remote-TPU relay
         # (block_until_ready returns early there).
         out = qdm_train_adjust_core.__wrapped__(
-            ref, *a, kind="+", interp="linear", extrapolation="constant"
+            r, *rest, kind="+", interp="linear", extrapolation="constant"
         )
         return jnp.nansum(out)
 
-    ref, rest = args[0], args[1:]
-
-    # compile + first run
-    s = float(step_sum(ref, *rest))
-    assert np.isfinite(s)
-
-    def timed(n):
-        # chain iterations through the data so they can't be elided, fetch once:
-        # amortizes the relay's fetch latency out of the per-step time.
-        t0 = time.perf_counter()
-        r = ref
-        acc = None
-        for _ in range(n):
-            acc = step_sum(r, *rest)
-            r = ref + 0 * acc
-        float(acc)
-        return time.perf_counter() - t0
-
-    t1 = timed(1)
-    t9 = timed(9)
-    dt = max((t9 - t1) / 8, 1e-9)
-
     gp_years = n_sites * n_years
-    value = gp_years / dt
+    value = _inscan_rate(jax, jnp, step, ref, gp_years)
 
     def emit(extra):
         print(
@@ -129,26 +145,13 @@ def _bench_heavy_doy31(jax, jnp):
         scen, _, _ = eqm_train_adjust_windowed(
             r, hist, sim, gi.merge_plan, q, brackets,
             kind="+", interp="linear", extrapolation="constant",
+            assume_finite=True,  # bench data is constructed finite
         )
         return jnp.nansum(scen)
 
-    s = float(step(ref))
-    assert np.isfinite(s)
+    import jax as _jax
 
-    def timed(n):
-        t0 = time.perf_counter()
-        r = ref
-        acc = None
-        for _ in range(n):
-            acc = step(r)
-            r = ref + 0 * acc
-        float(acc)
-        return time.perf_counter() - t0
-
-    t1 = timed(1)
-    t9 = timed(9)
-    dt = max((t9 - t1) / 8, 1e-9)
-    return round(n_sites * n_years / dt, 1)
+    return round(_inscan_rate(_jax, jnp, step, ref, n_sites * n_years), 1)
 
 
 def _bench_mbcn(jnp):
@@ -177,10 +180,16 @@ def _bench_mbcn(jnp):
     kw = dict(base_kws={"nquantiles": 50, "group": "time"}, n_iter=20, n_escore=-1)
     obj = MBCn.train(ref, hist, **kw)  # compile + warm
     float(np.asarray(obj.ds["af_q"].data).ravel()[0])
-    t0 = _time.perf_counter()
-    obj = MBCn.train(ref, hist, skip_input_checks=True, **kw)
-    float(np.asarray(obj.ds["af_q"].data).ravel()[0])
-    dt = _time.perf_counter() - t0
+
+    def once():
+        t0 = _time.perf_counter()
+        obj = MBCn.train(ref, hist, skip_input_checks=True, **kw)
+        float(np.asarray(obj.ds["af_q"].data).ravel()[0])
+        return _time.perf_counter() - t0
+
+    # one public-API call is a single un-chainable dispatch+fetch, so relay
+    # latency cannot be amortized out of it; min-of-3 rejects relay spikes
+    dt = min(once() for _ in range(3))
     return round(20 / dt, 1)
 
 

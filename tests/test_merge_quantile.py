@@ -128,3 +128,57 @@ def test_windowed_quantile_nan_data_dispatch():
     # second call exercises the no-speculation path (plan hint is now False)
     got2 = np.asarray(windowed_group_quantile(jnp.asarray(x), gi.merge_plan, jnp.asarray(q)))
     np.testing.assert_allclose(got2, want, rtol=1e-12, atol=1e-12, equal_nan=True)
+
+
+def test_windowed_fused_trace_safe_under_outer_jit():
+    """The fused train+adjust wrapper must be traceable under an outer jit /
+    lax.scan: the speculative host finiteness probe (a ``bool(device scalar)``)
+    is impossible there, so the call must fall back to the NaN-safe dynamic
+    extraction — and ``assume_finite=True`` must pin the static fast path
+    instead.  Both must match the eager result."""
+    import jax
+    import jax.numpy as jnp
+
+    from xsdba_tpu.models._algos import eqm_train_adjust_windowed
+    from xsdba_tpu.models._wrap import device_brackets
+    from xsdba_tpu.ops.correction import equally_spaced_nodes
+
+    t = date_range("2001-01-01", periods=365 * 2, freq="D", calendar="noleap")
+    gi = Grouper("5D", window=3).indexes(t)  # 73 groups: cheap compile
+    rng = np.random.default_rng(11)
+    T = len(t)
+    ref = jnp.asarray(rng.normal(10, 2, (2, T)))
+    hist = jnp.asarray(rng.normal(12, 3, (2, T)))
+    sim = jnp.asarray(rng.normal(13, 3, (2, T)))
+    q = jnp.asarray(equally_spaced_nodes(5).astype(np.float64))
+    br = device_brackets(gi, "linear")
+
+    want, _, _ = eqm_train_adjust_windowed(ref, hist, sim, gi.merge_plan, q, br, kind="+")
+    want = np.asarray(want)
+
+    @jax.jit
+    def dyn(r):
+        s, _, _ = eqm_train_adjust_windowed(r, hist, sim, gi.merge_plan, q, br, kind="+")
+        return s
+
+    @jax.jit
+    def pinned(r):
+        s, _, _ = eqm_train_adjust_windowed(
+            r, hist, sim, gi.merge_plan, q, br, kind="+", assume_finite=True
+        )
+        return s
+
+    np.testing.assert_allclose(np.asarray(dyn(ref)), want, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(pinned(ref)), want, rtol=1e-12)
+
+    # train-only wrapper under a trace (the non-pairable fallback path)
+    from xsdba_tpu.models._algos import eqm_train_windowed
+
+    af_want, _ = eqm_train_windowed(ref, hist, gi.merge_plan, q, kind="+")
+
+    @jax.jit
+    def train_dyn(r):
+        af, _ = eqm_train_windowed(r, hist, gi.merge_plan, q, kind="+")
+        return af
+
+    np.testing.assert_allclose(np.asarray(train_dyn(ref)), np.asarray(af_want), rtol=1e-12)

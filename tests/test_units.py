@@ -73,3 +73,22 @@ def test_pint_multiply():
 def test_time_units():
     assert parse_units("degC/year").dims[2] == -1
     assert str2quantity("1 K/year").to("K/d").magnitude == pytest.approx(1 / 365.2425)
+
+
+def test_units_registry_facade():
+    """``xsdba_tpu.units.units`` mirrors the reference's module-level pint
+    application registry surface (reference units.py:34): callable parse,
+    parse_units/parse_expression, and the pint Quantity constructor forms."""
+    from xsdba_tpu.units import units
+    from xsdba_tpu.utils.units import Quantity, Unit
+
+    q = units("1 mm/d")
+    assert isinstance(q, Quantity) and q.magnitude == 1.0
+    assert isinstance(units.parse_units("mm/d"), Unit)
+    assert units.parse_expression("2 K").magnitude == 2.0
+    assert units.Quantity is Quantity and units.Unit is Unit
+    # pint constructor forms
+    assert units.Quantity("3 degC").units.raw == "degC"
+    assert units.Quantity(3, "degC").magnitude == 3
+    assert units.Quantity(3).units.dims == (0, 0, 0, 0)
+    assert units.Quantity(5, units="K").to("degC").magnitude == pytest.approx(-268.15)

@@ -359,13 +359,17 @@ def _eqm_train_adjust_windowed_fused(
 def eqm_train_adjust_windowed(
     ref, hist, sim, plan, quantiles, brackets, *,
     kind: str, interp: str = "linear", extrapolation: str = "constant",
+    assume_finite: bool | None = None,
 ):
     """One-dispatch windowed EQM train+adjust (the doy+window production
     pipeline); numerically identical to ``eqm_train_windowed`` followed by
     ``qm_adjust_core``.  Returns (scen, af, hist_q).
 
     Same speculative static dispatch as ``eqm_train_windowed``: the fused
-    static-count program races the finiteness-probe fetch."""
+    static-count program races the finiteness-probe fetch.  Under an outer
+    ``jit``/``scan`` trace the host probe is impossible, so the call takes
+    the exact (NaN-safe) extraction unless ``assume_finite=True`` pins the
+    static fast path (callers that construct finite data, e.g. bench)."""
     from ..ops.quantile import (
         _PLAN_FINITE_HINT,
         _merge_backend_default,
@@ -394,8 +398,6 @@ def eqm_train_adjust_windowed(
     w1, eid, eg = _plan_device_arrays(plan)
     use_kernel = _merge_backend_default(ref.dtype)
     qdev = jnp.asarray(quantiles, dtype=ref.dtype)
-    probe = _pair_finite_probe(ref, hist)
-    speculate = _PLAN_FINITE_HINT.get(plan, True)
 
     def call(static: bool):
         if static:
@@ -413,6 +415,16 @@ def eqm_train_adjust_windowed(
             regular=plan.regular_period, interp=interp, extrapolation=extrapolation,
         )
 
+    if assume_finite is True:
+        _PLAN_FINITE_HINT[plan] = True
+        return call(static=True)
+    traced = isinstance(ref, jax.core.Tracer) or isinstance(hist, jax.core.Tracer)
+    if traced or assume_finite is False:
+        # no host probe possible (or caller pinned the NaN-safe path)
+        return call(static=False)
+
+    probe = _pair_finite_probe(ref, hist)
+    speculate = _PLAN_FINITE_HINT.get(plan, True)
     if speculate:
         out_fast = call(static=True)  # races the probe fetch
         ok = bool(probe)
@@ -466,8 +478,6 @@ def eqm_train_windowed(ref, hist, plan, quantiles, *, kind: str):
     w1, eid, eg = _plan_device_arrays(plan)
     use_kernel = _merge_backend_default(ref.dtype)
     qdev = jnp.asarray(quantiles, dtype=ref.dtype)
-    probe = _pair_finite_probe(ref, hist)
-    speculate = _PLAN_FINITE_HINT.get(plan, True)
 
     def call(static: bool):
         if static:
@@ -485,6 +495,10 @@ def eqm_train_windowed(ref, hist, plan, quantiles, *, kind: str):
             regular=plan.regular_period,
         )
 
+    if isinstance(ref, jax.core.Tracer) or isinstance(hist, jax.core.Tracer):
+        return call(static=False)  # under an outer trace: no host probe
+    probe = _pair_finite_probe(ref, hist)
+    speculate = _PLAN_FINITE_HINT.get(plan, True)
     if speculate:
         out_fast = call(static=True)  # races the probe fetch
         ok = bool(probe)

@@ -492,7 +492,11 @@ def windowed_group_quantile(
     # compute is dispatched OPTIMISTICALLY before the probe result is read —
     # the common all-finite case pays no probe latency at all, and the
     # NaN case discards one speculative run.
-    can_static = np.ndim(quantiles) == 1 and plan.nv_host is not None
+    can_static = (
+        np.ndim(quantiles) == 1
+        and plan.nv_host is not None
+        and not isinstance(x, jax.core.Tracer)  # no host probe under a trace
+    )
     probe_dev = _finite_probe(x) if can_static else None
     # plans are long-lived: once a plan has seen non-finite data, stop
     # speculating for it (the wasted fast run would tax every call)

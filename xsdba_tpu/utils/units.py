@@ -95,8 +95,25 @@ class Unit:
 
 @dataclass(frozen=True)
 class Quantity:
+    """A magnitude with a Unit.  Accepts the pint constructor forms reference
+    users rely on: ``Quantity(3, "degC")``, ``Quantity("3 degC")`` and bare
+    ``Quantity(3)`` (dimensionless)."""
+
     magnitude: float
-    units: Unit
+    units: Unit = None
+
+    def __post_init__(self):
+        mag, un = self.magnitude, self.units
+        if un is None:
+            if isinstance(mag, str):
+                q = str2quantity(mag)
+                mag, un = q.magnitude, q.units
+            else:
+                un = parse_units("")
+        elif not isinstance(un, Unit):
+            un = parse_units(un)
+        object.__setattr__(self, "magnitude", mag)
+        object.__setattr__(self, "units", un)
 
     def to(self, target: "Unit | str") -> "Quantity":
         tgt = parse_units(target) if isinstance(target, str) else target
