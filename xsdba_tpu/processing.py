@@ -23,6 +23,7 @@ from .utils.units import convert_units_to
 __all__ = [
     "adapt_freq",
     "broadcast",
+    "estimate_delta_from_cf",
     "get_clusters",
     "interp_on_quantiles",
     "rank",
@@ -746,6 +747,28 @@ def cos2_mask_func(alpha, low, high):
     return jnp.where(alpha < low, 1.0, jnp.where(alpha > high, 0.0, ramp))
 
 
+def estimate_delta_from_cf(da: DataArray) -> str:
+    """Estimate the grid length scale from a latitude-like coordinate
+    (reference processing.py:1042-1058: ``da.cf["Y"]``).  Finds a coordinate
+    whose units are degrees-north (or is named lat/latitude/y) and returns
+    the spacing as a quantity string — degrees are converted to km at
+    111.2 km/degree."""
+    for name, coord in da.coords.items():
+        attrs = getattr(coord, "attrs", {}) if hasattr(coord, "attrs") else {}
+        units = attrs.get("units")
+        is_y = units in ("degrees", "degrees_north") or name in ("lat", "latitude", "y")
+        if not is_y:
+            continue
+        vals = np.sort(np.asarray(coord.data if hasattr(coord, "data") else coord, dtype=np.float64))
+        if len(vals) < 2:
+            continue
+        step = abs(vals[1] - vals[0])
+        if units in ("degrees", "degrees_north") or units is None:
+            return f"{step * 111.2} km"
+        return f"{step} {units}"
+    raise ValueError("Could not find a latitude-like coordinate (units 'degrees_north' or name lat/latitude/y) to estimate the grid scale from.")
+
+
 def spectral_filter(
     da: DataArray,
     dims: list[str],
@@ -757,14 +780,18 @@ def spectral_filter(
 ) -> DataArray:
     """DCT low-pass filter over spatial dims (Denis et al. 2002; reference
     processing.py:1063-1161).  Bounds given either as wavelengths + grid
-    resolution ``delta``, or directly as normalized wavenumbers."""
+    resolution ``delta`` (estimated from a latitude coordinate when omitted,
+    reference processing.py:1135-1137), or directly as normalized
+    wavenumbers."""
     if isinstance(dims, str):
         dims = [dims]
     if alpha_low_high is not None:
         alpha_low, alpha_high = alpha_low_high
     else:
-        if lam_long is None or lam_short is None or delta is None:
-            raise ValueError("Either `alpha_low_high` or (`lam_long`, `lam_short`, `delta`) must be given.")
+        if lam_long is None or lam_short is None:
+            raise ValueError("Either `alpha_low_high` or (`lam_long`, `lam_short`) must be given.")
+        if delta is None:
+            delta = estimate_delta_from_cf(da)
         from .utils.units import str2quantity
 
         d = str2quantity(delta).to("m").magnitude

@@ -1,6 +1,9 @@
 """Alias module mirroring the reference's ``xsdba.units`` import path."""
 
 from .utils.units import (  # noqa: F401
+    DELTA_ABSOLUTE_TEMP,
+    FREQ_UNITS,
+    extract_units,
     Quantity,
     Unit,
     convert_units_to,

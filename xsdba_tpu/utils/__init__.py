@@ -47,6 +47,14 @@ def __getattr__(name):
 
 import operator as _op
 
+import numpy as _np
+
+#: Season string -> integer (reference utils.py:403).
+SEASON_MAP = {"DJF": 0, "MAM": 1, "JJA": 2, "SON": 3}
+
+#: Vectorized season-string -> int mapper (reference utils.py:405).
+map_season_to_int = _np.vectorize(SEASON_MAP.get)
+
 #: Comparison-operator lookup — reference base.py:859-890.
 OPERATORS = {
     ">": _op.gt, "gt": _op.gt, "<": _op.lt, "lt": _op.lt,

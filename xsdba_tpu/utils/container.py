@@ -191,6 +191,35 @@ class DataArray:
     def astype(self, dtype) -> "DataArray":
         return self.copy(data=self.data.astype(dtype))
 
+    def reduce(self, fn, dim: str | tuple | None = None, keep_attrs: bool = False) -> "DataArray":
+        """Reduce along named dimension(s) with ``fn(data, axis=...)`` —
+        the xarray-style reduction surface (NaN handling is ``fn``'s)."""
+        dims = (dim,) if isinstance(dim, str) else (tuple(self.dims) if dim is None else tuple(dim))
+        axes = tuple(self.dims.index(d) for d in dims)
+        out = fn(self.data, axis=axes if len(axes) > 1 else axes[0])
+        new_dims = tuple(d for d in self.dims if d not in dims)
+        coords = {d: c for d, c in self.coords.items() if d in new_dims}
+        return DataArray(out, new_dims, coords, dict(self.attrs) if keep_attrs else {}, self.name)
+
+    def _nanreduce(name):  # noqa: N805 - factory, not a method
+        def _f(self, dim=None, keep_attrs=False):
+            import jax.numpy as jnp
+
+            mod = np if isinstance(self.data, np.ndarray) else jnp
+            return self.reduce(getattr(mod, f"nan{name}"), dim, keep_attrs)
+
+        _f.__name__ = name
+        _f.__doc__ = f"NaN-skipping {name} over named dimension(s) (xarray-style)."
+        return _f
+
+    mean = _nanreduce("mean")
+    std = _nanreduce("std")
+    var = _nanreduce("var")
+    sum = _nanreduce("sum")
+    min = _nanreduce("min")
+    max = _nanreduce("max")
+    del _nanreduce
+
     def __array__(self, dtype=None):
         arr = np.asarray(self.data)
         return arr.astype(dtype) if dtype is not None else arr

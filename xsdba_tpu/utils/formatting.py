@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import datetime as _dt
 
-__all__ = ["gen_call_string", "merge_attributes", "update_history"]
+__all__ = ["gen_call_string", "merge_attributes", "update_history", "update_xsdba_history"]
 
 
 def gen_call_string(funcname: str, **kwargs) -> str:
@@ -40,3 +40,29 @@ def update_history(hist_str: str, *inputs, new_name: str | None = None) -> str:
     now = _dt.datetime.now(_dt.timezone.utc).strftime("%Y-%m-%dT%H:%M:%S")
     line = f"[{now}] {new_name or ''}: {hist_str} - xsdba_tpu version: {__version__}"
     return (merged + "\n" if merged else "") + line
+
+
+def update_xsdba_history(func):
+    """Decorator auto-filling the ``history`` attribute of the first output
+    from the call signature (reference formatting.py:119-157).  The wrapped
+    function's DataArray/Dataset output gains a timestamped history line
+    merging its DataArray inputs' histories."""
+    import functools
+
+    @functools.wraps(func)
+    def _call_and_add_history(*args, **kwargs):
+        outs = func(*args, **kwargs)
+        out = outs[0] if isinstance(outs, tuple) else outs
+        attrs = getattr(out, "attrs", None)
+        if attrs is None:
+            raise TypeError(
+                f"update_xsdba_history received a non-DataArray/Dataset output from {func.__name__}."
+            )
+        das = [a for a in args if hasattr(a, "dims")]
+        kw = {k: v for k, v in kwargs.items() if not hasattr(v, "dims")}
+        attrs["history"] = update_history(
+            gen_call_string(func.__name__, **kw), *das, new_name=getattr(out, "name", None)
+        )
+        return outs
+
+    return _call_and_add_history

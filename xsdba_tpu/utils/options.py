@@ -5,7 +5,7 @@ from __future__ import annotations
 import contextlib
 import threading
 
-__all__ = ["set_options", "get_option", "EXTRA_OUTPUT", "AS_DATASET"]
+__all__ = ["AS_DATASET", "EXTRA_OUTPUT", "OPTIONS", "get_option", "set_options"]
 
 EXTRA_OUTPUT = "extra_output"
 AS_DATASET = "as_dataset"
@@ -51,3 +51,33 @@ class set_options(contextlib.AbstractContextManager):
     def __del__(self):
         # Used without `with`: apply globally (keep on the stack).
         pass
+
+
+class _OptionsView:
+    """Read-only live mapping of the CURRENT option values (reference
+    options.py:17-20 exposes a plain ``OPTIONS`` dict; here options are a
+    thread-local context stack, so this view always reads the stack top)."""
+
+    def __getitem__(self, name):
+        return get_option(name)
+
+    def __iter__(self):
+        return iter(_stack()[-1])
+
+    def __len__(self):
+        return len(_stack()[-1])
+
+    def __contains__(self, name):
+        return name in _stack()[-1]
+
+    def keys(self):
+        return _stack()[-1].keys()
+
+    def items(self):
+        return _stack()[-1].items()
+
+    def __repr__(self):
+        return f"OPTIONS({dict(_stack()[-1])})"
+
+
+OPTIONS = _OptionsView()

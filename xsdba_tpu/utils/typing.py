@@ -3,15 +3,21 @@
 from __future__ import annotations
 
 from enum import IntEnum
-from typing import Union
+from typing import NewType, Union
 
 from .container import DataArray
 from .units import Quantity
 
-__all__ = ["InputKind", "Quantified"]
+__all__ = ["KIND_ANNOTATION", "DateStr", "DayOfYearStr", "InputKind", "Quantified"]
 
 #: A physical quantity: a DataArray, a "1 mm d-1"-style string, or a Quantity.
 Quantified = Union[DataArray, str, Quantity]
+
+#: An ISO date string, "YYYY-MM-DD" (reference typing.py:16).
+DateStr = NewType("DateStr", str)
+
+#: A day-of-year string, "MM-DD" (reference typing.py:19).
+DayOfYearStr = NewType("DayOfYearStr", str)
 
 
 class InputKind(IntEnum):
@@ -32,3 +38,23 @@ class InputKind(IntEnum):
     KWARGS = 50
     DATASET = 70
     OTHER_PARAMETER = 99
+
+
+#: Human-readable docstring annotation per input kind (reference
+#: typing.py:119-135), used when rendering indicator parameter docs.
+KIND_ANNOTATION = {
+    InputKind.VARIABLE: "str or DataArray",
+    InputKind.OPTIONAL_VARIABLE: "str or DataArray, optional",
+    InputKind.QUANTIFIED: "quantity (string or DataArray, with units)",
+    InputKind.FREQ_STR: "offset alias (string)",
+    InputKind.NUMBER: "number",
+    InputKind.NUMBER_SEQUENCE: "number or sequence of numbers",
+    InputKind.STRING: "str",
+    InputKind.DAY_OF_YEAR: "date (string, MM-DD)",
+    InputKind.DATE: "date (string, YYYY-MM-DD)",
+    InputKind.BOOL: "boolean",
+    InputKind.DICT: "dict",
+    InputKind.DATASET: "Dataset, optional",
+    InputKind.KWARGS: "",
+    InputKind.OTHER_PARAMETER: "Any",
+}

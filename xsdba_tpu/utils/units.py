@@ -24,9 +24,12 @@ from fractions import Fraction
 import numpy as np
 
 __all__ = [
+    "DELTA_ABSOLUTE_TEMP",
+    "FREQ_UNITS",
     "Quantity",
     "Unit",
     "convert_units_to",
+    "extract_units",
     "harmonize_units",
     "infer_sampling_units",
     "parse_units",
@@ -70,6 +73,7 @@ _def(["degC", "C", "celsius", "°C"], 1.0, _dims(temp=1), offset=273.15)
 _def(["degF", "°F", "fahrenheit"], 5.0 / 9.0, _dims(temp=1), offset=459.67 * 5.0 / 9.0)
 _def(["delta_degC"], 1.0, _dims(temp=1))
 _def(["delta_degF"], 5.0 / 9.0, _dims(temp=1))
+_def(["degR", "rankine"], 5.0 / 9.0, _dims(temp=1))
 _def(["Pa", "pascal"], 1.0, _dims(length=-1, mass=1, time=-2))
 _def(["hPa", "mbar", "millibar"], 100.0, _dims(length=-1, mass=1, time=-2))
 _def(["W"], 1.0, _dims(length=2, mass=1, time=-3))
@@ -321,6 +325,32 @@ def infer_sampling_units(time) -> tuple[float, str]:
 def str2pint(s) -> Quantity:
     """Alias of :func:`str2quantity` (reference units.py:120-201 name)."""
     return str2quantity(s)
+
+
+#: Offset base -> CF unit for constant-length resampling frequencies
+#: (reference units.py:38-46; consumed by :func:`infer_sampling_units`).
+FREQ_UNITS = {"D": "d", "W": "week"}
+
+#: Difference (delta) temperature units -> their absolute scale
+#: (reference units.py:253-256: delta_degC -> K, delta_degF -> °R).
+DELTA_ABSOLUTE_TEMP = {"delta_degC": "K", "delta_degF": "degR"}
+
+
+def extract_units(arg) -> str | None:
+    """The unit string of a DataArray / unit / quantity-string, or None for
+    bare scalars (reference units.py:343-360)."""
+    from .container import DataArray
+
+    if isinstance(arg, DataArray):
+        arg = arg.attrs.get("units", None)
+    if isinstance(arg, (Unit, Quantity)):
+        return units2str(arg.units if isinstance(arg, Quantity) else arg)
+    if isinstance(arg, str):
+        # "2" alone is dimensionless; a unit-ish string parses as units
+        return units2str(parse_units(arg)) if not _QTY_RE.match(arg) else units2str(str2quantity(arg).units)
+    if arg is None or np.isscalar(arg):
+        return None
+    raise TypeError(f"Argument must be str | DataArray | Unit | Quantity | scalar. Got {type(arg)}")
 
 
 def pint2cfattrs(value, is_difference=None) -> dict:
