@@ -98,3 +98,51 @@ def test_shared_dyadic_merge_matches_per_group(random):
             (2, 64, 32, 9, 30, 12),
         ],
     )
+
+
+@pytest.mark.skipif(not pallas_available(), reason="pallas unavailable")
+def test_fused_classes_fold_bit_exact(random):
+    """fuse_classes=True (one all-classes program) must be bit-identical to
+    the per-class launches — fast-lane small case."""
+    import jax.numpy as jnp
+
+    from xsdba_tpu.ops.pallas.merge_kernel import (
+        merged_window_rows_shared,
+        sort_rows_alternating,
+    )
+
+    B, Dp, m, window, G, Ymax = 2, 96, 32, 9, 37, 10
+    x = np.full((B, Dp, m), np.inf, dtype=np.float32)
+    x[..., :Ymax] = random.normal(0, 1, (B, Dp, Ymax))
+    xs = sort_rows_alternating(jnp.asarray(x), interpret=True)
+    a = np.asarray(merged_window_rows_shared(xs, window, G, interpret=True, ymax=Ymax))
+    b = np.asarray(
+        merged_window_rows_shared(xs, window, G, interpret=True, ymax=Ymax, fuse_classes=True)
+    )
+    np.testing.assert_array_equal(
+        np.nan_to_num(a, posinf=1e300), np.nan_to_num(b, posinf=1e300)
+    )
+
+
+@pytest.mark.slow
+def test_fused_classes_fold_bit_exact_production_window(random):
+    """fuse_classes parity at the production window (31) incl. uneven class
+    group counts (G=45: classes 13-15 have one fewer group -> clamped index)."""
+    import jax.numpy as jnp
+
+    from xsdba_tpu.ops.pallas.merge_kernel import (
+        merged_window_rows_shared,
+        sort_rows_alternating,
+    )
+
+    for (B, Dp, m, window, G, Ymax) in [(2, 128, 32, 31, 45, 16), (2, 128, 32, 15, 73, 12)]:
+        x = np.full((B, Dp, m), np.inf, dtype=np.float32)
+        x[..., :Ymax] = random.normal(0, 1, (B, Dp, Ymax))
+        xs = sort_rows_alternating(jnp.asarray(x), interpret=True)
+        a = np.asarray(merged_window_rows_shared(xs, window, G, interpret=True, ymax=Ymax))
+        b = np.asarray(
+            merged_window_rows_shared(xs, window, G, interpret=True, ymax=Ymax, fuse_classes=True)
+        )
+        np.testing.assert_array_equal(
+            np.nan_to_num(a, posinf=1e300), np.nan_to_num(b, posinf=1e300)
+        )

@@ -247,6 +247,10 @@ def _merge_kernel(slab_ref, out_ref, *, window: int, wpad: int, out_rows: int, p
 # populated lazily so the module imports without pallas
 pl = None
 
+#: Default for ``merged_window_rows_shared(fuse_classes=...)`` — one fused
+#: all-classes fold program vs per-class launches.  Resolved at trace time.
+FUSE_FOLD_CLASSES = False
+
 
 def _ensure_pl():
     global pl
@@ -459,11 +463,12 @@ def _build_levels_kernel(slab_ref, lv_ref, *, n_levels: int):
         lv_ref[:, j, :, :] = x
 
 
-def _shared_fold_kernel(
-    slab_ref, lv_ref, out_ref, *, c, classes, window, m, ymax, out_rows, plan
+def _fold_class_body(
+    slab_ref, lv_ref, gq, gpar, *, c, classes, window, m, ymax, out_rows, plan
 ):
-    gq = pl.program_id(1)
-    gpar = (gq & 1) == 1  # scalar bool: parity of the group within the class
+    """One class's window fold for per-class group index ``gq`` (a traced
+    scalar); returns the merged rows [TB, out_rows, m].  Shared by the
+    per-class and the fused all-classes kernels."""
     TB = slab_ref.shape[0]
 
     def values(delta: int, rows: int, k: int):
@@ -553,11 +558,47 @@ def _shared_fold_kernel(
     R = acc.shape[1]
     if R < out_rows:
         acc = jnp.concatenate([acc, jnp.full((TB, out_rows - R, m), jnp.inf, acc.dtype)], axis=1)
-    out_ref[...] = acc[:, :out_rows, :]
+    return acc[:, :out_rows, :]
+
+
+def _shared_fold_kernel(
+    slab_ref, lv_ref, out_ref, *, c, classes, window, m, ymax, out_rows, plan
+):
+    gq = pl.program_id(1)
+    gpar = (gq & 1) == 1  # scalar bool: parity of the group within the class
+    out_ref[...] = _fold_class_body(
+        slab_ref, lv_ref, gq, gpar,
+        c=c, classes=classes, window=window, m=m, ymax=ymax, out_rows=out_rows, plan=plan,
+    )
+
+
+def _shared_fold_fused_kernel(
+    slab_ref, lv_ref, out_ref, *, classes, window, m, ymax, out_rows, plans, g_counts
+):
+    """All classes' folds in ONE program: the slab and level blocks are
+    fetched into VMEM once per batch tile instead of once per class — the
+    per-class launches re-read them ``classes`` times (the dominant HBM
+    traffic of the fold stage).  Classes with fewer groups clamp their
+    per-class index (the extra output rows are +inf-cropped by the caller)."""
+    gq = pl.program_id(1)
+    for c in range(classes):
+        if plans[c] is None:
+            out_ref[:, 0, c] = jnp.full(
+                (slab_ref.shape[0], out_rows, m), jnp.inf, slab_ref.dtype
+            )
+            continue
+        gq_eff = jnp.minimum(gq, g_counts[c] - 1)
+        gpar = (gq_eff & 1) == 1
+        out_ref[:, 0, c] = _fold_class_body(
+            slab_ref, lv_ref, gq_eff, gpar,
+            c=c, classes=classes, window=window, m=m, ymax=ymax,
+            out_rows=out_rows, plan=plans[c],
+        )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("window", "n_groups", "interpret", "tile_b", "out_width", "ymax")
+    jax.jit,
+    static_argnames=("window", "n_groups", "interpret", "tile_b", "out_width", "ymax", "fuse_classes"),
 )
 def merged_window_rows_shared(
     s_pad,
@@ -567,6 +608,7 @@ def merged_window_rows_shared(
     tile_b: int | None = None,
     out_width: int | None = None,
     ymax: int | None = None,
+    fuse_classes: bool | None = None,
 ):
     """Shared-dyadic version of :func:`merged_window_rows` (same contract).
 
@@ -574,6 +616,9 @@ def merged_window_rows_shared(
     ~5-6 window segments per class kernel.  Requires ``window >= 8`` (class
     modulus >= 8 keeps the superset row loads provably aligned).  ``ymax``
     (valid entries per base row, <= m) tightens the fold's pad compaction.
+    ``fuse_classes`` runs every class's fold in ONE program (slab+levels
+    VMEM-resident once per batch tile instead of once per class); bit-exact
+    with the per-class launches.
     """
     pl_mod = _ensure_pl()
     from jax.experimental.pallas import tpu as pltpu
@@ -607,6 +652,43 @@ def merged_window_rows_shared(
         interpret=interpret,
         compiler_params=cp,
     )(s_pad)
+
+    if fuse_classes is None:
+        fuse_classes = FUSE_FOLD_CLASSES
+    if fuse_classes:
+        g_max = -(-n_groups // classes)
+        plans, g_counts = [], []
+        for c in range(classes):
+            g_c = -(-(n_groups - c) // classes) if c < n_groups else 0
+            g_counts.append(max(g_c, 1))
+            if g_c == 0:
+                plans.append(None)
+                continue
+            plan = _fold_plan(c, window, classes)
+            if plan is None:
+                raise NotImplementedError("fold plan needs runtime bootstrap; use merged_window_rows")
+            assert classes * (g_c - 1) + c + window + 8 <= Dp, "slab too short for superset loads"
+            plans.append(tuple(plan))
+        out = pl_mod.pallas_call(
+            functools.partial(
+                _shared_fold_fused_kernel,
+                classes=classes, window=window, m=m, ymax=ymax,
+                out_rows=rows_store, plans=tuple(plans), g_counts=tuple(g_counts),
+            ),
+            grid=(Bp // tile_b, g_max),
+            in_specs=[
+                pl_mod.BlockSpec((tile_b, Dp, m), lambda i, g: (i, 0, 0)),
+                pl_mod.BlockSpec((tile_b, L, Dp, m), lambda i, g: (i, 0, 0, 0)),
+            ],
+            out_specs=pl_mod.BlockSpec(
+                (tile_b, 1, classes, rows_store, m), lambda i, g: (i, g, 0, 0, 0)
+            ),
+            out_shape=jax.ShapeDtypeStruct((Bp, g_max, classes, rows_store, m), s_pad.dtype),
+            interpret=interpret,
+            compiler_params=cp,
+        )(s_pad, levels)
+        full = out.reshape(Bp, g_max * classes, rows_store, m)[:, :n_groups]
+        return full[:B].reshape(B, n_groups, rows_store * m)
 
     # ---- per-class folds ---------------------------------------------------
     n_classes_used = classes
