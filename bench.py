@@ -19,7 +19,7 @@ import numpy as np
 _BASELINE_GPYRS_PER_S = 1_036_800 * 150 / 60 / 8  # = 324_000
 
 
-def _inscan_rate(jax, jnp, step, ref, gpy_per_step, n_steps=12, reps=3):
+def _inscan_rate(jax, jnp, step, inputs, gpy_per_step, n_steps=12, reps=3):
     """Chip-throughput timing: ``n_steps`` dependent full steps inside ONE
     jitted ``lax.scan`` — one dispatch, one scalar fetch — minus the measured
     trivial dispatch+fetch roundtrip.  Through the remote-TPU relay,
@@ -27,25 +27,33 @@ def _inscan_rate(jax, jnp, step, ref, gpy_per_step, n_steps=12, reps=3):
     programs; chaining dispatches (the old scheme) lets that latency
     masquerade as compute.  In-graph chaining measures what the chip
     actually sustains, which is also the production regime (few large
-    dispatches)."""
+    dispatches).
+
+    ``step`` takes the full ``inputs`` tuple, and EVERY input is data-chained
+    through the scan carry — otherwise XLA hoists the loop-invariant work
+    (e.g. the hist-side sort) out of the loop and the rate overstates what a
+    stream of fresh blocks would sustain."""
+    inputs = tuple(inputs)
+
     @jax.jit
-    def scan_steps(r0):
+    def scan_steps(x0):
         def body(carry, _):
             acc = step(carry)
-            return ref + 0 * acc, acc  # data-chain so steps can't be elided
+            eps = (0 * acc).astype(inputs[0].dtype)
+            return tuple(x + eps for x in inputs), acc
 
-        _, accs = jax.lax.scan(body, r0, None, length=n_steps)
+        _, accs = jax.lax.scan(body, x0, None, length=n_steps)
         return jnp.nansum(accs)
 
     @jax.jit
-    def triv(x):
-        return jnp.nansum(x) * 1.0000001
+    def triv(xs):
+        return jnp.nansum(xs[0]) * 1.0000001
 
-    s = float(scan_steps(ref))  # compile + first run
+    s = float(scan_steps(inputs))  # compile + first run
     assert np.isfinite(s)
-    float(triv(ref))
-    t_triv = min(_timed_fetch(lambda: triv(ref)) for _ in range(reps))
-    t_scan = min(_timed_fetch(lambda: scan_steps(ref)) for _ in range(reps))
+    float(triv(inputs))
+    t_triv = min(_timed_fetch(lambda: triv(inputs)) for _ in range(reps))
+    t_scan = min(_timed_fetch(lambda: scan_steps(inputs)) for _ in range(reps))
     dt = max((t_scan - t_triv) / n_steps, 1e-9)
     return gpy_per_step / dt
 
@@ -69,19 +77,20 @@ def main():
     n_sites = 512
     args = _example_problem(n_sites=n_sites, n_years=n_years)
 
-    ref, rest = args[0], args[1:]
+    data, plan = args[:3], args[3:]  # (ref, hist, sim) chained; plan arrays reused
 
-    def step(r):
+    def step(carry):
         # scalar summary fused into the step: forcing its transfer to host is
         # the only reliable sync point through the remote-TPU relay
         # (block_until_ready returns early there).
+        r, h, s = carry
         out = qdm_train_adjust_core.__wrapped__(
-            r, *rest, kind="+", interp="linear", extrapolation="constant"
+            r, h, s, *plan, kind="+", interp="linear", extrapolation="constant"
         )
         return jnp.nansum(out)
 
     gp_years = n_sites * n_years
-    value = _inscan_rate(jax, jnp, step, ref, gp_years)
+    value = _inscan_rate(jax, jnp, step, data, gp_years)
 
     def emit(extra):
         print(
@@ -139,11 +148,12 @@ def _bench_heavy_doy31(jax, jnp):
     q = jnp.asarray(equally_spaced_nodes(nq).astype(np.float32))
     brackets = device_brackets(gi, "linear")
 
-    def step(r):
+    def step(carry):
         # one-dispatch fused train+adjust (numerically identical to the
         # two-call train -> adjust sequence; parity-tested on CPU and TPU)
+        r, h, s = carry
         scen, _, _ = eqm_train_adjust_windowed(
-            r, hist, sim, gi.merge_plan, q, brackets,
+            r, h, s, gi.merge_plan, q, brackets,
             kind="+", interp="linear", extrapolation="constant",
             assume_finite=True,  # bench data is constructed finite
         )
@@ -151,7 +161,7 @@ def _bench_heavy_doy31(jax, jnp):
 
     import jax as _jax
 
-    return round(_inscan_rate(_jax, jnp, step, ref, n_sites * n_years), 1)
+    return round(_inscan_rate(_jax, jnp, step, (ref, hist, sim), n_sites * n_years), 1)
 
 
 def _bench_mbcn(jnp):

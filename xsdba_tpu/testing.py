@@ -10,7 +10,7 @@ from .ops.correction import equally_spaced_nodes
 from .utils.calendar import date_range
 from .utils.container import DataArray
 
-__all__ = ["cannon_2015_dist", "cannon_2015_rvs", "nancov", "timelonlatseries", "timeseries"]
+__all__ = ["cannon_2015_dist", "cannon_2015_rvs", "nancov", "synth_rainfall", "timelonlatseries", "timeseries"]
 
 
 def timeseries(values, name: str = "tas", start: str = "2000-01-01", units: str | None = None, freq: str = "D", calendar: str = "standard") -> DataArray:
@@ -69,3 +69,12 @@ def nancov(X):
     X = np.asarray(X)
     mask = np.isnan(X).any(axis=0)
     return np.cov(X[:, ~mask])
+
+
+def synth_rainfall(shape: float, scale: float = 1.0, wet_freq: float = 0.25, size: int = 1, seed: int | None = None):
+    """Gamma-distributed rainfall on wet days, zero on dry days (reference
+    testing/diagnostics.py:34-69): Bernoulli(wet_freq) wet mask times
+    Gamma(shape, scale) intensities."""
+    rng = np.random.default_rng(seed)
+    is_wet = rng.binomial(1, p=wet_freq, size=size)
+    return np.where(is_wet, rng.gamma(shape, scale, size), 0.0)
