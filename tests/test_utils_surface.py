@@ -130,3 +130,26 @@ class TestHelpers:
         xu.copy_all_attrs(ds, ref)
         assert ds.attrs["global"] == 1
         assert ds["a"].attrs["long_name"] == "temp"
+
+
+def test_profiling_helpers(tmp_path):
+    """trace() writes a TensorBoard-loadable capture; timed() syncs through a
+    scalar fetch and returns (best_seconds, output)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from xsdba_tpu.utils.profiling import timed, trace
+
+    @jax.jit
+    def f(x):
+        return jnp.sort(x, axis=-1)
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(8, 64)))
+    d = str(tmp_path / "trace")
+    with trace(d):
+        f(x).block_until_ready()
+    assert sum(len(fs) for _, _, fs in os.walk(d)) > 0
+    best, out = timed(f, x, reps=2)
+    assert best > 0 and out.shape == (8, 64)
