@@ -28,9 +28,21 @@ def main():
     print("--- fused fold profile ---", flush=True)
     fold_main()
 
-    print("--- bench ---", flush=True)
+    print("--- heavy bench A/B (per-class vs fused fold, end to end) ---", flush=True)
     import bench
+    from xsdba_tpu.ops.pallas import merge_kernel
 
+    merge_kernel.FUSE_FOLD_CLASSES = False
+    h0 = bench._bench_heavy_doy31(jax, jnp)
+    print(f"heavy per-class fold: {h0} gp-yr/s ({h0 / 324000:.3f}x)", flush=True)
+    jax.clear_caches()
+    merge_kernel.FUSE_FOLD_CLASSES = True
+    h1 = bench._bench_heavy_doy31(jax, jnp)
+    print(f"heavy fused fold    : {h1} gp-yr/s ({h1 / 324000:.3f}x)", flush=True)
+    merge_kernel.FUSE_FOLD_CLASSES = h1 > h0  # leave the winner on for bench
+    jax.clear_caches()
+
+    print("--- bench ---", flush=True)
     bench.main()
 
 

@@ -596,10 +596,6 @@ def _shared_fold_fused_kernel(
         )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("window", "n_groups", "interpret", "tile_b", "out_width", "ymax", "fuse_classes"),
-)
 def merged_window_rows_shared(
     s_pad,
     window: int,
@@ -609,6 +605,33 @@ def merged_window_rows_shared(
     out_width: int | None = None,
     ymax: int | None = None,
     fuse_classes: bool | None = None,
+):
+    """Shared-dyadic version of :func:`merged_window_rows` (same contract).
+
+    See :func:`_merged_window_rows_shared_impl`; this wrapper resolves the
+    ``fuse_classes`` default from :data:`FUSE_FOLD_CLASSES` OUTSIDE the jit
+    so the resolved value is part of the compile-cache key (an A/B toggle of
+    the module flag + ``jax.clear_caches()`` re-traces correctly)."""
+    if fuse_classes is None:
+        fuse_classes = FUSE_FOLD_CLASSES
+    return _merged_window_rows_shared_impl(
+        s_pad, window, n_groups, interpret, tile_b, out_width, ymax, bool(fuse_classes)
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("window", "n_groups", "interpret", "tile_b", "out_width", "ymax", "fuse_classes"),
+)
+def _merged_window_rows_shared_impl(
+    s_pad,
+    window: int,
+    n_groups: int,
+    interpret: bool = False,
+    tile_b: int | None = None,
+    out_width: int | None = None,
+    ymax: int | None = None,
+    fuse_classes: bool = False,
 ):
     """Shared-dyadic version of :func:`merged_window_rows` (same contract).
 
@@ -653,8 +676,6 @@ def merged_window_rows_shared(
         compiler_params=cp,
     )(s_pad)
 
-    if fuse_classes is None:
-        fuse_classes = FUSE_FOLD_CLASSES
     if fuse_classes:
         g_max = -(-n_groups // classes)
         plans, g_counts = [], []
