@@ -305,3 +305,45 @@ class TestBatchedFitKernels:
 
         c, loc, scale = gev_fit_ml(np.full((2, 10), np.nan))
         assert np.isnan(np.asarray(c)).all()
+
+
+def test_decorrelation_length_matches_per_row_oracle():
+    """The one-pass (row, bin) binning must match a literal per-row loop
+    (the reference's dataflow, properties.py:1412-1537)."""
+    import jax.numpy as jnp
+
+    from xsdba_tpu import DataArray, date_range
+    from xsdba_tpu.properties import (
+        _decorrelation_length,
+        _pairwise_spearman,
+        pairwise_haversine,
+    )
+
+    rng = np.random.default_rng(5)
+    n, T, radius, thresh, bins = 12, 400, 300, 0.5, 20
+    lon = rng.uniform(0, 3, n)
+    lat = rng.uniform(40, 43, n)
+    base = rng.normal(size=T)
+    x = base[None, :] * rng.uniform(0.2, 1.0, (n, 1)) + rng.normal(0, 1.0, (n, T))
+    t = date_range("2000-01-01", periods=T, freq="D", calendar="noleap")
+    da = DataArray(x, ("site", "time"), {"time": t, "lon": lon, "lat": lat}, {"units": "K"}, "tas")
+
+    got = np.asarray(_decorrelation_length(da, radius=radius, thresh=thresh, bins=bins).data)
+
+    dists = np.asarray(pairwise_haversine(lon, lat))
+    corr = np.asarray(_pairwise_spearman(jnp.asarray(x)))
+    edges = np.linspace(0, radius, bins + 1)
+    centers = (edges[:-1] + edges[1:]) / 2
+    want = np.full(n, np.nan)
+    for i in range(n):
+        m = (dists[i] > 0) & (dists[i] <= radius)
+        if not m.any():
+            continue
+        which = np.clip(np.digitize(dists[i][m], edges) - 1, 0, bins - 1)
+        sums = np.bincount(which, weights=np.nan_to_num(corr[i][m]), minlength=bins)
+        cnts = np.bincount(which, weights=(~np.isnan(corr[i][m])).astype(float), minlength=bins)
+        prof = np.where(cnts > 0, sums / np.where(cnts == 0, 1, cnts), np.nan)
+        below = np.nonzero(prof < thresh)[0]
+        want[i] = centers[below[0]] if len(below) else radius
+
+    np.testing.assert_allclose(got, want, rtol=1e-12, equal_nan=True)

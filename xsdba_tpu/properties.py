@@ -532,17 +532,20 @@ def _decorrelation_length(da, *, radius=300, thresh=0.50, dims=None, bins=100, g
     edges = np.linspace(0, radius, bins + 1)
     centers = (edges[:-1] + edges[1:]) / 2
     N = dists.shape[0]
-    out = np.full(N, np.nan)
-    for i in range(N):
-        m = (dists[i] > 0) & (dists[i] <= radius)
-        if not m.any():
-            continue
-        which = np.clip(np.digitize(dists[i][m], edges) - 1, 0, bins - 1)
-        sums = np.bincount(which, weights=np.nan_to_num(corr[i][m]), minlength=bins)
-        cnts = np.bincount(which, weights=(~np.isnan(corr[i][m])).astype(float), minlength=bins)
-        prof = np.where(cnts > 0, sums / np.where(cnts == 0, 1, cnts), np.nan)
-        below = np.nonzero(prof < thresh)[0]
-        out[i] = centers[below[0]] if len(below) else radius
+    # all-rows binning in one pass: flat (row, bin) bincount over the masked
+    # pairs (the former per-row python loop was O(N) interpreter iterations)
+    m = (dists > 0) & (dists <= radius)
+    which = np.clip(np.digitize(dists, edges) - 1, 0, bins - 1)
+    rows = np.broadcast_to(np.arange(N)[:, None], dists.shape)
+    flat = (rows * bins + which)[m]
+    sums = np.bincount(flat, weights=np.nan_to_num(corr)[m], minlength=N * bins).reshape(N, bins)
+    cnts = np.bincount(flat, weights=(~np.isnan(corr))[m].astype(float), minlength=N * bins).reshape(N, bins)
+    prof = np.where(cnts > 0, sums / np.where(cnts == 0, 1, cnts), np.nan)
+    with np.errstate(invalid="ignore"):
+        below = prof < thresh
+    first = np.argmax(below, axis=1)
+    out = np.where(below.any(axis=1), centers[first], radius)
+    out = np.where(m.any(axis=1), out, np.nan)
     return DataArray(out, ("site",), {}, {"units": "km"}, "decorrelation_length")
 
 
