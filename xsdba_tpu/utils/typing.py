@@ -42,19 +42,23 @@ class InputKind(IntEnum):
 
 #: Human-readable docstring annotation per input kind (reference
 #: typing.py:119-135), used when rendering indicator parameter docs.
-KIND_ANNOTATION = {
-    InputKind.VARIABLE: "str or DataArray",
-    InputKind.OPTIONAL_VARIABLE: "str or DataArray, optional",
-    InputKind.QUANTIFIED: "quantity (string or DataArray, with units)",
-    InputKind.FREQ_STR: "offset alias (string)",
-    InputKind.NUMBER: "number",
-    InputKind.NUMBER_SEQUENCE: "number or sequence of numbers",
-    InputKind.STRING: "str",
-    InputKind.DAY_OF_YEAR: "date (string, MM-DD)",
-    InputKind.DATE: "date (string, YYYY-MM-DD)",
-    InputKind.BOOL: "boolean",
-    InputKind.DICT: "dict",
-    InputKind.DATASET: "Dataset, optional",
-    InputKind.KWARGS: "",
-    InputKind.OTHER_PARAMETER: "Any",
-}
+#: The annotation TEXT is the reference's contract verbatim; the table is
+#: keyed by member name and resolved through the enum.
+_KIND_TEXT = (
+    ("VARIABLE", "str or DataArray"),
+    ("OPTIONAL_VARIABLE", "str or DataArray, optional"),
+    ("QUANTIFIED", "quantity (string or DataArray, with units)"),
+    ("FREQ_STR", "offset alias (string)"),
+    ("NUMBER", "number"),
+    ("NUMBER_SEQUENCE", "number or sequence of numbers"),
+    ("STRING", "str"),
+    ("DAY_OF_YEAR", "date (string, MM-DD)"),
+    ("DATE", "date (string, YYYY-MM-DD)"),
+    ("BOOL", "boolean"),
+    ("DICT", "dict"),
+    ("DATASET", "Dataset, optional"),
+    ("KWARGS", ""),
+    ("OTHER_PARAMETER", "Any"),
+)
+
+KIND_ANNOTATION = {InputKind[name]: text for name, text in _KIND_TEXT}
