@@ -182,3 +182,39 @@ def test_windowed_fused_trace_safe_under_outer_jit():
         return af
 
     np.testing.assert_allclose(np.asarray(train_dyn(ref)), np.asarray(af_want), rtol=1e-12)
+
+
+def test_windowed_fused_nan_dispatch_matches_two_call():
+    """NaN ref data must discard the speculative static run of the fused
+    train+adjust and match the two-call (train -> adjust) sequence."""
+    import jax.numpy as jnp
+
+    from xsdba_tpu.models._algos import (
+        eqm_train_adjust_windowed,
+        eqm_train_windowed,
+        qm_adjust_core,
+    )
+    from xsdba_tpu.models._wrap import device_brackets
+    from xsdba_tpu.ops.correction import equally_spaced_nodes
+
+    t = date_range("2001-01-01", periods=365 * 2, freq="D", calendar="noleap")
+    gi = Grouper("5D", window=3).indexes(t)
+    rng = np.random.default_rng(13)
+    T = len(t)
+    ref = np.asarray(rng.normal(10, 2, (3, T)))
+    ref[0, 40:160] = np.nan
+    ref[2, :] = np.nan
+    ref = jnp.asarray(ref)
+    hist = jnp.asarray(rng.normal(12, 3, (3, T)))
+    sim = jnp.asarray(rng.normal(13, 3, (3, T)))
+    q = jnp.asarray(equally_spaced_nodes(5).astype(np.float64))
+    br = device_brackets(gi, "linear")
+
+    scen, af, hq = eqm_train_adjust_windowed(ref, hist, sim, gi.merge_plan, q, br, kind="+")
+    af2, hq2 = eqm_train_windowed(ref, hist, gi.merge_plan, q, kind="+")
+    scen2 = qm_adjust_core(sim, hq2, af2, br, kind="+", interp="linear", extrapolation="constant")
+    np.testing.assert_allclose(np.asarray(af), np.asarray(af2), rtol=1e-12, equal_nan=True)
+    np.testing.assert_allclose(np.asarray(scen), np.asarray(scen2), rtol=1e-12, equal_nan=True)
+    # second call takes the no-speculation branch (plan hint now False)
+    scen3, _, _ = eqm_train_adjust_windowed(ref, hist, sim, gi.merge_plan, q, br, kind="+")
+    np.testing.assert_allclose(np.asarray(scen3), np.asarray(scen2), rtol=1e-12, equal_nan=True)
