@@ -218,3 +218,74 @@ def test_windowed_fused_nan_dispatch_matches_two_call():
     # second call takes the no-speculation branch (plan hint now False)
     scen3, _, _ = eqm_train_adjust_windowed(ref, hist, sim, gi.merge_plan, q, br, kind="+")
     np.testing.assert_allclose(np.asarray(scen3), np.asarray(scen2), rtol=1e-12, equal_nan=True)
+
+
+def test_ocean_mask_rides_static_path():
+    """All-NaN site rows (ocean-masked production grids) are static-safe:
+    the probe accepts them, the static strip extraction masks them to NaN,
+    and values match the exact gather oracle.  Partial-NaN rows still take
+    the dynamic path."""
+    import jax.numpy as jnp
+
+    from xsdba_tpu.ops.correction import equally_spaced_nodes
+    from xsdba_tpu.ops.quantile import (
+        _PLAN_FINITE_HINT,
+        _finite_probe,
+        grouped_nan_quantile,
+        windowed_group_quantile,
+    )
+
+    rng = np.random.default_rng(7)
+    t = date_range("2000-01-01", periods=365 * 4, freq="D", calendar="noleap")
+    gi = Grouper("time.dayofyear", window=11).indexes(t)
+    x = rng.normal(0, 1, (4, len(t)))
+    x[2, :] = np.nan
+    x[3, :] = np.nan
+    q = equally_spaced_nodes(7)
+
+    assert bool(_finite_probe(jnp.asarray(x)))  # homogeneous rows: static-safe
+    assert not bool(_finite_probe(jnp.asarray(np.where(np.arange(len(t)) < 50, np.nan, x[:1]))))
+
+    got = np.asarray(windowed_group_quantile(jnp.asarray(x), gi.merge_plan, jnp.asarray(q)))
+    assert _PLAN_FINITE_HINT.get(gi.merge_plan) is True  # stayed on the fast path
+    assert np.isnan(got[2]).all() and np.isnan(got[3]).all()
+    want = np.asarray(grouped_nan_quantile(jnp.asarray(x), gi.gather_idx, jnp.asarray(q)))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12, equal_nan=True)
+
+
+def test_ocean_mask_fused_train_adjust():
+    """Fused windowed train+adjust with an ocean-masked ref site: the masked
+    static path must match the two-call sequence (NaN af -> NaN scen for the
+    masked site; finite sites unaffected)."""
+    import jax.numpy as jnp
+
+    from xsdba_tpu.models._algos import (
+        eqm_train_adjust_windowed,
+        eqm_train_windowed,
+        qm_adjust_core,
+    )
+    from xsdba_tpu.models._wrap import device_brackets
+    from xsdba_tpu.ops.correction import equally_spaced_nodes
+
+    t = date_range("2001-01-01", periods=365 * 2, freq="D", calendar="noleap")
+    gi = Grouper("5D", window=3).indexes(t)
+    rng = np.random.default_rng(17)
+    T = len(t)
+    ref = np.asarray(rng.normal(10, 2, (3, T)))
+    ref[1, :] = np.nan  # ocean site
+    ref = jnp.asarray(ref)
+    hist = np.asarray(rng.normal(12, 3, (3, T)))
+    hist[1, :] = np.nan
+    hist = jnp.asarray(hist)
+    sim = jnp.asarray(rng.normal(13, 3, (3, T)))
+    q = jnp.asarray(equally_spaced_nodes(5).astype(np.float64))
+    br = device_brackets(gi, "linear")
+
+    scen, af, hq = eqm_train_adjust_windowed(ref, hist, sim, gi.merge_plan, q, br, kind="+")
+    af2, hq2 = eqm_train_windowed(ref, hist, gi.merge_plan, q, kind="+")
+    scen2 = qm_adjust_core(sim, hq2, af2, br, kind="+", interp="linear", extrapolation="constant")
+    assert np.isnan(np.asarray(scen[1])).all() and np.isnan(np.asarray(af[1])).all()
+    np.testing.assert_allclose(np.asarray(scen), np.asarray(scen2), rtol=1e-12, equal_nan=True)
+    # finite sites must equal a run on finite-only data
+    scen_f, _, _ = eqm_train_adjust_windowed(ref[::2], hist[::2], sim[::2], gi.merge_plan, q, br, kind="+")
+    np.testing.assert_allclose(np.asarray(scen)[::2], np.asarray(scen_f), rtol=1e-12)

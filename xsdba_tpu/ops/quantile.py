@@ -208,19 +208,28 @@ def _merge_backend_default(dtype) -> bool:
     return jax.default_backend() != "cpu" and jnp.dtype(dtype) == jnp.float32
 
 
+def _static_safe(x):
+    fin = jnp.isfinite(x)
+    return jnp.all(jnp.all(fin, axis=-1) | jnp.all(jnp.isnan(x), axis=-1))
+
+
 @jax.jit
 def _finite_probe(x):
-    """Device scalar: every element finite.  Fetched to host once per call:
-    with finite data, every group's windowed valid count equals the plan's
-    host-known member count, making the quantile extraction indices fully
-    STATIC (a runtime cond would execute both extraction branches on TPU)."""
-    return jnp.all(jnp.isfinite(x))
+    """Device scalar: the STATIC extraction is value-safe — every site row
+    is either all-finite or all-NaN.  With all-finite rows every group's
+    windowed valid count equals the plan's host-known member count, so the
+    extraction indices are compile-time constants (a runtime cond would
+    execute both extraction branches on TPU); all-NaN rows (ocean-masked
+    sites in production grids) are NaN under any extraction and the static
+    path masks them explicitly.  Rows with a PARTIAL NaN pattern (or any
+    +/-inf) take the exact dynamic-count path."""
+    return _static_safe(x)
 
 
 @jax.jit
 def _pair_finite_probe(a, b):
-    """Finiteness of a (ref, hist) pair in one dispatch."""
-    return jnp.all(jnp.isfinite(a)) & jnp.all(jnp.isfinite(b))
+    """Static-safety of a (ref, hist) pair in one dispatch."""
+    return _static_safe(a) & _static_safe(b)
 
 
 def _static_strip_extract(merged, counts, q_static, edge_ids, alpha, beta):
@@ -443,6 +452,12 @@ def _windowed_group_quantile_core(
     if counts is not None and q_static is not None:
         # host-known valid counts: fully-static strip extraction (no gathers)
         out = _static_strip_extract(merged, counts, q_static, edge_tuple, alpha, beta)
+        if out is not None:
+            # all-NaN site rows (ocean masks) are static-safe only with an
+            # explicit mask: their slab rows sort to [+inf pads..., NaNs],
+            # so the static strip reads pad values, not NaN
+            allnan = jnp.all(jnp.isnan(x), axis=-1)
+            out = jnp.where(allnan[..., None, None], jnp.nan, out)
     if out is None:
         out = _quantile_on_sorted(merged, nv, q, alpha, beta, sentinel="inf")
 
