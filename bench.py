@@ -68,6 +68,19 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: repeated bench runs (and the measurement
+    # roundup) reuse programs instead of re-paying relay compile latency
+    try:
+        import os
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from __graft_entry__ import _example_problem
     from xsdba_tpu.models._algos import qdm_train_adjust_core
 
