@@ -240,3 +240,30 @@ class TestCalendarVariants:
         assert eqm.ds["af"].dims == ("season", "quantiles")
         scen = eqm.adjust(hist, interp="linear")
         assert abs(np.asarray(scen.data).mean() - 10) < 0.2
+
+
+@pytest.mark.slow
+def test_eqm_windowed_ocean_masked_site_public_api():
+    """An all-NaN (ocean-masked) site through the public windowed-doy EQM:
+    NaN in -> NaN out for that site, and the land sites are IDENTICAL to a
+    run on land-only data (the static fast path's per-site mask, see
+    ops/quantile._finite_probe)."""
+    from xsdba_tpu import DataArray, EmpiricalQuantileMapping, Grouper, date_range
+
+    t = date_range("1990-01-01", periods=365 * 3, freq="D", calendar="noleap")
+    rng = np.random.default_rng(3)
+    S, T = 3, len(t)
+    ref = rng.normal(12, 2, (S, T))
+    hist = rng.normal(14, 3, (S, T))
+    ref[1] = np.nan
+    hist[1] = np.nan
+    mk = lambda v: DataArray(v, ("site", "time"), {"time": t, "site": np.arange(v.shape[0])}, {"units": "K"}, "tas")  # noqa: E731
+    g = Grouper("time.dayofyear", window=31)
+    eqm = EmpiricalQuantileMapping.train(mk(ref), mk(hist), group=g, nquantiles=10)
+    scen = eqm.adjust(mk(hist), interp="linear")
+    sv = np.asarray(scen.data)
+    assert np.isnan(sv[1]).all()
+    assert np.isfinite(sv[[0, 2]]).all()
+    eqm2 = EmpiricalQuantileMapping.train(mk(ref[[0, 2]]), mk(hist[[0, 2]]), group=g, nquantiles=10)
+    scen2 = eqm2.adjust(mk(hist[[0, 2]]), interp="linear")
+    np.testing.assert_allclose(sv[[0, 2]], np.asarray(scen2.data), rtol=1e-12)
