@@ -582,14 +582,15 @@ def _shared_fold_fused_kernel(
     per-class index (the extra output rows are +inf-cropped by the caller)."""
     gq = pl.program_id(1)
     for c in range(classes):
+        sl = slice(c * out_rows, (c + 1) * out_rows)
         if plans[c] is None:
-            out_ref[:, 0, c] = jnp.full(
+            out_ref[:, sl, :] = jnp.full(
                 (slab_ref.shape[0], out_rows, m), jnp.inf, slab_ref.dtype
             )
             continue
         gq_eff = jnp.minimum(gq, g_counts[c] - 1)
         gpar = (gq_eff & 1) == 1
-        out_ref[:, 0, c] = _fold_class_body(
+        out_ref[:, sl, :] = _fold_class_body(
             slab_ref, lv_ref, gq_eff, gpar,
             c=c, classes=classes, window=window, m=m, ymax=ymax,
             out_rows=out_rows, plan=plans[c],
@@ -702,9 +703,9 @@ def _merged_window_rows_shared_impl(
                 pl_mod.BlockSpec((tile_b, L, Dp, m), lambda i, g: (i, 0, 0, 0)),
             ],
             out_specs=pl_mod.BlockSpec(
-                (tile_b, 1, classes, rows_store, m), lambda i, g: (i, g, 0, 0, 0)
+                (tile_b, classes * rows_store, m), lambda i, g: (i, g, 0)
             ),
-            out_shape=jax.ShapeDtypeStruct((Bp, g_max, classes, rows_store, m), s_pad.dtype),
+            out_shape=jax.ShapeDtypeStruct((Bp, g_max * classes * rows_store, m), s_pad.dtype),
             interpret=interpret,
             compiler_params=cp,
         )(s_pad, levels)
