@@ -23,10 +23,16 @@ def main():
     print(f"devices: {jax.devices()} ({time.time() - t0:.1f}s)", flush=True)
     print(f"trivial: {float(jnp.sum(jnp.arange(8.0) * 2))} ({time.time() - t0:.1f}s)", flush=True)
 
+    import traceback
+
     from profile_fused_fold import main as fold_main
 
     print("--- fused fold profile ---", flush=True)
-    fold_main()
+    try:
+        fold_main()
+    except Exception:
+        # a fused-variant Mosaic failure must not block the bench rows
+        traceback.print_exc()
 
     print("--- heavy bench A/B (per-class vs fused fold, end to end) ---", flush=True)
     import bench
@@ -36,9 +42,13 @@ def main():
     h0 = bench._bench_heavy_doy31(jax, jnp)
     print(f"heavy per-class fold: {h0} gp-yr/s ({h0 / 324000:.3f}x)", flush=True)
     jax.clear_caches()
-    merge_kernel.FUSE_FOLD_CLASSES = True
-    h1 = bench._bench_heavy_doy31(jax, jnp)
-    print(f"heavy fused fold    : {h1} gp-yr/s ({h1 / 324000:.3f}x)", flush=True)
+    try:
+        merge_kernel.FUSE_FOLD_CLASSES = True
+        h1 = bench._bench_heavy_doy31(jax, jnp)
+        print(f"heavy fused fold    : {h1} gp-yr/s ({h1 / 324000:.3f}x)", flush=True)
+    except Exception:
+        traceback.print_exc()
+        h1 = 0.0
     merge_kernel.FUSE_FOLD_CLASSES = h1 > h0  # leave the winner on for bench
     jax.clear_caches()
 
