@@ -132,6 +132,46 @@ class TestMultivariateSpatial:
         v = np.asarray(out.data)
         assert np.nanmax(v) > 0.5  # strongly correlated sites
 
+    def test_first_eof_recovers_planted_pattern(self, random):
+        nsite, nt = 40, 300
+        pattern = random.normal(0, 1, nsite)
+        pattern /= np.linalg.norm(pattern)
+        if pattern[np.argmax(np.abs(pattern))] < 0:
+            pattern = -pattern
+        pc = random.normal(0, 3, nt)
+        x = 10 + np.outer(pattern, pc) + random.normal(0, 0.05, (nsite, nt))
+        out = properties.first_eof(series(x))
+        assert out.dims == ("site",)
+        assert np.abs(np.asarray(out.data) - pattern).max() < 0.02
+        assert out.attrs["variance_fraction"] > 0.95
+        assert out.attrs["units"] == ""
+
+    @pytest.mark.parametrize("nsite,nt", [(30, 120), (120, 30)])
+    def test_first_eof_svd_oracle_both_gram_sides(self, random, nsite, nt):
+        # nt > nsite exercises the site-side eigh, nt < nsite the time-side
+        # Gram trick; both must match a plain SVD of the anomaly matrix
+        x = random.normal(5, 2, (nsite, nt))
+        out = properties.first_eof(series(x))
+        a = (x - x.mean(axis=1, keepdims=True)).T  # [T, S]
+        _, s, vt = np.linalg.svd(a, full_matrices=False)
+        want = vt[0] / np.linalg.norm(vt[0])
+        want = want * np.sign(want[np.argmax(np.abs(want))])
+        np.testing.assert_allclose(np.asarray(out.data), want, atol=1e-6)
+        frac = s[0] ** 2 / (s**2).sum()
+        assert out.attrs["variance_fraction"] == pytest.approx(frac, rel=1e-6)
+
+    def test_first_eof_nan_site_and_mult_kind(self, random):
+        x = random.normal(10, 2, (20, 100))
+        x[3] = np.nan
+        v = np.asarray(properties.first_eof(series(x)).data)
+        assert np.isnan(v[3]) and np.isfinite(np.delete(v, 3)).all()
+        # finite sites match a run with the NaN site dropped entirely
+        sub = np.asarray(properties.first_eof(series(np.delete(x, 3, axis=0))).data)
+        np.testing.assert_allclose(np.delete(v, 3), sub, atol=1e-7)
+        vm = np.asarray(properties.first_eof(series(x), kind="*").data)
+        assert np.isnan(vm[3])
+        assert np.linalg.norm(vm[np.isfinite(vm)]) == pytest.approx(1.0, rel=1e-9)
+
 
 class TestMeasures:
     def test_bias_family(self, random):
@@ -198,7 +238,7 @@ class TestReferenceParityChecklist:
         "mean_annual_phase", "corr_btw_var", "bivariate_spell_length_distribution",
         "bivariate_threshold_count", "relative_frequency", "transition_probability",
         "trend", "return_value", "spatial_correlogram", "decorrelation_length",
-        "spectral_variance",
+        "spectral_variance", "first_eof",
     ]
     REF_MEASURES = [
         "bias", "relative_bias", "circular_bias", "ratio", "rmse", "mae",

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["best_pc_orientation_full", "best_pc_orientation_simple", "pc_matrix", "pc_transform_matrix"]
+__all__ = ["best_pc_orientation_full", "best_pc_orientation_simple", "first_eof_pattern", "pc_matrix", "pc_transform_matrix"]
 
 
 def pc_matrix(x):
@@ -92,6 +92,46 @@ def best_pc_orientation_full(R, Hinv, Rmean, Hmean, hist):
     score = jnp.mean(corr, axis=-1)                                 # [K, ...]
     best = jnp.argmax(score, axis=0)
     return S[best]
+
+
+@jax.jit
+def first_eof_pattern(anom):
+    """Leading EOF of an anomaly matrix ``anom`` [..., T, S].
+
+    NaN entries are treated as missing and contribute zero anomaly to the
+    covariance products (the same zero-fill the eofs package applies after
+    centering); columns with no finite entry come back as NaN.  Returns
+    ``(eof [..., S], var_frac [...])`` with the EOF normalized to unit L2
+    norm and signed so its largest-magnitude loading is positive.
+
+    The eigenproblem is solved on the smaller Gram side: time-by-time when
+    ``T <= S`` (the leading left vector is mapped back through ``Aᵀu``),
+    site-by-site otherwise — either way one MXU matmul plus a small
+    batched ``eigh``.  Original implementation: the reference removed its
+    ``first_eof`` (properties.py:1540-1554) over an eofs-package licensing
+    issue, so there is no behavior to match.
+    """
+    anom = jnp.asarray(anom)
+    T, S = anom.shape[-2:]
+    finite = jnp.isfinite(anom)
+    site_ok = jnp.any(finite, axis=-2)                              # [..., S]
+    a0 = jnp.where(finite, anom, 0.0)
+    if T <= S:
+        g = jnp.einsum("...ts,...us->...tu", a0, a0)                # [..., T, T]
+        w, u = jnp.linalg.eigh(g)
+        v = jnp.einsum("...ts,...t->...s", a0, u[..., :, -1])       # [..., S]
+    else:
+        c = jnp.einsum("...ts,...tu->...su", a0, a0)                # [..., S, S]
+        w, u = jnp.linalg.eigh(c)
+        v = u[..., :, -1]
+    nrm = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    v = v / jnp.where(nrm == 0, 1.0, nrm)
+    lead = jnp.take_along_axis(v, jnp.argmax(jnp.abs(v), axis=-1)[..., None], axis=-1)
+    sgn = jnp.sign(lead)
+    v = v * jnp.where(sgn == 0, 1.0, sgn)
+    tot = jnp.sum(jnp.where(w > 0, w, 0.0), axis=-1)                # PSD: guard fp negatives
+    var_frac = w[..., -1] / jnp.where(tot == 0, 1.0, tot)
+    return jnp.where(site_ok, v, jnp.nan), var_frac
 
 
 @partial(jax.jit, static_argnames=("best_orientation",))

@@ -681,12 +681,53 @@ def _bivariate_threshold_count(da1, da2, *, method1="amount", method2="amount",
     ).rename("bivariate_threshold_count")
 
 
-def _first_eof(*args, **kwargs):
-    """Removed (reference properties.py:1540-1554 is an informative stub)."""
-    raise NotImplementedError(
-        "The `first_eof` property is not implemented (it was removed from the "
-        "reference as well, pending an eofs-equivalent)."
-    )
+def _first_eof(da, *, dims=None, kind="+", thresh=None, group="time"):
+    """First Empirical Orthogonal Function over the spatial dims.
+
+    The reference permanently removed this property over an eofs-package
+    licensing issue (reference properties.py:1540-1554); this is an original
+    SVD-based reimplementation (``ops.pca.first_eof_pattern``), so there is
+    no reference behavior to match.  Contract:
+
+    - ``dims``: spatial dims to take the EOF over (default: every non-time
+      dim); any other non-time dim is carried as a batch dim.
+    - ``kind``: "+" analyses additive anomalies ``x - mean_t(x)``; "*"
+      analyses relative anomalies ``x / mean_t(x) - 1`` (sites whose
+      temporal mean is 0 or non-finite come back NaN).
+    - ``thresh``: optional Quantified; values below it are treated as
+      missing before the analysis (precipitation-style masking).  Missing
+      entries contribute zero anomaly; all-missing sites come back NaN.
+
+    Output: the leading EOF pattern over ``dims`` (unit L2 norm, largest
+    loading positive, dimensionless), with the explained-variance fraction
+    in ``attrs["variance_fraction"]`` when there are no batch dims.
+    """
+    from .ops.pca import first_eof_pattern
+
+    dims = [d for d in da.dims if d != "time"] if dims is None else list(dims)
+    bdims = tuple(d for d in da.dims if d != "time" and d not in dims)
+    dac = da.transpose(*bdims, *dims, "time")
+    x = jnp.asarray(dac.data)
+    if thresh is not None:
+        t = convert_units_to(thresh, da.units)
+        x = jnp.where(x >= t, x, jnp.nan)
+    bshape = x.shape[: len(bdims)]
+    sshape = x.shape[len(bdims) : -1]
+    S = int(np.prod(sshape)) if sshape else 1
+    a = jnp.swapaxes(x.reshape(bshape + (S, x.shape[-1])), -1, -2)  # [..., T, S]
+    mean = jnp.nanmean(a, axis=-2, keepdims=True)
+    if kind == "*":
+        mean = jnp.where(jnp.isfinite(mean) & (mean != 0), mean, jnp.nan)
+        anom = a / mean - 1.0
+    else:
+        anom = a - mean
+    v, var_frac = first_eof_pattern(anom)
+    out = np.asarray(v).reshape(bshape + sshape)
+    bcoords = {d: dac.coords[d] for d in bdims + tuple(dims) if d in dac.coords}
+    res = DataArray(out, bdims + tuple(dims), bcoords, {"units": ""}, "first_eof")
+    if not bdims:
+        res.attrs["variance_fraction"] = float(var_frac)
+    return res
 
 
 threshold_count = StatisticalProperty("threshold_count", "temporal", _threshold_count, allowed_groups=["group", "season", "month"])
