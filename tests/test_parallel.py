@@ -146,3 +146,33 @@ def test_sharded_pairwise_corr_matches_corrcoef():
         c = sharded_pairwise_corr(xs, mesh)
         c.block_until_ready()
     np.testing.assert_allclose(np.asarray(c), np.corrcoef(x), rtol=1e-10, atol=1e-12)
+
+
+def test_sharded_first_eof_matches_serial():
+    """The psum-Gram spatial-diagnostics pattern: site-sharded leading EOF
+    equals the serial first_eof_pattern (incl. an all-NaN site and a
+    scattered missing entry)."""
+    import jax
+    import jax.numpy as jnp
+
+    from xsdba_tpu.ops.pca import first_eof_pattern
+    from xsdba_tpu.parallel.mesh import sharded_first_eof, shard_sites, site_mesh
+
+    rng = np.random.default_rng(13)
+    S, T = 64, 40
+    x = rng.normal(10, 2, (S, T))
+    x[5] = np.nan          # ocean site
+    x[17, 3] = np.nan      # missing sample
+    mesh = site_mesh(jax.devices()[:8])
+    xs = shard_sites(jnp.asarray(x), mesh)
+    with mesh:
+        v, frac = sharded_first_eof(xs, mesh)
+        v.block_until_ready()
+
+    finite = np.isfinite(x)
+    nn = np.maximum(finite.sum(axis=1, keepdims=True), 1)
+    mean = np.where(finite, x, 0.0).sum(axis=1, keepdims=True) / nn
+    anom = np.where(finite, x - mean, np.nan).T  # [T, S]
+    want_v, want_frac = first_eof_pattern(jnp.asarray(anom))
+    np.testing.assert_allclose(np.asarray(v), np.asarray(want_v), rtol=1e-9, atol=1e-12)
+    assert float(frac) == pytest.approx(float(want_frac), rel=1e-10)

@@ -23,6 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = [
     "site_mesh",
     "shard_sites",
+    "sharded_first_eof",
     "sharded_pairwise_corr",
     "site_sharding",
     "SITE_AXIS",
@@ -88,6 +89,55 @@ def sharded_pairwise_corr(x, mesh: Mesh):
         xl = xl / jnp.where(nrm == 0, 1, nrm)
         xg = jax.lax.all_gather(xl, SITE_AXIS, tiled=True)  # [S_global, T]
         return jnp.einsum("lt,gt->lg", xl, xg, precision=jax.lax.Precision.HIGHEST)
+
+    return _f(x)
+
+
+def sharded_first_eof(x, mesh: Mesh):
+    """Leading EOF of a site-sharded field ``x`` [S, T] (additive anomalies).
+
+    Same semantics as :func:`~xsdba_tpu.ops.pca.first_eof_pattern` on the
+    time-side Gram: each shard zero-fills its local anomaly block (NaNs are
+    missing; all-NaN sites come back NaN), the [T, T] Gram matrix
+    accumulates with ONE ``psum`` over the site axis (the contraction runs
+    over the sharded dim, so the collective moves a [T, T] block instead of
+    gathering [S, T] data), the small ``eigh`` replicates per shard, and
+    each shard maps the leading time vector back to its own site loadings.
+    One more ``psum`` normalizes; the global sign anchor (largest |loading|,
+    lowest site index on exact ties) is a pmax/pmin pair.
+
+    Returns ``(eof [S] sharded like x, var_frac scalar)``.
+    """
+    from functools import partial
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    @partial(shard_map, mesh=mesh, in_specs=P(SITE_AXIS, None), out_specs=(P(SITE_AXIS), P()))
+    def _f(xl):  # [S_loc, T]
+        finite = jnp.isfinite(xl)
+        n = jnp.sum(finite, axis=-1, keepdims=True)
+        mean = jnp.sum(jnp.where(finite, xl, 0.0), axis=-1, keepdims=True) / jnp.maximum(n, 1)
+        a = jnp.where(finite, xl - mean, 0.0)
+        site_ok = jnp.any(finite, axis=-1)
+        g = jax.lax.psum(a.T @ a, SITE_AXIS)                        # [T, T] replicated
+        w, u = jnp.linalg.eigh(g)
+        vloc = a @ u[:, -1]                                         # [S_loc]
+        ss = jax.lax.psum(jnp.sum(vloc * vloc), SITE_AXIS)
+        vloc = vloc / jnp.where(ss == 0, 1.0, jnp.sqrt(ss))
+        iloc = jnp.argmax(jnp.abs(vloc))
+        mloc = jnp.abs(vloc)[iloc]
+        mglob = jax.lax.pmax(mloc, SITE_AXIS)
+        gidx = (jax.lax.axis_index(SITE_AXIS) * vloc.shape[0] + iloc).astype(jnp.int32)
+        cand = jnp.where(mloc == mglob, gidx, jnp.iinfo(jnp.int32).max)
+        winner = jax.lax.pmin(cand, SITE_AXIS)
+        sgn = jax.lax.psum(jnp.where(gidx == winner, jnp.sign(vloc[iloc]), 0.0), SITE_AXIS)
+        v = vloc * jnp.where(sgn == 0, 1.0, sgn)
+        tot = jnp.sum(jnp.where(w > 0, w, 0.0))
+        var_frac = w[-1] / jnp.where(tot == 0, 1.0, tot)
+        return jnp.where(site_ok, v, jnp.nan), var_frac
 
     return _f(x)
 
