@@ -48,7 +48,7 @@ def test_adapt_freq_public(random):
     assert set(out.keys()) == {"sim_ad", "pth", "dP0", "P0_ref", "P0_hist"}
     sa = np.asarray(out["sim_ad"].data)
     assert (sa < 0.1).mean() == pytest.approx((ref_v < 0.1).mean(), abs=0.02)
-    assert float(np.asarray(out["dP0"].data)) == pytest.approx(0.5, abs=0.05)
+    assert float(np.asarray(out["dP0"].data).ravel()[0]) == pytest.approx(0.5, abs=0.05)
 
 
 def test_normalize_roundtripish(random):
