@@ -267,3 +267,20 @@ def test_eqm_windowed_ocean_masked_site_public_api():
     eqm2 = EmpiricalQuantileMapping.train(mk(ref[[0, 2]]), mk(hist[[0, 2]]), group=g, nquantiles=10)
     scen2 = eqm2.adjust(mk(hist[[0, 2]]), interp="linear")
     np.testing.assert_allclose(sv[[0, 2]], np.asarray(scen2.data), rtol=1e-12)
+
+
+def test_device_cache_skips_unweakrefable_owner():
+    """np.frombuffer-backed arrays (bytes base) cannot register a weakref
+    finalizer, so they must not be cached: a recycled (id, ptr) key would
+    silently alias a later array's device data."""
+    from xsdba_tpu.models._wrap import _DEV_CACHE, to_device_cached
+
+    buf = bytes(8 * 16)
+    a = np.frombuffer(buf, dtype=np.float64)
+    before = set(_DEV_CACHE)
+    out = to_device_cached(a)
+    assert np.asarray(out).shape == (16,)
+    assert set(_DEV_CACHE) == before  # nothing cached for this owner
+    b = np.arange(16.0)
+    out2 = to_device_cached(b)
+    assert to_device_cached(b) is out2  # normal ndarrays still hit the cache

@@ -212,3 +212,26 @@ class TestApplyChunked:
         monkeypatch.setattr(grouper_mod, "_APPLY_CHUNK_BUDGET", 4096)
         chunked = g.apply("std", da)
         np.testing.assert_array_equal(np.asarray(full.data), np.asarray(chunked.data))
+
+    def test_callable_never_auto_chunked(self, random, monkeypatch):
+        """A callable that couples groups must see the FULL gather even when
+        the memory budget would force chunking for the named reductions —
+        chunking would silently change its meaning."""
+        import jax.numpy as jnp
+
+        from xsdba_tpu.utils import grouper as grouper_mod
+
+        da = self._da(random)
+        g = Grouper("time.month")
+
+        def coupled(v):  # normalize each group's mean by the cross-group max
+            m = jnp.nanmean(v, axis=-1)
+            return m / jnp.max(m, axis=-1, keepdims=True)
+
+        want = np.asarray(g.apply(coupled, da).data)
+        monkeypatch.setattr(grouper_mod, "_APPLY_CHUNK_BUDGET", 64)
+        got = np.asarray(g.apply(coupled, da).data)
+        np.testing.assert_array_equal(got, want)
+        # explicit opt-in still chunks (and for this func changes results)
+        opt = np.asarray(g.apply(coupled, da, group_chunk=4).data)
+        assert not np.allclose(opt, want)

@@ -51,10 +51,10 @@ def test_emd_matches_lp(random):
 
 
 def test_simplex_matches_ssp(random):
-    """Network simplex vs the independent successive-shortest-paths solver."""
-    from xsdba_tpu.native import _load
+    """Network simplex vs the independent successive-shortest-paths solver
+    (via the public ``emd_ssp`` wrapper)."""
+    from xsdba_tpu.native import emd_ssp
 
-    lib = _load()
     for _ in range(8):
         n, m = int(random.integers(2, 80)), int(random.integers(2, 80))
         mu = random.random(n) + 1e-3
@@ -65,11 +65,10 @@ def test_simplex_matches_ssp(random):
         y = random.normal(0.4, 1.1, (m, 2))
         C = ((x[:, None, :] - y[None, :, :]) ** 2).sum(-1)
         plan = emd(mu, nu, C)
-        ref = np.zeros((n, m))
-        rc = lib.emd_solve_ssp(n, m, np.ascontiguousarray(mu), np.ascontiguousarray(nu), np.ascontiguousarray(C), ref)
-        assert rc == 0
+        ref = emd_ssp(mu, nu, C)
         np.testing.assert_allclose(plan.sum(1), mu, atol=1e-10)
         np.testing.assert_allclose(plan.sum(0), nu, atol=1e-10)
+        np.testing.assert_allclose(ref.sum(1), mu, atol=1e-10)
         assert (plan * C).sum() == pytest.approx((ref * C).sum(), abs=1e-8)
 
 
@@ -166,3 +165,18 @@ class TestDOTC:
         sim = bivariate(random, n, [2, 2], np.eye(2), start="2050-01-01")
         scen = dOTC.adjust(ref, hist, sim, cov_factor="cholesky")
         assert np.isfinite(np.asarray(scen.data)).all()
+
+
+def test_dict_bin_width_estimated_per_group(random):
+    """Dict-form bin_width: unnamed variables' widths are estimated from the
+    participating clouds of each transport (reference _adjustment.py:1285-1289),
+    not pooled across groups."""
+    from xsdba_tpu.models.otc import _BinSpec
+
+    a = random.normal(0, 1, (200, 2))
+    b = random.normal(0, 100, (200, 2))
+    spec = _BinSpec(np.array([0.5, np.nan]), np.zeros(2))
+    wa = spec.fill([a]).width
+    wb = spec.fill([b]).width
+    assert wa[0] == wb[0] == 0.5  # named entry is pinned
+    assert wb[1] > 10 * wa[1]  # unnamed entry follows the group's own scale

@@ -314,6 +314,20 @@ class TestBatchedFitKernels:
                 want = res.intercept_stderr if f == "intercept_stderr" else getattr(res, f)
                 assert ours[i] == pytest.approx(want, abs=1e-10), f
 
+    def test_gev_fits_nan_below_minimum_samples(self):
+        """A 3-parameter fit with < 3 valid samples must return NaN, not
+        fabricated parameters (heavily-masked ocean-adjacent sites)."""
+        from xsdba_tpu.ops.fitting import gev_fit_ml, gev_fit_pwm
+
+        X = np.full((3, 50), np.nan)
+        X[1, :2] = [1.0, 2.0]
+        X[2, :10] = np.linspace(1, 5, 10)
+        for fit in (gev_fit_pwm, gev_fit_ml):
+            c, loc, scale = (np.asarray(v) for v in fit(X))
+            assert np.isnan([c[0], loc[0], scale[0]]).all(), fit.__name__
+            assert np.isnan([c[1], loc[1], scale[1]]).all(), fit.__name__
+            assert np.isfinite([c[2], loc[2], scale[2]]).all(), fit.__name__
+
     def test_gev_ml_at_least_as_good_as_scipy(self, random):
         from scipy import stats as sps
 

@@ -161,3 +161,14 @@ def test_estimate_delta_from_cf_and_default_delta():
     assert out.shape == (16, 16)
     with pytest.raises(ValueError):
         estimate_delta_from_cf(DataArray(np.zeros(3), ("x",), {}, {}, None))
+    # duplicated station latitudes: the median positive spacing, not the
+    # (zero) first gap of the sorted values
+    f3 = DataArray(
+        np.zeros((4, 5)), ("lat", "time"),
+        {"lat": np.array([10.0, 10.0, 12.0, 14.0])}, {"units": "K"}, "tas",
+    )
+    assert abs(float(estimate_delta_from_cf(f3).split()[0]) - 2 * 111.2) < 1e-9
+    # all-equal latitudes cannot yield a spacing
+    f4 = DataArray(np.zeros((3, 5)), ("lat", "time"), {"lat": np.full(3, 5.0)}, {"units": "K"}, "tas")
+    with pytest.raises(ValueError, match="no distinct"):
+        estimate_delta_from_cf(f4)

@@ -114,7 +114,10 @@ def to_device_cached(a):
     try:
         weakref.finalize(owner, _DEV_CACHE.pop, key, None)
     except TypeError:
-        pass
+        # owner not weakref-able (bytes/memoryview/mmap base): the entry
+        # could never be invalidated and its (id, ptr, ...) key is
+        # recyclable after GC — don't cache at all
+        _DEV_CACHE.pop(key, None)
     return dev
 
 

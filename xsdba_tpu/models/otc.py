@@ -94,6 +94,17 @@ class _BinSpec(NamedTuple):
         origin = np.zeros(nvar) if self.origin is None else self.origin
         return np.broadcast_to(width, (nvar,)).astype(float), np.broadcast_to(origin, (nvar,)).astype(float)
 
+    def fill(self, clouds: list[np.ndarray]) -> "_BinSpec":
+        """Estimate the NaN-marked width entries (dict form with unnamed
+        variables) from the participating clouds — per group, as the
+        reference does (``_adjustment.py:1285-1289`` estimates from that
+        call's [Y, X]; dOTC fixes one estimate from [Y0, X0, X1] for its
+        three internal transports, ``_adjustment.py:1486-1491``)."""
+        if self.width is None or not np.isnan(self.width).any():
+            return self
+        est = bin_width_estimator(clouds)
+        return self._replace(width=np.where(np.isnan(self.width), est, self.width))
+
 
 def _parse_bin_arg(value, default, nvar: int, vnames: list[str]) -> np.ndarray | None:
     """Lower the public ``bin_width``/``bin_origin`` argument (scalar, array,
@@ -135,8 +146,10 @@ def _send_points(
         src.centers, tgt.centers, src.weights, tgt.weights, num_iter_max, normalization, solver
     )
     row_cdf = np.cumsum(plan, axis=1)[src.cell_of]  # [N, Bt]
-    # guard against rows not summing exactly to 1 by scaling u into the row's range
-    u = draws.uniform(len(X)) * row_cdf[:, -1]
+    # u in (0, total]: scaling into the row total guards rows not summing
+    # exactly to 1, and the open lower bound keeps a u == 0 draw from
+    # selecting a zero-probability leading bin
+    u = (1.0 - draws.uniform(len(X))) * row_cdf[:, -1]
     picked = np.minimum((row_cdf < u[:, None]).sum(axis=1), row_cdf.shape[1] - 1)
     mapped = tgt.centers[picked]
     if jitter:
@@ -155,7 +168,7 @@ def _otc_group(X, Y, spec, draws, *, num_iter_max, normalization, solver, jitter
     out = np.full_like(X, np.nan)
     if keep_x.any() and keep_y.any():
         out[keep_x] = _send_points(
-            X[keep_x], Y[keep_y], spec, draws,
+            X[keep_x], Y[keep_y], spec.fill([Y[keep_y], X[keep_x]]), draws,
             num_iter_max=num_iter_max, normalization=normalization, solver=solver, jitter=jitter,
         )
     return out
@@ -176,6 +189,7 @@ def _dotc_group(
     if not (len(sim_f) and len(ref_f) and len(hist_f)):
         return out
 
+    spec = spec.fill([ref_f, hist_f, sim_f])  # one estimate for all three transports
     common = dict(num_iter_max=num_iter_max, normalization=normalization, solver=solver)
     ref_at_hist = _send_points(ref_f, hist_f, spec, draws, jitter=False, **common)
     ref_at_sim = _send_points(ref_at_hist, sim_f, spec, draws, jitter=False, **common)
@@ -274,10 +288,6 @@ class OTC(Adjust):
             _parse_bin_arg(bin_width, np.full(nvar, np.nan), nvar, vnames),
             _parse_bin_arg(bin_origin, np.zeros(nvar), nvar, vnames),
         )
-        if spec.width is not None and np.isnan(spec.width).any():
-            # dict form with unnamed variables: estimate the missing entries once from the pooled data
-            est = bin_width_estimator([np.concatenate([b[_finite_rows(b)] for b in ref_blocks + hist_blocks])])
-            spec = spec._replace(width=np.where(np.isnan(spec.width), est, spec.width))
         draw_keys = [next_key() for _ in range(gi.n_groups)]
 
         def worker(g: int) -> np.ndarray:
@@ -331,11 +341,6 @@ class dOTC(Adjust):
             _parse_bin_arg(bin_width, np.full(nvar, np.nan), nvar, vnames),
             _parse_bin_arg(bin_origin, np.zeros(nvar), nvar, vnames),
         )
-        if spec.width is not None and np.isnan(spec.width).any():
-            est = bin_width_estimator(
-                [np.concatenate([b[_finite_rows(b)] for b in ref_blocks + hist_blocks + sim_blocks])]
-            )
-            spec = spec._replace(width=np.where(np.isnan(spec.width), est, spec.width))
         draw_keys = [next_key() for _ in range(gi.n_groups)]
 
         def worker(g: int) -> np.ndarray:

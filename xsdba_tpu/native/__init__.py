@@ -76,3 +76,20 @@ def emd(mu: np.ndarray, nu: np.ndarray, cost: np.ndarray) -> np.ndarray:
     if rc != 0:
         raise RuntimeError(f"emd_solve failed with code {rc}")
     return plan
+
+
+def emd_ssp(mu: np.ndarray, nu: np.ndarray, cost: np.ndarray) -> np.ndarray:
+    """Exact plan via the successive-shortest-paths solver (the network
+    simplex's independent cross-check; slower, kept for validation)."""
+    lib = _load()
+    mu = np.ascontiguousarray(mu, dtype=np.float64)
+    nu = np.ascontiguousarray(nu, dtype=np.float64)
+    cost = np.ascontiguousarray(cost, dtype=np.float64)
+    n, m = cost.shape
+    mu = mu / mu.sum()
+    nu = nu / nu.sum()
+    plan = np.zeros((n, m), dtype=np.float64)
+    rc = lib.emd_solve_ssp(n, m, mu, nu, cost, plan)
+    if rc != 0:
+        raise RuntimeError(f"emd_solve_ssp failed with code {rc}")
+    return plan

@@ -164,7 +164,9 @@ def gev_fit_pwm(x):
     gam = jnp.exp(jax.scipy.special.gammaln(1.0 + ks))
     scale = jnp.where(small, l2 / jnp.log(2.0), l2 * ks / ((1.0 - 2.0 ** (-ks)) * gam))
     loc = jnp.where(small, l1 - _EULER * scale, l1 - scale * (1.0 - gam) / ks)
-    bad = nf < 1
+    # a GEV has 3 parameters: with < 3 valid samples the L-moment ratios are
+    # degenerate and the formulas fabricate parameters — return NaN instead
+    bad = nf < 3
     return (
         jnp.where(bad, jnp.nan, k),
         jnp.where(bad, jnp.nan, loc),
@@ -233,7 +235,7 @@ def gev_fit_ml(x, *, n_iter: int = 40):
 
     pf = jax.vmap(fit_one)(p0, xf, validf)
     n = jnp.sum(validf, axis=-1)
-    bad = n < 1
+    bad = n < 3  # 3-parameter fit: fewer valid samples than parameters
     c = jnp.where(bad, jnp.nan, pf[:, 0]).reshape(batch)
     loc = jnp.where(bad, jnp.nan, pf[:, 1]).reshape(batch)
     scale = jnp.where(bad, jnp.nan, jnp.exp(pf[:, 2])).reshape(batch)

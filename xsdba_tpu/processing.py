@@ -762,7 +762,13 @@ def estimate_delta_from_cf(da: DataArray) -> str:
         vals = np.sort(np.asarray(coord.data if hasattr(coord, "data") else coord, dtype=np.float64))
         if len(vals) < 2:
             continue
-        step = abs(vals[1] - vals[0])
+        # median spacing: robust to duplicated values (step 0) and to
+        # non-uniform (e.g. Gaussian) grids, where the first gap alone
+        # misrepresents the grid scale
+        diffs = np.diff(vals)
+        step = float(np.median(diffs[diffs > 0])) if (diffs > 0).any() else 0.0
+        if step == 0.0:
+            raise ValueError(f"Coordinate {name!r} has no distinct values to estimate a grid spacing from.")
         if units in ("degrees", "degrees_north") or units is None:
             return f"{step * 111.2} km"
         return f"{step} {units}"

@@ -703,9 +703,13 @@ def _grouper_apply(self, func, da, main_only: bool = False, group_chunk: int | N
     ``main_only``, ``add_dims`` are folded into the gathered axis and
     reduced too (reference base.py:413).
 
-    Groups are processed ``group_chunk`` at a time (auto-sized to a fixed
-    element budget) so windowed-doy applies on large site batches never
-    materialize the full [..., G, L] gather.
+    Named reductions are processed ``group_chunk`` groups at a time
+    (auto-sized to a fixed element budget) so windowed-doy applies on large
+    site batches never materialize the full [..., G, L] gather.  Callables
+    see the full gather by default; pass ``group_chunk`` explicitly to chunk
+    one — that asserts the callable treats groups independently (a func that
+    couples groups, e.g. normalizing by a cross-group max, would silently
+    change meaning under chunking).
     """
     import jax.numpy as jnp
 
@@ -714,6 +718,13 @@ def _grouper_apply(self, func, da, main_only: bool = False, group_chunk: int | N
     if not callable(func):
         red = {"mean": jnp.nanmean, "std": jnp.nanstd, "sum": jnp.nansum, "min": jnp.nanmin, "max": jnp.nanmax}[func]
         func = lambda v: red(v, axis=-1)  # noqa: E731
+    elif group_chunk is None:
+        # Chunking evaluates ``func`` on [..., chunk, L] slices — only valid
+        # when it treats groups independently.  The named reductions above
+        # are; an arbitrary callable may couple groups (e.g. normalize by a
+        # cross-group max), so it gets the full gather unless the caller
+        # opts into chunking explicitly.
+        group_chunk = 1 << 62
 
     gi = self.indexes(da.time)
     if self.add_dims and not main_only:
