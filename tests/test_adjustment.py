@@ -284,3 +284,16 @@ def test_device_cache_skips_unweakrefable_owner():
     b = np.arange(16.0)
     out2 = to_device_cached(b)
     assert to_device_cached(b) is out2  # normal ndarrays still hit the cache
+
+
+def test_device_cache_detects_inplace_mutation():
+    """In-place mutation of a cached input must invalidate the cache entry
+    (the content fingerprint in the key), not serve stale device data."""
+    from xsdba_tpu.models._wrap import to_device_cached
+
+    a = np.arange(32.0)
+    d1 = to_device_cached(a)
+    a *= 2.0
+    d2 = to_device_cached(a)
+    assert d2 is not d1
+    np.testing.assert_array_equal(np.asarray(d2), a)

@@ -124,6 +124,15 @@ def test_nbutils_reference_forms():
     np.testing.assert_allclose(
         np.asarray(vq.data), np.nanquantile(np.asarray(da.data), 0.5, axis=1), rtol=1e-12
     )
+    # bare arrays need an integer axis — a string dim must raise, not
+    # silently reduce axis -1
+    with pytest.raises(TypeError, match="integer axis"):
+        quantile(x, [0.5], "time")
+    with pytest.raises(TypeError, match="integer axis"):
+        vecquantiles(x, np.full(2, 0.5), "time")
+    np.testing.assert_allclose(  # quantiles land on the trailing axis
+        np.asarray(quantile(x, [0.5], 0)), np.nanquantile(x, [0.5], axis=0).T, rtol=1e-12
+    )
 
 
 def test_options_view_and_history_decorator():
@@ -143,6 +152,18 @@ def test_options_view_and_history_decorator():
 
     out = fake_proc(da, thresh=2)
     assert "fake_proc(thresh=2)" in out.attrs["history"]
+
+    # DataArrays passed by keyword: history merges, call string names them
+    da2, _ = _da()
+    da2.attrs["history"] = "upstream-provenance"
+
+    @update_xsdba_history
+    def fake_merge(*, ref, thresh=1):
+        return ref.copy()
+
+    out2 = fake_merge(ref=da2, thresh=3)
+    assert "upstream-provenance" in out2.attrs["history"]
+    assert "ref=" in out2.attrs["history"] and "thresh=3" in out2.attrs["history"]
 
 
 def test_estimate_delta_from_cf_and_default_delta():
@@ -172,3 +193,8 @@ def test_estimate_delta_from_cf_and_default_delta():
     f4 = DataArray(np.zeros((3, 5)), ("lat", "time"), {"lat": np.full(3, 5.0)}, {"units": "K"}, "tas")
     with pytest.raises(ValueError, match="no distinct"):
         estimate_delta_from_cf(f4)
+    # a bare "y" coordinate without units must not be read as degrees
+    # (projected grids are in meters)
+    f5 = DataArray(np.zeros((4, 5)), ("y", "time"), {"y": np.arange(4) * 25000.0}, {"units": "K"}, "tas")
+    with pytest.raises(ValueError, match="units"):
+        estimate_delta_from_cf(f5)

@@ -375,6 +375,7 @@ def eqm_train_adjust_windowed(
         _merge_backend_default,
         _pair_finite_probe,
         _plan_device_arrays,
+        speculative_static_dispatch,
     )
 
     ref = jnp.asarray(ref)
@@ -423,18 +424,8 @@ def eqm_train_adjust_windowed(
         # no host probe possible (or caller pinned the NaN-safe path)
         return call(static=False)
 
-    probe = _pair_finite_probe(ref, hist)
-    speculate = _PLAN_FINITE_HINT.get(plan, True)
-    if speculate:
-        out_fast = call(static=True)  # races the probe fetch
-        ok = bool(probe)
-        _PLAN_FINITE_HINT[plan] = ok
-        if ok:
-            return out_fast
-        return call(static=False)
-    ok = bool(probe)
-    _PLAN_FINITE_HINT[plan] = ok
-    return call(static=True) if ok else call(static=False)
+    probe_dev = _pair_finite_probe(ref, hist)
+    return speculative_static_dispatch(plan, lambda: bool(probe_dev), lambda static: call(static))
 
 
 def eqm_train_windowed(ref, hist, plan, quantiles, *, kind: str):
@@ -446,10 +437,10 @@ def eqm_train_windowed(ref, hist, plan, quantiles, *, kind: str):
     factors); the finiteness probe is dispatched alongside it (speculative,
     as in ``windowed_group_quantile``)."""
     from ..ops.quantile import (
-        _PLAN_FINITE_HINT,
         _merge_backend_default,
         _pair_finite_probe,
         _plan_device_arrays,
+        speculative_static_dispatch,
         windowed_group_quantile,
     )
 
@@ -497,18 +488,8 @@ def eqm_train_windowed(ref, hist, plan, quantiles, *, kind: str):
 
     if isinstance(ref, jax.core.Tracer) or isinstance(hist, jax.core.Tracer):
         return call(static=False)  # under an outer trace: no host probe
-    probe = _pair_finite_probe(ref, hist)
-    speculate = _PLAN_FINITE_HINT.get(plan, True)
-    if speculate:
-        out_fast = call(static=True)  # races the probe fetch
-        ok = bool(probe)
-        _PLAN_FINITE_HINT[plan] = ok
-        if ok:
-            return out_fast
-        return call(static=False)
-    ok = bool(probe)
-    _PLAN_FINITE_HINT[plan] = ok
-    return call(static=True) if ok else call(static=False)
+    probe_dev = _pair_finite_probe(ref, hist)
+    return speculative_static_dispatch(plan, lambda: bool(probe_dev), lambda static: call(static))
 
 
 def dqm_train_windowed(ref, hist, plan, quantiles, *, kind: str):

@@ -80,17 +80,33 @@ _DEV_CACHE: dict = {}
 _DEV_CACHE_MAX = 32
 
 
+def _fingerprint(a: np.ndarray) -> int:
+    """Cheap content fingerprint (~1k sampled elements): realistic in-place
+    mutations (whole-array or blockwise updates) change it and so invalidate
+    the buffer-identity cache; a surgical single-element edit between the
+    sample points can still escape — the documented contract asks callers
+    not to mutate inputs in place."""
+    import zlib
+
+    flat = np.ravel(a)
+    if flat.size == 0:
+        return 0
+    step = max(1, flat.size // 1024)
+    sample = np.concatenate([flat[::step][:1025], flat[-8:]])
+    return zlib.crc32(sample.tobytes())
+
+
 def to_device_cached(a):
-    """Device copy of a host array, cached by buffer identity.
+    """Device copy of a host array, cached by buffer identity + fingerprint.
 
     Repeated public-API calls on the same numpy-backed DataArrays (train then
     adjust, parameter sweeps) would otherwise re-upload identical inputs on
     every call — over a remote-device relay that upload dominates e.g.
     ``MBCn.train`` wall time (docs/PERFORMANCE.md).  Keys carry the owning
     buffer id + (ptr, shape, strides, dtype) so numpy views hit the cache
-    too; entries die with the owning buffer, with an LRU cap as backstop.
-    Caller contract (as with xarray+dask graphs): inputs are not mutated in
-    place between calls.
+    too, plus a sampled content fingerprint so in-place mutation between
+    calls is detected (see :func:`_fingerprint` for the escape hatch);
+    entries die with the owning buffer, with an LRU cap as backstop.
     """
     import weakref
 
@@ -103,7 +119,7 @@ def to_device_cached(a):
         ptr = a.__array_interface__["data"][0]
     except Exception:
         return jnp.asarray(a)
-    key = (id(owner), ptr, a.shape, a.strides, a.dtype.str)
+    key = (id(owner), ptr, a.shape, a.strides, a.dtype.str, _fingerprint(a))
     hit = _DEV_CACHE.get(key)
     if hit is not None:
         return hit

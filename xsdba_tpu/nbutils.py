@@ -53,7 +53,12 @@ def quantile(da, q, dim):
         coords = {d: c for d, c in da.coords.items() if d in dims}
         coords["quantiles"] = q
         return DataArray(out, dims + ("quantiles",), coords, dict(da.attrs), da.name)
-    return nan_quantile(jnp.asarray(da), jnp.asarray(q), axis=dim if isinstance(dim, int) else -1)
+    if not isinstance(dim, int):
+        raise TypeError(
+            f"quantile on a bare array needs an integer axis, got dim={dim!r} "
+            "(wrap the array in a DataArray to reduce by dimension name)."
+        )
+    return nan_quantile(jnp.asarray(da), jnp.asarray(q), axis=dim)
 
 
 def vecquantiles(da, rnk, dim):
@@ -70,4 +75,9 @@ def vecquantiles(da, rnk, dim):
         dims = tuple(d for d in da.dims if d != dim)
         coords = {d: c for d, c in da.coords.items() if d in dims}
         return DataArray(out, dims, coords, dict(da.attrs), da.name)
-    return _vq(jnp.asarray(da), jnp.asarray(rnk), axis=dim if isinstance(dim, int) else -1)
+    if not isinstance(dim, int):
+        raise TypeError(
+            f"vecquantiles on a bare array needs an integer axis, got dim={dim!r} "
+            "(wrap the array in a DataArray to reduce by dimension name)."
+        )
+    return _vq(jnp.asarray(da), jnp.asarray(rnk), axis=dim)

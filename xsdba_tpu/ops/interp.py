@@ -269,23 +269,17 @@ def interp_grouped_partitioned(
         # partition rows 1..P are the transpose of the [years, P] reshape of
         # the time axis (Brackets.regular0): skip the element gathers and the
         # empty pad rows entirely — reshape in, evaluate against the matching
-        # table rows, reshape out.  Both transposes run on PADDED
-        # 128/8-aligned dims: the raw [Y, P] swapaxes lowers as a gather
-        # (~150 ms at B=512 on v5e) while the aligned form tiles onto (8,128)
-        # vregs (~7 ms, bit-exact).
+        # table rows, reshape out.  Both transposes go through the aligned
+        # pad+swap (see ops.layout.aligned_swap_last2).
+        from .layout import aligned_swap_last2
+
         T = v.shape[-1]
         Y = T // P
         lead = v.shape[:-1]
-        Ppad = -(-P // 128) * 128
-        Ypad = -(-Y // 8) * 8
-        resh = v.reshape(lead + (Y, P))
-        resh = jnp.pad(resh, [(0, 0)] * (resh.ndim - 2) + [(0, Ypad - Y), (0, Ppad - P)])
-        core = jnp.swapaxes(resh, -1, -2)[..., :P, :Y]  # [..., P, Y]
+        core = aligned_swap_last2(v.reshape(lead + (Y, P)), 8, 128)  # [..., P, Y]
         sl = (Ellipsis, slice(1, P + 1), slice(None))
         out = _eval_tables_sliced(core, xq_p[sl], yq_p[sl], nv_p[..., 1 : P + 1])
-        # inverse transpose, same aligned treatment
-        out = jnp.pad(out, [(0, 0)] * (out.ndim - 2) + [(0, Ppad - P), (0, Ypad - Y)])
-        back = jnp.swapaxes(out, -1, -2)[..., :Y, :P]
+        back = aligned_swap_last2(out, 128, 8)  # [..., Y, P]
         return back.reshape(lead + (T,))
 
     def _eval_tables_sliced(vals, xqs, yqs, nvs):

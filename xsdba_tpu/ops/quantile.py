@@ -304,6 +304,37 @@ import weakref
 
 _PLAN_FINITE_HINT: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
+
+def speculative_static_dispatch(plan, probe, call):
+    """The one speculation protocol for the windowed static/dynamic pair.
+
+    ``call(static)`` runs the static-count program (``True``, compile-time
+    extraction indices) or the NaN-safe dynamic one (``False``).  ``probe``
+    is ``None`` when no host fetch is possible (under an outer trace) —
+    then the NaN-safe path runs directly — or a 0-arg callable fetching the
+    finiteness probe (callers may memoize it across chunked calls).
+
+    With a hopeful hint the static program is dispatched BEFORE the probe
+    result is read, racing the ~90 ms relay round-trip; the common
+    all-finite case pays no probe latency and a NaN case discards one
+    speculative run.  Plans are long-lived: once one has seen non-finite
+    data the hint disables speculation for it (the wasted fast run would
+    tax every call).
+    """
+    if probe is None:
+        return call(False)
+    if _PLAN_FINITE_HINT.get(plan, True):
+        out_fast = call(True)  # speculative, races the probe fetch
+        if _set_hint(plan, probe()):
+            return out_fast
+        return call(False)
+    return call(True) if _set_hint(plan, probe()) else call(False)
+
+
+def _set_hint(plan, ok: bool) -> bool:
+    _PLAN_FINITE_HINT[plan] = ok
+    return ok
+
 _PLAN_DEVICE_CACHE: "weakref.WeakKeyDictionary" = None  # type: ignore[assignment]
 
 
@@ -384,17 +415,14 @@ def _windowed_group_quantile_core(
         # regular layout (plan.regular_period): the slab is the transpose of
         # the [years, P] time reshape plus year-dropped wrap slices — no
         # element gathers (bit-identical values by construction).  The
-        # transpose runs on PADDED pow2/128-aligned dims: XLA lowers the raw
-        # [Y=150, P=365] swapaxes as a gather (~150 ms at B=512 on v5e); the
-        # aligned form tiles onto (8,128) vregs (~7 ms, bit-exact).
+        # transpose goes through the aligned pad+swap
+        # (ops.layout.aligned_swap_last2).
+        from .layout import aligned_swap_last2
+
         P = regular
         lead_ = x.shape[:-1]
         Y = x.shape[-1] // P
-        resh = x.reshape(lead_ + (Y, P))
-        Ppad = -(-P // 128) * 128
-        Ypad_t = -(-Y // 8) * 8
-        resh = jnp.pad(resh, [(0, 0)] * (resh.ndim - 2) + [(0, Ypad_t - Y), (0, Ppad - P)])
-        core = jnp.swapaxes(resh, -1, -2)[..., :P, :Y]  # [..., P, Y]
+        core = aligned_swap_last2(x.reshape(lead_ + (Y, P)), 8, 128)  # [..., P, Y]
         napad = jnp.full(lead_ + (half, 1), jnp.nan, x.dtype)
         head = jnp.concatenate([core[..., P - half : P, : Y - 1], napad], axis=-1)
         tail = jnp.concatenate([core[..., 0:half, 1:], napad], axis=-1)
@@ -513,9 +541,6 @@ def windowed_group_quantile(
         and not isinstance(x, jax.core.Tracer)  # no host probe under a trace
     )
     probe_dev = _finite_probe(x) if can_static else None
-    # plans are long-lived: once a plan has seen non-finite data, stop
-    # speculating for it (the wasted fast run would tax every call)
-    speculate = can_static and _PLAN_FINITE_HINT.get(plan, True)
 
     def run(xc, static: bool):
         if static:
@@ -570,20 +595,14 @@ def windowed_group_quantile(
     probe_val: list = []
 
     def _probe() -> bool:
+        # memoized: chunked calls share one probe fetch
         if not probe_val:
-            ok = bool(probe_dev)
-            probe_val.append(ok)
-            _PLAN_FINITE_HINT[plan] = ok
+            probe_val.append(bool(probe_dev))
         return probe_val[0]
 
     def _run_dispatch(xc):
-        if probe_dev is None:
-            return run(xc, static=False)
-        if not speculate:
-            return run(xc, static=True) if _probe() else run(xc, static=False)
-        out_fast = run(xc, static=True)  # speculative, races the probe fetch
-        if _probe():
-            return out_fast
-        return run(xc, static=False)
+        return speculative_static_dispatch(
+            plan, None if probe_dev is None else _probe, lambda static: run(xc, static)
+        )
 
     return run_all(x)

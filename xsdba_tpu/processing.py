@@ -769,8 +769,16 @@ def estimate_delta_from_cf(da: DataArray) -> str:
         step = float(np.median(diffs[diffs > 0])) if (diffs > 0).any() else 0.0
         if step == 0.0:
             raise ValueError(f"Coordinate {name!r} has no distinct values to estimate a grid spacing from.")
-        if units in ("degrees", "degrees_north") or units is None:
+        if units in ("degrees", "degrees_north") or (units is None and name in ("lat", "latitude")):
+            # explicit degree units, or a latitude-named coord (degrees is
+            # the only sensible reading) — NOT a bare "y", which on a
+            # projected grid is meters and must declare its units
             return f"{step * 111.2} km"
+        if units is None:
+            raise ValueError(
+                f"Coordinate {name!r} has no units attribute; set one (e.g. 'degrees_north', 'km') "
+                "or pass `delta` explicitly."
+            )
         return f"{step} {units}"
     raise ValueError("Could not find a latitude-like coordinate (units 'degrees_north' or name lat/latitude/y) to estimate the grid scale from.")
 

@@ -58,10 +58,11 @@ def update_xsdba_history(func):
             raise TypeError(
                 f"update_xsdba_history received a non-DataArray/Dataset output from {func.__name__}."
             )
-        das = [a for a in args if hasattr(a, "dims")]
-        kw = {k: v for k, v in kwargs.items() if not hasattr(v, "dims")}
+        # DataArrays passed by keyword count as inputs too: their histories
+        # merge and they appear (by name) in the rendered call string
+        das = [a for a in args if hasattr(a, "dims")] + [v for v in kwargs.values() if hasattr(v, "dims")]
         attrs["history"] = update_history(
-            gen_call_string(func.__name__, **kw), *das, new_name=getattr(out, "name", None)
+            gen_call_string(func.__name__, **kwargs), *das, new_name=getattr(out, "name", None)
         )
         return outs
 
