@@ -41,9 +41,11 @@ def main():
     xs = sort_rows_alternating(xs)
     float(jnp.nansum(jnp.where(jnp.isfinite(xs), xs, 0.0)))  # sync upload+sort
 
-    def timed(fuse):
+    def timed(fuse, tile_b=None):
         def run():
-            out = merged_window_rows_shared(xs, window, G, ymax=Ymax, fuse_classes=fuse)
+            out = merged_window_rows_shared(
+                xs, window, G, ymax=Ymax, fuse_classes=fuse, tile_b=tile_b
+            )
             return float(jnp.sum(jnp.where(jnp.isfinite(out), out, 0.0)))
 
         t0 = time.perf_counter()
@@ -57,10 +59,17 @@ def main():
         return s, t_compile, min(times)
 
     s0, c0, t0 = timed(False)
-    print(f"per-class : compile {c0:.1f}s  best {t0*1e3:.1f} ms  checksum {s0:.6g}", flush=True)
+    print(f"per-class  : compile {c0:.1f}s  best {t0*1e3:.1f} ms  checksum {s0:.6g}", flush=True)
     s1, c1, t1 = timed(True)
-    print(f"fused     : compile {c1:.1f}s  best {t1*1e3:.1f} ms  checksum {s1:.6g}", flush=True)
+    print(f"fused t16  : compile {c1:.1f}s  best {t1*1e3:.1f} ms  checksum {s1:.6g}", flush=True)
     print(f"match={s0 == s1}  speedup={t0 / t1:.2f}x", flush=True)
+    try:
+        # the fused program holds classes x out_rows of state per tile —
+        # a smaller batch tile may fit VMEM better than the per-class tune
+        s2, c2, t2 = timed(True, tile_b=8)
+        print(f"fused t8   : compile {c2:.1f}s  best {t2*1e3:.1f} ms  match={s2 == s0}", flush=True)
+    except Exception as err:
+        print(f"fused t8 failed: {err}", flush=True)
 
 
 if __name__ == "__main__":
