@@ -114,3 +114,16 @@ def test_week_grouping_uses_isoweek_on_standard():
     tn = date_range("2004-12-25", periods=30, freq="D", calendar="noleap")
     gn = Grouper("time.week").group_of(tn)
     np.testing.assert_array_equal(gn, np.minimum((tn.dayofyear - 1) // 7, 52))
+
+
+def test_parse_offset_seconds_vs_anchored():
+    """Plain 'S' is the seconds frequency — the anchored-suffix strip must
+    not swallow it (only YS/MS/QS/YE/... carry anchor suffixes)."""
+    from xsdba_tpu.utils.calendar import compare_offsets, construct_offset, parse_offset
+
+    assert parse_offset("S") == (1, "S", True, None)
+    assert compare_offsets("S", "<", "D")
+    assert parse_offset("MS")[1:3] == ("M", True)
+    assert parse_offset("ME")[1:3] == ("M", False)
+    assert parse_offset("YS")[1:3] == ("Y", True)
+    assert construct_offset(*parse_offset("S")) == "S"

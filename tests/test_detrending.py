@@ -180,3 +180,12 @@ def test_dqm_detrend_object(random):
     scen = dqm.adjust(h, detrend=LoessDetrend(f=0.3, niter=1, d=0))
     sv = np.asarray(scen.data)
     assert sv.mean() == pytest.approx(10, abs=0.3)
+
+
+def test_loess_detrend_warns_on_unsupported_options():
+    from xsdba_tpu.detrending import LoessDetrend
+
+    with pytest.warns(UserWarning, match="equal_spacing"):
+        LoessDetrend(equal_spacing=False)
+    with pytest.warns(UserWarning, match="skipna"):
+        LoessDetrend(skipna=False)

@@ -92,3 +92,17 @@ def test_pca_roundtrip(tmp_path, random):
     s1 = pca.adjust(mk(hist_v))
     s2 = restored.adjust(mk(hist_v))
     np.testing.assert_allclose(np.asarray(s1.data), np.asarray(s2.data), rtol=1e-10)
+
+
+def test_grouper_add_dims_json_roundtrip():
+    """Grouper serialization must carry add_dims (pooled-dimension grouping
+    would otherwise be silently dropped by save/from_file)."""
+    from xsdba_tpu.utils.grouper import Grouper
+    from xsdba_tpu.utils.params import _decode_param, _encode_param
+
+    g = Grouper("time.month", add_dims=["realization"])
+    g2 = _decode_param(_encode_param(g))
+    assert list(g2.add_dims) == ["realization"]
+    assert g2.name == g.name and g2.window == g.window
+    g3 = _decode_param(_encode_param(Grouper("time.dayofyear", window=5)))
+    assert not g3.add_dims

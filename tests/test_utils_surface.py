@@ -153,3 +153,68 @@ def test_profiling_helpers(tmp_path):
     assert sum(len(fs) for _, _, fs in os.walk(d)) > 0
     best, out = timed(f, x, reps=2)
     assert best > 0 and out.shape == (8, 64)
+
+
+def test_timelonlatseries_attrs_match_reference():
+    """tas -> temperature attrs, pr -> precip attrs, anything else raises
+    (reference testing/sdba_utils.py:42-57)."""
+    from xsdba_tpu.testing import timelonlatseries
+
+    tas = timelonlatseries(np.zeros(5), "tas")
+    assert tas.attrs["units"] == "K" and tas.attrs["kind"] == "+"
+    pr = timelonlatseries(np.zeros(5), "pr")
+    assert pr.attrs["units"] == "kg m-2 s-1" and pr.attrs["kind"] == "*"
+    with pytest.raises(ValueError, match="not supported"):
+        timelonlatseries(np.zeros(5), "tasmax")
+
+
+def test_rand_rot_matrix_f64_orthogonal():
+    """dtype=float64 must generate AND orthogonalize in f64 (a cast-up f32
+    QR is only ~1e-7 orthogonal)."""
+    import jax.numpy as jnp
+
+    from xsdba_tpu.ops.rotation import rand_rot_matrix
+
+    R = rand_rot_matrix(6, num=4, dtype=jnp.float64)
+    assert R.dtype == jnp.float64
+    err = float(jnp.max(jnp.abs(R @ jnp.swapaxes(R, -1, -2) - jnp.eye(6, dtype=R.dtype))))
+    assert err < 1e-12
+
+
+def test_sel_list_missing_label_raises():
+    da = DataArray(
+        np.arange(6.0).reshape(2, 3), ("site", "x"),
+        {"site": np.array(["a", "b"]), "x": np.arange(3)}, {}, "v",
+    )
+    got = da.sel(site=["b", "a"])
+    np.testing.assert_array_equal(np.asarray(got.data), [[3, 4, 5], [0, 1, 2]])
+    with pytest.raises(KeyError, match="not found"):
+        da.sel(site=["a", "zzz"])
+
+
+def test_to_xarray_dataset_branch(monkeypatch):
+    """to_xarray on a Dataset must take the Dataset branch (it has no
+    .coords); exercised against a stub xarray module (none is installed)."""
+    import sys
+    import types
+
+    from xsdba_tpu.utils.container import Dataset, to_xarray
+
+    fake = types.ModuleType("xarray")
+
+    class FakeDA:
+        def __init__(self, data=None, dims=None, coords=None, attrs=None, name=None):
+            self.data, self.dims, self.coords, self.attrs, self.name = data, dims, coords, attrs, name
+
+    class FakeDS:
+        def __init__(self, data_vars, attrs=None):
+            self.data_vars, self.attrs = data_vars, attrs
+
+    fake.DataArray, fake.Dataset = FakeDA, FakeDS
+    monkeypatch.setitem(sys.modules, "xarray", fake)
+
+    da = DataArray(np.arange(3.0), ("x",), {"x": np.arange(3)}, {"units": ""}, "v")
+    out = to_xarray(Dataset({"v": da}, attrs={"k": 1}))
+    assert isinstance(out, FakeDS) and out.attrs == {"k": 1}
+    assert isinstance(out.data_vars["v"], FakeDA)
+    np.testing.assert_array_equal(out.data_vars["v"].data, np.arange(3.0))

@@ -55,6 +55,9 @@ def main(argv=None) -> int:
         import os
 
         bench = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py")
+        if not os.path.exists(bench):  # installed wheel: bench.py ships with the source checkout only
+            print("bench.py not found: the bench harness runs from a source checkout of the repository.", file=sys.stderr)
+            return 1
         runpy.run_path(bench, run_name="__main__")
         return 0
     parser.print_help()

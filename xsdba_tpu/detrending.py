@@ -141,6 +141,23 @@ class LoessDetrend(BaseDetrend):
     regression with tricube/gaussian weights and robustness iterations."""
 
     def __init__(self, group="time", kind=ADDITIVE, f=0.2, niter=1, d=0, weights="tricube", equal_spacing=None, skipna=True, mult_skip_zeros=False):
+        import warnings
+
+        # accepted for reference API parity, but this implementation always
+        # runs the equal-spacing core with NaNs zero-weighted (the two
+        # documented LOESS deviations, measured and bounded in PARITY.md)
+        if equal_spacing is False:
+            warnings.warn(
+                "LoessDetrend: equal_spacing=False is not supported — samples are "
+                "treated as equally spaced (docs/PARITY.md).",
+                UserWarning, stacklevel=2,
+            )
+        if skipna is False:
+            warnings.warn(
+                "LoessDetrend: skipna=False is not supported — NaNs are always "
+                "zero-weighted (docs/PARITY.md).",
+                UserWarning, stacklevel=2,
+            )
         super().__init__(group=group, kind=kind, f=f, niter=niter, d=d, weights=weights, equal_spacing=equal_spacing, skipna=skipna, mult_skip_zeros=mult_skip_zeros)
 
     def _get_trend(self, da):

@@ -64,6 +64,10 @@ def npdft_train_core(ref, hist, rots, quantiles, *, interp: str, extrap: str, n_
         qtab = jnp.broadcast_to(quantiles, hist_q.shape)
         af = interp1d_table(rnk, qtab, af_q, interp, extrap)
         h = h + af
+        # n_escore == 0 skips here (MBCn-train semantics, reference
+        # _adjustment.py:308,325: `if n_escore > 0`) while the
+        # NpdfTransform core below computes at 0 (adjustment.py:1034:
+        # `>= 0`, "0 for all") — the reference's own asymmetry, kept
         esc = escore(r[..., ::stride], h[..., ::stride]) if n_escore > 0 else jnp.full(r.shape[:-2], jnp.nan, r.dtype)
         return (r, h), (af_q, esc)
 

@@ -67,7 +67,7 @@ class EmpiricalQuantileMapping(TrainAdjust):
             refa, bdims, bcoords = to_compute(ref)
             hista, _, _ = to_compute(hist)
             gi_t = gi
-        quantiles = quantiles.astype(np.asarray(refa).dtype)
+        quantiles = quantiles.astype(refa.dtype)  # .dtype reads metadata; np.asarray would fetch the whole device array
 
         hist_q_raw = None
         if max_tail_factor is not None:

@@ -17,11 +17,13 @@ __all__ = ["rand_rot_matrix"]
 
 @functools.partial(jax.jit, static_argnames=("n", "num", "dtype"))
 def _rand_rot_jit(key, *, n: int, num: int, dtype):
-    Z = jax.random.normal(key, (num, n, n), dtype=jnp.float32)
+    # generate AND orthogonalize in the requested dtype: a float32 QR cast
+    # up would only be orthogonal to ~1e-7
+    Z = jax.random.normal(key, (num, n, n), dtype=dtype)
     Q, R = jnp.linalg.qr(Z)
     d = jnp.diagonal(R, axis1=-2, axis2=-1)
     lam = d / jnp.abs(d)
-    return (Q * lam[..., None, :]).astype(dtype)
+    return Q * lam[..., None, :]
 
 
 def rand_rot_matrix(n: int, num: int = 1, key=None, dtype=jnp.float32):

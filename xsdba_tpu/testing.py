@@ -35,11 +35,12 @@ def timelonlatseries(values, name: str = "tas", start: str = "2000-01-01") -> Da
     coords = {"time": t}
     for i, d in enumerate(dims[1:], start=1):
         coords[d] = np.arange(values.shape[i])
-    attrs = (
-        {"standard_name": "air_temperature", "units": "K", "kind": "+"}
-        if name == "tas"
-        else {"standard_name": "precipitation_flux", "units": "kg m-2 s-1", "kind": "*"}
-    )
+    if name == "tas":
+        attrs = {"standard_name": "air_temperature", "units": "K", "kind": "+"}
+    elif name == "pr":
+        attrs = {"standard_name": "precipitation_flux", "units": "kg m-2 s-1", "kind": "*"}
+    else:  # the reference supports exactly these two (sdba_utils.py:42-57)
+        raise ValueError(f"Name `{name}` not supported.")
     return DataArray(values, dims, coords, attrs, name)
 
 

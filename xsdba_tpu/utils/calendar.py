@@ -355,8 +355,9 @@ def parse_offset(freq: str) -> tuple[int, str, bool, str | None]:
     mult = int(m.group(1)) if m.group(1) else 1
     base = m.group(2)
     anchor = m.group(3)
-    start = base.endswith("S") or base[0] not in "AYQM"
-    if base.endswith(("S", "E")):
+    anchored = len(base) > 1 and base[0] in "AYQM"  # YS/ME/QS/... — NOT plain "S" (seconds)
+    start = (anchored and base.endswith("S")) or base[0] not in "AYQM"
+    if anchored and base.endswith(("S", "E")):
         base = base[:-1]
     if base == "W":
         # weekly lowers to 7-day periods; the weekday anchor is dropped, as in

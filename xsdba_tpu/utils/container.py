@@ -172,7 +172,11 @@ class DataArray:
                     coords = {k: v for k, v in out.coords.items() if k != dim}
                     out = DataArray(data, dims, coords, dict(out.attrs), out.name)
                 else:
-                    idx = np.concatenate([np.flatnonzero(cv == v) for v in lab])
+                    hits = [np.flatnonzero(cv == v) for v in lab]
+                    missing = [v for v, h in zip(lab, hits) if len(h) == 0]
+                    if missing:
+                        raise KeyError(f"{missing!r} not found in coordinate {dim!r}")
+                    idx = np.concatenate(hits)
                     out = out.isel(**{dim: idx})
         return out
 
@@ -345,6 +349,9 @@ def to_xarray(da):
     """Convert back to xarray (requires xarray + a datetime backend)."""
     import xarray as xr
 
+    if isinstance(da, Dataset):  # Dataset has no .coords; recurse per variable
+        return xr.Dataset({k: to_xarray(v) for k, v in da.items()}, attrs=da.attrs)
+
     coords = {}
     for name, c in da.coords.items():
         if isinstance(c, TimeIndex):
@@ -357,7 +364,5 @@ def to_xarray(da):
             )
         elif np.ndim(c) == 1 and len(c) in da.shape:
             coords[name] = np.asarray(c)
-    if isinstance(da, Dataset):
-        return xr.Dataset({k: to_xarray(v) for k, v in da.items()}, attrs=da.attrs)
     dims_coords = {d: coords[d] for d in da.dims if d in coords}
     return xr.DataArray(np.asarray(da.data), dims=da.dims, coords=dims_coords, attrs={k: v for k, v in da.attrs.items() if not isinstance(v, dict)}, name=da.name)

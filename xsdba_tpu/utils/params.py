@@ -24,7 +24,7 @@ _ATTRIBUTE = "_xsdba_parameters"
 
 def _encode_param(v):
     if isinstance(v, Grouper):
-        return {"__grouper__": True, "group": v.name, "window": v.window}
+        return {"__grouper__": True, "group": v.name, "window": v.window, "add_dims": list(v.add_dims or [])}
     if isinstance(v, np.ndarray):
         return {"__ndarray__": True, "data": v.tolist(), "dtype": str(v.dtype)}
     if isinstance(v, (np.integer,)):
@@ -36,7 +36,7 @@ def _encode_param(v):
 
 def _decode_param(v):
     if isinstance(v, dict) and v.get("__grouper__"):
-        return Grouper(v["group"], window=v["window"])
+        return Grouper(v["group"], window=v["window"], add_dims=v.get("add_dims") or None)
     if isinstance(v, dict) and v.get("__ndarray__"):
         return np.asarray(v["data"], dtype=v["dtype"])
     return v
