@@ -231,3 +231,20 @@ def test_public_interp_on_quantiles_monthly_no_nans(random):
     for interp in ("nearest", "linear"):
         afi = interp_on_quantiles(sim, mkq(hist_q), mkq(af), group="time.month", method=interp, extrapolation="constant")
         assert np.isnan(np.asarray(afi.data)).sum() == 0, interp
+
+
+def test_single_valid_pair_exact_match():
+    """A table with ONE valid pair must return its y at v == x (the NaN pad
+    neighbour used to poison the 0-weighted blend)."""
+    import jax.numpy as jnp
+
+    from xsdba_tpu.ops.interp import interp1d_table
+
+    xq = jnp.array([2.0, jnp.nan, jnp.nan, jnp.nan])
+    yq = jnp.array([7.0, jnp.nan, jnp.nan, jnp.nan])
+    for nq_pad in (0, 100):  # small table (unrolled) and large (gathered)
+        xqp = jnp.concatenate([xq, jnp.full(nq_pad, jnp.nan)])
+        yqp = jnp.concatenate([yq, jnp.full(nq_pad, jnp.nan)])
+        v = jnp.array([2.0, 1.0, 3.0])
+        out = np.asarray(interp1d_table(v, xqp, yqp, "linear", "constant"))
+        np.testing.assert_allclose(out, [7.0, 7.0, 7.0])

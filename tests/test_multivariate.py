@@ -266,7 +266,7 @@ class TestNpdfTransformArbitraryBase:
             NpdfTransform, EmpiricalQuantileMapping,
             {"kind": "+"}, {"interp": "linear", "extrapolation": "constant"},
             Grouper("time"), equally_spaced_nodes(15),
-            ref, hist, refa, hista, hista.copy(),
+            ref, hist, hist, refa, hista, hista.copy(),
             jnp.asarray(rot), -1,
         )
         fast_scenh = np.asarray(fast["scenh"].data)
@@ -331,3 +331,29 @@ def test_mbcn_site_batch_and_dim_order(random):
     obj0 = MBCn.train(one(r1, 1), one(h1, 1), rot_matrices=rot, **kw)
     scen0 = obj0.adjust(one(s1, 1), one(r1, 1), one(h1, 1))
     np.testing.assert_allclose(np.asarray(scen.data)[1], np.asarray(scen0.data), rtol=1e-10, atol=1e-10)
+
+
+def test_npdf_batched_escores_dims(random):
+    """NpdfTransform with a site batch dim: escores carry [site, iterations]
+    (wrapping them as 1-D used to crash after the whole adjustment ran)."""
+    n, S = 300, 3
+    t = date_range("2000-01-01", periods=n, freq="D", calendar="noleap")
+
+    def mk(mu):
+        v = random.normal(mu, 1, (S, n))
+        p = random.normal(mu + 5, 1, (S, n))
+        return stack_variables(
+            Dataset(
+                {
+                    "tas": DataArray(v, ("site", "time"), {"time": t, "site": np.arange(S)}, {"units": "K"}, "tas"),
+                    "pr": DataArray(p, ("site", "time"), {"time": t, "site": np.arange(S)}, {"units": "mm/d"}, "pr"),
+                }
+            )
+        )
+
+    with set_options(extra_output=True):
+        out = NpdfTransform.adjust(mk(0.0), mk(2.0), n_iter=3, n_escore=50)
+    esc = out["escores"]
+    assert esc.dims == ("site", "iterations")
+    assert np.asarray(esc.data).shape == (S, 3)
+    assert np.isfinite(np.asarray(esc.data)).all()

@@ -123,3 +123,14 @@ def test_adapt_freq_rolling_window(random):
     dry_sim = (pr_sim <= 1).mean()
     dry_ad = (sim_ad <= 1).mean()
     assert abs(dry_ad - dry_ref) < abs(dry_sim - dry_ref) * 0.25
+
+
+def test_jitter_minimum_bounds_noise(random):
+    """`minimum` is the lower bound of the under-threshold noise (reference
+    processing.py:124-224), not machine epsilon."""
+    from xsdba_tpu.processing import jitter
+
+    x = series(np.zeros(2000), "mm/d", name="pr")
+    out = np.asarray(jitter(x, lower="1 mm/d", minimum="0.5 mm/d").data)
+    assert out.min() >= 0.5 and out.max() < 1.0
+    assert out.std() > 0.01  # actually jittered

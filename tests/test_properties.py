@@ -184,9 +184,18 @@ class TestMeasures:
         assert float(np.asarray(measures.ratio(s, r).data)) == pytest.approx(1.2)
 
     def test_circular_bias(self):
-        s = xt.DataArray(np.array(360.0), (), {}, {"units": ""}, "x")
-        r = xt.DataArray(np.array(5.0), (), {}, {"units": ""}, "x")
-        assert float(np.asarray(measures.circular_bias(s, r).data)) == pytest.approx(-10.0)
+        def cb(sv, rv):
+            s = xt.DataArray(np.array(sv), (), {}, {"units": ""}, "x")
+            r = xt.DataArray(np.array(rv), (), {}, {"units": ""}, "x")
+            return float(np.asarray(measures.circular_bias(s, r).data))
+
+        assert cb(360.0, 5.0) == pytest.approx(-10.0)
+        # the reference's sign is the LINEAR ref >= sim comparison: doy 365
+        # vs 1 gives -1 (its own docstring example), but 10 vs 9 also -1
+        assert cb(365.0, 1.0) == pytest.approx(-1.0)
+        assert cb(10.0, 9.0) == pytest.approx(-1.0)
+        assert cb(1.0, 365.0) == pytest.approx(1.0)
+        assert cb(100.0, 300.0) == pytest.approx(165.0)
 
     def test_rmse_mae(self, random):
         x = random.normal(10, 1, 500)

@@ -94,3 +94,36 @@ class TestSBCKGateway:
         s0 = classes["SBCK_QM"].adjust(ref, hist, sim, delta=0.0)
         s5 = classes["SBCK_QM"].adjust(ref, hist, sim, delta=5.0)
         np.testing.assert_allclose(np.asarray(s5.data) - np.asarray(s0.data), 5.0, rtol=1e-12)
+
+
+class _FakeCoupledQM:
+    """Shift model whose fit couples all columns (scalar global-mean shift):
+    distinguishes one joint fit from per-series fits."""
+
+    def fit(self, Y0, X0, X1):
+        self.shift = float(np.mean(Y0) - np.mean(X0))
+
+    def predict(self, X1):
+        return X1 + self.shift
+
+
+def test_non_multidim_vectorizes_per_series(monkeypatch):
+    """Without multi_dim, every extra dim is a SEPARATE univariate fit (the
+    reference's apply_ufunc(vectorize=True)) — a joint [time, sites] fit
+    would couple the sites."""
+    import types
+
+    mod = types.ModuleType("SBCK")
+    mod.QM = _FakeCoupledQM
+    monkeypatch.setitem(sys.modules, "SBCK", mod)
+    from xsdba_tpu.models.sbck import generate_sbck_classes
+
+    (name, cls), = generate_sbck_classes()
+    ref = _mk(np.stack([np.full(30, 10.0), np.full(30, 100.0)]), ("site", "time"))
+    hist = _mk(np.stack([np.full(30, 12.0), np.full(30, 110.0)]), ("site", "time"))
+    scen = cls.adjust(ref, hist, hist.copy())
+    sv = np.asarray(scen.data)
+    # per-series: site 0 shifted by -2, site 1 by -10 (a joint fit would
+    # apply the same pooled -6 shift to both)
+    np.testing.assert_allclose(sv[0], np.full(30, 10.0), atol=1e-12)
+    np.testing.assert_allclose(sv[1], np.full(30, 100.0), atol=1e-12)

@@ -92,3 +92,31 @@ def test_units_registry_facade():
     assert units.Quantity(3, "degC").magnitude == 3
     assert units.Quantity(3).units.dims == (0, 0, 0, 0)
     assert units.Quantity(5, units="K").to("degC").magnitude == pytest.approx(-268.15)
+
+
+def test_stacked_adjust_converts_sim_to_train_units(random):
+    """train on stacked K data, adjust a degC sim: the per-variable training
+    units (stored as train_units) must drive the conversion — the K-space
+    factors applied to raw degC magnitudes would be silently wrong."""
+    import xsdba_tpu as xt
+    from xsdba_tpu.processing import stack_variables
+
+    t = xt.date_range("2001-01-01", periods=365, freq="D", calendar="noleap")
+
+    def mkds(tas_vals, units):
+        return xt.Dataset(
+            {
+                "tasmax": xt.DataArray(np.asarray(tas_vals), ("time",), {"time": t}, {"units": units}, "tasmax"),
+                "pr": xt.DataArray(np.abs(random.normal(2, 1, len(t))), ("time",), {"time": t}, {"units": "mm/d"}, "pr"),
+            }
+        )
+
+    ref = stack_variables(mkds(random.normal(285, 3, len(t)), "K"))
+    hist = stack_variables(mkds(random.normal(287, 3, len(t)), "K"))
+    eqm = xt.EmpiricalQuantileMapping.train(ref, hist, group="time", nquantiles=20)
+    simC = stack_variables(mkds(random.normal(14, 3, len(t)), "degC"))
+    scen = eqm.adjust(simC, interp="linear")
+    names = list(np.asarray(scen.coords["multivar"]))
+    tasrow = np.asarray(scen.data)[names.index("tasmax")]
+    assert 270 < float(np.nanmean(tasrow)) < 300  # Kelvin scale, not ~12 degC
+    assert scen.attrs["_variable_attrs"]["tasmax"]["units"] == "K"

@@ -218,3 +218,17 @@ def test_to_xarray_dataset_branch(monkeypatch):
     assert isinstance(out, FakeDS) and out.attrs == {"k": 1}
     assert isinstance(out.data_vars["v"], FakeDA)
     np.testing.assert_array_equal(out.data_vars["v"].data, np.arange(3.0))
+
+
+def test_set_options_global_visible_across_threads():
+    """A main-thread global set_options must be visible in worker threads
+    (the reference's OPTIONS dict is process-global)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from xsdba_tpu.utils.options import EXTRA_OUTPUT, get_option, set_options
+
+    assert get_option(EXTRA_OUTPUT) is False
+    with set_options(extra_output=True):
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            assert pool.submit(get_option, EXTRA_OUTPUT).result() is True
+    assert get_option(EXTRA_OUTPUT) is False

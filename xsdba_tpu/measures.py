@@ -118,11 +118,16 @@ def _relative_bias(sim: DataArray, ref: DataArray) -> DataArray:
 
 
 def _circular_bias(sim: DataArray, ref: DataArray) -> DataArray:
-    """Day-of-year bias on the circle (reference measures.py:189-215):
-    smallest signed distance mod 365."""
+    """Day-of-year bias on the circle (reference measures.py:189-215).
+
+    Exact reference formula: the magnitude is the minimal circular distance
+    mod 365, but the SIGN comes from the linear comparison ``ref >= sim``
+    (positive when ref is the linearly larger doy) — reproduced as-is,
+    quirks included, for value parity."""
     s, r, sim = _pair(sim, ref)
     d = (s - r) % 365
-    out = jnp.where(d > 365 / 2, d - 365, d)
+    mag = jnp.where(d > 365 / 2, 365 - d, d)
+    out = jnp.where(r >= s, mag, -mag)
     return _wrap(sim, out, "circular_bias", "d")
 
 

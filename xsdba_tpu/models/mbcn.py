@@ -454,7 +454,7 @@ class NpdfTransform(Adjust):
         if base_name is None:
             scenh, scens, escores = _npdf_loop_general(
                 cls, base, base_kws, adj_kws, group, quantiles,
-                ref, hist, refa, hista, sima,
+                ref, hist, sim, refa, hista, sima,
                 jnp.asarray(rot, dtype=refa.dtype), int(n_escore),
             )
             return cls._npdft_wrap_outputs(scenh, scens, escores, sim, hist)
@@ -493,16 +493,20 @@ class NpdfTransform(Adjust):
             da = DataArray(arr, lc.dims, dict(lc.coords), dict(like.attrs), name)
             return da.transpose(*like.dims) if lc.dims != like.dims else da
 
+        # escores: [batch..., n_iter] — batch dims are sim's dims without the
+        # leading pts_dim and trailing time (the cores' [batch, V, T] layout)
+        bdims = sim.dims[1:-1]
+        bcoords = {d: sim.coords[d] for d in bdims if d in sim.coords}
         return Dataset(
             {
                 "scen": _wrap(scens, sim, "scen"),
                 "scenh": _wrap(scenh, hist, "scenh"),
-                "escores": DataArray(escores, ("iterations",), {}, {}, "escores"),
+                "escores": DataArray(escores, bdims + ("iterations",), bcoords, {}, "escores"),
             }
         )
 
 
-def _npdf_loop_general(cls, base, base_kws, adj_kws, group, quantiles, ref, hist, refa, hista, sima, rots, n_escore):
+def _npdf_loop_general(cls, base, base_kws, adj_kws, group, quantiles, ref, hist, sim, refa, hista, sima, rots, n_escore):
     """NpdfTransform with an arbitrary TrainAdjust base: the reference's
     per-iteration loop (``_adjustment.py:1005-1037``) — rotate, train the base
     on the rotated pair, adjust rotated hist & sim, rotate back — dispatched
@@ -534,7 +538,9 @@ def _npdf_loop_general(cls, base, base_kws, adj_kws, group, quantiles, ref, hist
         with set_options(extra_output=False, as_dataset=False):
             ADJ = base.train(wrap(refp, ref), wrap(hp, hist), group=group, skip_input_checks=True, **train_kws)
             scenhp = ADJ.adjust(wrap(hp, hist), skip_input_checks=True, **adj_kws)
-            scensp = ADJ.adjust(wrap(sp, hist), skip_input_checks=True, **adj_kws)
+            # sim must carry its OWN time coords: the base adjustment derives
+            # its group indexes (and any calendar logic) from the wrapped time
+            scensp = ADJ.adjust(wrap(sp, sim), skip_input_checks=True, **adj_kws)
         hb = jnp.moveaxis(jnp.asarray(scenhp.move_dim_last("time").data), 0, -2)
         sb = jnp.moveaxis(jnp.asarray(scensp.move_dim_last("time").data), 0, -2)
         h = jnp.einsum("ji,...jl->...il", R, hb)

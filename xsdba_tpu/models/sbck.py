@@ -30,26 +30,32 @@ def _wrap_sbck_class(sbck_cls) -> type:
             def _apply(r, h, s):
                 obj = cls.sbck(**kwargs)
                 obj.fit(Y0=r, X0=h, X1=s)
-                out = obj.predict(X1=s)
-                return out[:, 0] if (out.ndim == 2 and np.ndim(s) == 1) else out
+                return np.asarray(obj.predict(X1=s))
 
-            r = np.asarray(ref.move_dim_last("time").data)
-            h = np.asarray(hist.move_dim_last("time").data)
-            s = np.asarray(sim.move_dim_last("time").data)
+            simc = sim.move_dim_last("time")
             if multi_dim is not None:
-                # SBCK expects [time, variables]
+                # SBCK expects [time, variables]: ONE joint fit over multi_dim
                 def _tv(da):
                     dac = da.move_dim_last("time")
                     ax = dac.dims.index(multi_dim)
                     return np.moveaxis(np.asarray(dac.data), ax, -1)
 
-                simc = sim.move_dim_last("time")
                 out = _apply(_tv(ref), _tv(hist), _tv(sim))          # [time, vars]
                 out = np.moveaxis(out, -1, simc.dims.index(multi_dim))
                 return DataArray(out, simc.dims, dict(simc.coords), dict(sim.attrs), "scen")
-            out = _apply(r[:, None] if r.ndim == 1 else r.T, h[:, None] if h.ndim == 1 else h.T, s[:, None] if s.ndim == 1 else s.T)
-            out = out.ravel() if np.ndim(sim.data) == 1 else out.T
-            simc = sim.move_dim_last("time")
+
+            # without multi_dim, every extra dim is a separate univariate fit
+            # (the reference's apply_ufunc(vectorize=True) over non-core dims)
+            r = np.asarray(ref.move_dim_last("time").data)
+            h = np.asarray(hist.move_dim_last("time").data)
+            s = np.asarray(simc.data)
+            lead = s.shape[:-1]
+            rf, hf, sf = (a.reshape(-1, a.shape[-1]) for a in (r, h, s))
+            rows = [
+                _apply(rf[i][:, None], hf[i][:, None], sf[i][:, None]).reshape(-1)
+                for i in range(sf.shape[0])
+            ]
+            out = np.stack(rows).reshape(lead + (s.shape[-1],))
             return DataArray(out, simc.dims, dict(simc.coords), dict(sim.attrs), "scen")
 
     return _SBCKAdjust

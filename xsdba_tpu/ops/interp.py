@@ -125,6 +125,9 @@ def _interp_unrolled(v, xs, ys, nvalid, method: str, extrap: str):
         x_last = jnp.where(ml, xk, x_last)
         y_last = jnp.where(ml, yk, y_last)
 
+    # a single-valid-pair table pairs y0 with the NaN pad slot: t is 0
+    # there, but 0 * (NaN - y0) would still poison the blend
+    y1 = jnp.where(jnp.isnan(y1), y0, y1)
     dx = x1 - x0
     t = jnp.where(dx > 0, (v - x0) / jnp.where(dx == 0, 1, dx), 0.0)
     t = jnp.where(jnp.isfinite(t), t, 0.0)
@@ -169,6 +172,7 @@ def _interp_gathered(v, xs, ys, nvalid, method: str, extrap: str):
     at_end = k0 == nq - 1
     x1 = jnp.where(at_end, jnp.inf, take(xs, k1))
     y1 = jnp.where(at_end, y0, take(ys, k1))
+    y1 = jnp.where(jnp.isnan(y1), y0, y1)  # single-valid-pair: NaN pad slot
     last = jnp.clip(nvalid - 1, 0, nq - 1)[..., None] * jnp.ones_like(k0)
     x_last = take(xs, last)
     y_last = take(ys, last)

@@ -53,16 +53,18 @@ __all__ = [
 # ---------------------------------------------------------------------------
 
 
-def _jitter_core(x, lower: float | None, upper: float | None, upper_bnd: float | None, key=None):
-    """Replace values below ``lower`` with U(minimum, lower) noise and values
-    above ``upper`` with U(upper, upper_bnd) noise.  NaN-preserving."""
+def _jitter_core(x, lower: float | None, upper: float | None, upper_bnd: float | None, key=None, lower_bnd: float | None = None):
+    """Replace values below ``lower`` with U(lower_bnd, lower) noise and
+    values above ``upper`` with U(upper, upper_bnd) noise.  NaN-preserving.
+    ``lower_bnd`` defaults to machine epsilon (noise stays strictly
+    positive)."""
     x = jnp.asarray(x)
     key = next_key() if key is None else key
     out = x
     if lower is not None:
-        eps = jnp.finfo(x.dtype).eps
+        lo_bnd = jnp.finfo(x.dtype).eps if lower_bnd is None else lower_bnd
         k1, key = jax.random.split(key)
-        noise = jax.random.uniform(k1, x.shape, dtype=x.dtype, minval=eps, maxval=lower)
+        noise = jax.random.uniform(k1, x.shape, dtype=x.dtype, minval=lo_bnd, maxval=lower)
         out = jnp.where(out < lower, noise, out)
     if upper is not None:
         if upper_bnd is None:
@@ -84,8 +86,9 @@ def jitter(
     processing.py:124-224).  ``minimum``/``maximum`` bound the noise."""
     lo = convert_units_to(lower, x.units) if lower is not None else None
     up = convert_units_to(upper, x.units) if upper is not None else None
+    mn = convert_units_to(minimum, x.units) if minimum is not None else None
     mx = convert_units_to(maximum, x.units) if maximum is not None else None
-    out = _jitter_core(x.data, lo, up, mx)
+    out = _jitter_core(x.data, lo, up, mx, lower_bnd=mn)
     res = x.copy(data=out)
     res.attrs["history"] = update_history(f"jitter(x, lower={lower}, upper={upper})", x)
     return res

@@ -3,7 +3,6 @@
 from __future__ import annotations
 
 import contextlib
-import threading
 
 __all__ = ["AS_DATASET", "EXTRA_OUTPUT", "OPTIONS", "get_option", "set_options"]
 
@@ -11,13 +10,13 @@ EXTRA_OUTPUT = "extra_output"
 AS_DATASET = "as_dataset"
 
 _DEFAULTS = {EXTRA_OUTPUT: False, AS_DATASET: False}
-_local = threading.local()
+# process-global, like the reference's plain OPTIONS dict (options.py:12-83):
+# a main-thread set_options(...) must be visible to worker threads
+_GLOBAL_STACK = [dict(_DEFAULTS)]
 
 
 def _stack():
-    if not hasattr(_local, "stack"):
-        _local.stack = [dict(_DEFAULTS)]
-    return _local.stack
+    return _GLOBAL_STACK
 
 
 def get_option(name: str):

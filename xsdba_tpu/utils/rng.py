@@ -13,7 +13,9 @@ import jax
 
 __all__ = ["next_key", "seed"]
 
-_state = {"key": jax.random.key(0)}
+_state = {"key": None}  # created lazily: a key at import time would
+# initialize the JAX backend as a side effect of `import xsdba_tpu`,
+# before the user can configure platform or x64
 
 
 def seed(s: int) -> None:
@@ -22,6 +24,8 @@ def seed(s: int) -> None:
 
 
 def next_key():
-    """Return a fresh subkey (splits the global key)."""
+    """Return a fresh subkey (splits the global key; seed 0 on first use)."""
+    if _state["key"] is None:
+        _state["key"] = jax.random.key(0)
     _state["key"], sub = jax.random.split(_state["key"])
     return sub

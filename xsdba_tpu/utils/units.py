@@ -276,8 +276,18 @@ def harmonize_units(*arrays, target: str | None = None):
         return list(arrays), target or ""
 
     if any("_variable_attrs" in a.attrs for a in das):
-        ref_attrs = das[0].attrs.get("_variable_attrs", {})
-        tgt_units = {k: v.get("units", "") for k, v in ref_attrs.items()}
+        # stacked target: an explicit per-variable units mapping (the
+        # training units, passed back at adjust time — possibly as the JSON
+        # string a save/load round-trip produced), else the first array's
+        if isinstance(target, dict):
+            tgt_units = dict(target)
+        elif isinstance(target, str) and target.startswith("{"):
+            import json as _json
+
+            tgt_units = _json.loads(target)
+        else:
+            ref_attrs = das[0].attrs.get("_variable_attrs", {})
+            tgt_units = {k: v.get("units", "") for k, v in ref_attrs.items()}
         out = []
         for a in arrays:
             if not isinstance(a, DataArray) or "_variable_attrs" not in a.attrs:
@@ -299,7 +309,10 @@ def harmonize_units(*arrays, target: str | None = None):
             converted = a.copy(data=_jnp.stack(parts, axis=0))
             converted.attrs["_variable_attrs"] = var_attrs
             out.append(converted)
-        return out, ""
+        # JSON so the mapping survives the params (JSON header) round-trip
+        import json as _json
+
+        return out, _json.dumps(tgt_units, sort_keys=True)
 
     tgt = target if target not in (None, "") else das[0].units
     out = [convert_units_to(a, tgt) if isinstance(a, DataArray) else a for a in arrays]
