@@ -410,3 +410,44 @@ def test_decorrelation_length_matches_per_row_oracle():
         want[i] = centers[below[0]] if len(below) else radius
 
     np.testing.assert_allclose(got, want, rtol=1e-12, equal_nan=True)
+
+
+class TestReviewPass5:
+    def test_acf_default_group_is_season(self, random):
+        # the wrapper must honor the compute function's own default group
+        da = series(random.normal(10, 2, 365 * 3))
+        out = properties.acf(da)  # no group kwarg: "time.season" default
+        assert out.dims[-1] == "season" and out.shape[-1] == 4
+
+    def test_corr_btw_var_pvalue(self, random):
+        n = 500
+        x = random.normal(0, 1, n)
+        y = 0.6 * x + 0.8 * random.normal(0, 1, n)
+        da1, da2 = series(x), series(y, units="mm/d")
+        for ct, fn in (("Pearson", sps.pearsonr), ("Spearman", sps.spearmanr)):
+            p = float(np.asarray(properties.corr_btw_var(da1, da2, corr_type=ct, output="pvalue").data))
+            want = fn(x, y)[1]
+            assert p == pytest.approx(want, abs=1e-6), ct
+        with pytest.raises(ValueError, match="output"):
+            properties.corr_btw_var(da1, da2, output="zvalue")
+
+    def test_phase_properties_nan_site(self, random):
+        x = random.normal(10, 2, (2, 365 * 3))
+        x[1] = np.nan
+        t = xt.date_range("2000-01-01", periods=x.shape[-1], freq="D", calendar="noleap")
+        da = xt.DataArray(x, ("site", "time"), {"time": t}, {"units": "K"}, "tas")
+        for prop in (properties.annual_cycle_phase, properties.annual_cycle_asymmetry, properties.mean_annual_phase):
+            v = np.asarray(prop(da).data)
+            assert np.isfinite(v[0]), prop.identifier
+            assert np.isnan(v[1]), prop.identifier
+
+    def test_average_rank_inf_not_tied_with_nan(self):
+        from xsdba_tpu.ops.rank import average_rank
+
+        x = np.array([3.0, np.nan, 1.0, np.inf])
+        r = np.asarray(average_rank(x))
+        np.testing.assert_array_equal(r[[0, 2, 3]], [2.0, 1.0, 3.0])
+        assert np.isnan(r[1])
+        # ties among genuine values still average
+        r2 = np.asarray(average_rank(np.array([2.0, 2.0, np.nan, 1.0])))
+        np.testing.assert_array_equal(r2[[0, 1, 3]], [2.5, 2.5, 1.0])

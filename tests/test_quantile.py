@@ -72,10 +72,9 @@ def test_grouped_quantile_chunked_matches_full(random):
     np.testing.assert_allclose(full, chunked, rtol=1e-9)  # fusion-order fp noise
 
 
-def test_quantile_on_sorted_onehot_matches_gather():
-    """The uniform-validity one-hot fast path must be bit-identical to the
-    gather path (dispatched by a STATIC host-checked flag — a runtime
-    lax.cond would execute both branches on TPU)."""
+def test_quantile_on_sorted_inf_sentinel_oracle():
+    """The +inf-sentinel layout (merge-kernel rows) matches np.quantile of
+    the valid prefix."""
     import jax.numpy as jnp
 
     from xsdba_tpu.ops.quantile import _quantile_on_sorted
@@ -86,11 +85,6 @@ def test_quantile_on_sorted_onehot_matches_gather():
     m[..., :nv] = np.sort(rng.normal(0, 1, (B, G, nv)), axis=-1)
     q = np.linspace(0, 1, 31)
     uniform = jnp.full((B, G), nv, dtype=jnp.int32)
-    got_fast = np.asarray(
-        _quantile_on_sorted(jnp.asarray(m), uniform, jnp.asarray(q), 1.0, 1.0, sentinel="inf", assume_uniform=True)
-    )
-    got_slow = np.asarray(_quantile_on_sorted(jnp.asarray(m), uniform, jnp.asarray(q), 1.0, 1.0, sentinel="inf"))
-    np.testing.assert_array_equal(got_fast, got_slow)
-    # oracle: np.quantile of the valid part
+    got = np.asarray(_quantile_on_sorted(jnp.asarray(m), uniform, jnp.asarray(q), 1.0, 1.0, sentinel="inf"))
     want = np.quantile(m[2, 3, :nv], q)
-    np.testing.assert_allclose(got_fast[2, 3], want, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(got[2, 3], want, rtol=1e-12, atol=1e-12)

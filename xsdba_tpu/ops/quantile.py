@@ -36,9 +36,7 @@ def _lerp(left, right, gamma):
     return jnp.where(gamma >= 0.5, right - diff * (1 - gamma), out)
 
 
-def _quantile_on_sorted(
-    sorted_x, valid, quantiles, alpha, beta, sentinel: str = "nan", assume_uniform: bool = False
-):
+def _quantile_on_sorted(sorted_x, valid, quantiles, alpha, beta, sentinel: str = "nan"):
     """Type-7 quantiles given a pre-sorted (NaNs-last) last axis.
 
     sorted_x: [..., n]; valid: [...] count of non-NaN entries;
@@ -48,16 +46,8 @@ def _quantile_on_sorted(
     ``sentinel="inf"`` marks padding beyond ``valid`` as +inf instead of NaN
     (the merge-kernel layout, where min/max networks cannot carry NaNs); the
     out-of-range clip then tests +inf and all-empty rows yield NaN explicitly.
-
-    ``assume_uniform`` is a STATIC caller promise that every ``valid`` entry
-    is equal and all valid values are finite (the NaN-free norm; the caller
-    checks on host — see ``windowed_group_quantile``).  The selection then
-    runs as one one-hot matmul on the MXU instead of per-row gathers —
-    measured ~7x at production width.  A runtime ``lax.cond`` is NOT used:
-    XLA flattens it into executing both branches.
     """
     n = sorted_x.shape[-1]
-    q1d = jnp.ndim(quantiles) == 1
 
     def _indices(v):
         # v: [..., 1] valid counts (float).  Bounds handling
@@ -86,40 +76,13 @@ def _quantile_on_sorted(
             return jnp.where(vcount == 0, jnp.nan, out)
         return jnp.where(jnp.isnan(interp), max_valid, interp)
 
-    def _gather_path():
-        v = valid[..., None].astype(sorted_x.dtype)
-        prev_idx, next_idx, gamma = _indices(v)
-        left = jnp.take_along_axis(sorted_x, prev_idx, axis=-1)
-        right = jnp.take_along_axis(sorted_x, next_idx, axis=-1)
-        max_idx = jnp.clip(valid[..., None] - 1, 0, n - 1).astype(jnp.int32)
-        max_valid = jnp.take_along_axis(sorted_x, max_idx, axis=-1)
-        return _finish(left, right, gamma, max_valid, valid[..., None])
-
-    if not (sentinel == "inf" and q1d and assume_uniform):
-        return _gather_path()
-
-    # Uniform valid counts, finite valid values (caller-checked): every row
-    # reads the SAME (prev, next, nv-1) columns, so the selection is ONE
-    # [n, 2nq+1] one-hot matmul on the MXU.  Precision.HIGHEST makes f32
-    # selection exact (bf16x3 decomposes f32 exactly; {0,1} weights
-    # reconstruct the addends verbatim), so results are bit-identical to the
-    # gather path.  The +inf pad region (lanes >= nv) is zeroed before the
-    # matmul (inf*0 would poison the sum); any selected column landing in
-    # the pad region is restored to +inf so the NaN-range clip behaves
-    # exactly like the gather path.
-    v0i = valid.reshape(-1)[0]
-    v0 = v0i.astype(sorted_x.dtype)
-    prev_idx, next_idx, gamma = _indices(v0[None])
-    max_idx = jnp.clip(v0i.astype(jnp.int32) - 1, 0, n - 1)
-    idx = jnp.concatenate([prev_idx, next_idx, max_idx[None]])
-    oh = (jnp.arange(n, dtype=jnp.int32)[:, None] == idx[None, :]).astype(sorted_x.dtype)
-    lanes = jnp.arange(n, dtype=jnp.int32)
-    xs = jnp.where(lanes >= v0i, jnp.zeros((), sorted_x.dtype), sorted_x)
-    sel = jnp.einsum("...n,nk->...k", xs, oh, precision=jax.lax.Precision.HIGHEST)
-    sel = jnp.where(idx >= v0i, jnp.inf, sel)
-    nq = prev_idx.shape[0]
-    left, right, max_valid = sel[..., :nq], sel[..., nq : 2 * nq], sel[..., 2 * nq :]
-    return _finish(left, right, gamma, max_valid, v0)
+    v = valid[..., None].astype(sorted_x.dtype)
+    prev_idx, next_idx, gamma = _indices(v)
+    left = jnp.take_along_axis(sorted_x, prev_idx, axis=-1)
+    right = jnp.take_along_axis(sorted_x, next_idx, axis=-1)
+    max_idx = jnp.clip(valid[..., None] - 1, 0, n - 1).astype(jnp.int32)
+    max_valid = jnp.take_along_axis(sorted_x, max_idx, axis=-1)
+    return _finish(left, right, gamma, max_valid, valid[..., None])
 
 
 def nan_quantile(x, quantiles, axis: int = -1, alpha: float = 1.0, beta: float = 1.0):

@@ -33,11 +33,16 @@ def average_rank(x, axis: int = -1):
     n = x.shape[-1]
     nan = jnp.isnan(x)
     key = jnp.where(nan, jnp.inf, x)
+    # secondary key: NaNs sort AFTER genuine +inf values and never join
+    # their tie-run (a lone +inf next to the NaN block would otherwise be
+    # averaged over the NaN positions)
+    nankey = nan.astype(jnp.int32)
     iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), x.shape)
-    s, perm = jax.lax.sort((key, iota), dimension=x.ndim - 1, num_keys=1)
+    s, snan, perm = jax.lax.sort((key, nankey, iota), dimension=x.ndim - 1, num_keys=2)
     pos = jnp.arange(n, dtype=jnp.int32)
     prev = jnp.concatenate([jnp.full_like(s[..., :1], jnp.nan), s[..., :-1]], axis=-1)
-    starts = s != prev  # first slot of each tie-run (NaN != anything -> True)
+    prev_nan = jnp.concatenate([jnp.full_like(snan[..., :1], -1), snan[..., :-1]], axis=-1)
+    starts = (s != prev) | (snan != prev_nan)  # first slot of each tie-run
     a = jax.lax.cummax(jnp.where(starts, pos, -1), axis=x.ndim - 1)
     nxt = jnp.concatenate([starts[..., 1:], jnp.ones_like(starts[..., :1])], axis=-1)
     b = -jax.lax.cummax(-jnp.where(nxt, pos, n)[..., ::-1], axis=x.ndim - 1)[..., ::-1]

@@ -67,7 +67,16 @@ class StatisticalProperty:
         self.__doc__ = compute.__doc__
 
     def __call__(self, da, *args, **kwargs):
-        group = kwargs.get("group", "time")
+        if "group" in kwargs:
+            group = kwargs["group"]
+        else:
+            # honor the compute function's own default (e.g. acf defaults to
+            # "time.season" — forcing "time" here would fail its
+            # allowed_groups check before the default could apply)
+            import inspect
+
+            p = inspect.signature(self._compute).parameters.get("group")
+            group = p.default if p is not None and p.default is not inspect.Parameter.empty else "time"
         group = Grouper(group) if isinstance(group, str) else group
         if self.allowed_groups is not None and group.prop not in self.allowed_groups:
             raise ValueError(
@@ -198,37 +207,15 @@ def _spell_length_distribution(da, *, method="amount", op=">=", thresh="1 mm d-1
     condition holds for at least ``window`` days; ``stat_resample`` over the
     spells of each period, ``stat`` over the periods of each group."""
     stat_resample = stat_resample or stat
-    dac = da.move_dim_last("time")
+    cond, dac = _make_cond(da, method, op, thresh)
     x = jnp.asarray(dac.data)
-    if method == "amount":
-        t = convert_units_to(thresh, da.units)
-    elif method == "quantile":
-        t = jnp.nanquantile(x, float(thresh), axis=-1, keepdims=True)
-    else:
-        raise ValueError(f"Unknown method {method!r}")
-    cond = _OPS[op](x, t)
 
     gather, period_group = period_blocks(da.time, group.prop)
     condp = jnp.where(gather >= 0, cond[..., jnp.clip(gather, 0, x.shape[-1] - 1)], False)  # [..., P, L]
     lengths = _run_lengths(condp).astype(x.dtype)                                           # [..., P, C]
     lengths = jnp.where((lengths > 0) & (lengths < window), -1, lengths)
     per_period = _stat_reduce(lengths, stat_resample, axis=-1)                              # [..., P]
-
-    G = group.n_groups(da.time)
-    out = []
-    for g in range(G):
-        sel = np.flatnonzero(period_group == g)
-        out.append(_stat_reduce(jnp.where(jnp.isnan(per_period[..., sel]), -1, per_period[..., sel]), stat, axis=-1))
-    vals = jnp.stack(out, axis=-1)
-
-    bdims = dac.dims[:-1]
-    bcoords = {d: dac.coords[d] for d in bdims if d in dac.coords}
-    gi = group.indexes(da.time)
-    res = grouped_var(vals, bdims, bcoords, gi, name="spell_length_distribution")
-    if gi.prop == "group":
-        res = DataArray(jnp.asarray(res.data)[..., 0], bdims, bcoords, res.attrs, res.name)
-    res.attrs["units"] = "d"
-    return res
+    return _periods_to_groups(per_period, period_group, group, da, stat, "spell_length_distribution", "d")
 
 
 def _acf(da, *, lag=1, group="time.season"):
@@ -242,7 +229,6 @@ def _acf(da, *, lag=1, group="time.season"):
 
     mu = jnp.nanmean(xp, axis=-1, keepdims=True)
     a = xp - mu
-    n = jnp.sum(~jnp.isnan(xp), axis=-1)
     var = jnp.nansum(jnp.where(jnp.isnan(a), 0, a * a), axis=-1)
     a0 = jnp.where(jnp.isnan(a), 0, a)
     cov = jnp.sum(a0[..., lag:] * a0[..., :-lag], axis=-1)
@@ -285,14 +271,18 @@ def _annual_cycle(da, *, stat="absamp", window=31, group="time"):
         out = (mx - mn) * 100 / jnp.nanmean(clim, axis=-1)
         units = "%"
     elif stat == "phase":
-        out = jnp.nanargmax(clim, axis=-1) + 1
+        # nanargmax returns -1 for all-NaN slices (ocean sites): mask to NaN
+        allnan = jnp.all(jnp.isnan(clim), axis=-1)
+        out = jnp.where(allnan, jnp.nan, (jnp.nanargmax(clim, axis=-1) + 1).astype(clim.dtype))
         units = ""
     elif stat == "min":
         out = mn
     elif stat == "max":
         out = mx
     elif stat == "asymmetry":
-        out = ((jnp.nanargmax(clim, axis=-1) - jnp.nanargmin(clim, axis=-1)) % 365) / 365
+        allnan = jnp.all(jnp.isnan(clim), axis=-1)
+        raw = ((jnp.nanargmax(clim, axis=-1) - jnp.nanargmin(clim, axis=-1)) % 365) / 365
+        out = jnp.where(allnan, jnp.nan, raw.astype(clim.dtype))
         units = "yr"
     else:
         raise ValueError(f"Unknown stat {stat!r}")
@@ -325,7 +315,11 @@ def _annual_statistic(da, *, stat="absamp", window=31, group="time"):
         doy = jnp.asarray(da.time.dayofyear)
         doyp = jnp.where(gather >= 0, doy[jnp.clip(gather, 0, x.shape[-1] - 1)], 0)
         am = jnp.nanargmax(jnp.where(jnp.isnan(xp), -jnp.inf, xp), axis=-1)
-        out = jnp.mean(jnp.take_along_axis(jnp.broadcast_to(doyp, xp.shape).astype(x.dtype), am[..., None], axis=-1)[..., 0], axis=-1)
+        per_year = jnp.take_along_axis(jnp.broadcast_to(doyp, xp.shape).astype(x.dtype), jnp.clip(am[..., None], 0, None), axis=-1)[..., 0]
+        # all-NaN years (or whole ocean sites) must not contribute a fake
+        # Jan-1 phase: NaN them and nanmean over the valid years
+        per_year = jnp.where(jnp.any(~jnp.isnan(xp), axis=-1), per_year, jnp.nan)
+        out = jnp.nanmean(per_year, axis=-1)
         units = ""
     else:
         raise ValueError(f"Unknown stat {stat!r}")
@@ -460,6 +454,18 @@ def _corr_btw_var(da1, da2, *, corr_type="Spearman", group="time", output="corre
     xc = jnp.where(m, xg - mx, 0.0)
     yc = jnp.where(m, yg - my, 0.0)
     r = jnp.sum(xc * yc, axis=-1) / jnp.sqrt(jnp.sum(xc * xc, axis=-1) * jnp.sum(yc * yc, axis=-1))
+
+    if output == "pvalue":
+        # two-sided t-approximation, the same test scipy's pearsonr /
+        # spearmanr (default method) apply: t = r sqrt((n-2)/(1-r^2))
+        import jax
+
+        df = jnp.maximum(n - 2, 1).astype(r.dtype)
+        t2 = df * r * r / jnp.maximum(1.0 - r * r, jnp.finfo(r.dtype).tiny)
+        p = jax.scipy.special.betainc(df / 2.0, 0.5, df / (df + t2))
+        r = jnp.where(n > 2, p, jnp.nan)
+    elif output != "correlation":
+        raise ValueError(f"output must be 'correlation' or 'pvalue', got {output!r}")
 
     dac = da1.move_dim_last("time")
     bdims = dac.dims[:-1]
