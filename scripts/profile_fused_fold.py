@@ -28,6 +28,11 @@ def main():
     B, window, G, Ymax = 512, 31, 365, 150
     m = 256  # lane width after pow2 padding of 150 years
     wpad = 32
+    # production out_width (ops/quantile.py): store only rows that can hold
+    # valid values — 19 rows at 150 valid years, not the 32-row default.
+    # The default over-allocates the [B, G, rows, m] output by ~2 GB and the
+    # probe then exhausts the 16 GB HBM (measured: ResourceExhausted).
+    out_width = min(wpad * m, -(-(window * Ymax) // m) * m)
     dblock = max(wpad, 32)
     Gx = G + 2 * (window // 2)
     Dp = ((G - 1) // dblock + 2) * dblock
@@ -44,7 +49,8 @@ def main():
     def timed(fuse, tile_b=None):
         def run():
             out = merged_window_rows_shared(
-                xs, window, G, ymax=Ymax, fuse_classes=fuse, tile_b=tile_b
+                xs, window, G, ymax=Ymax, fuse_classes=fuse, tile_b=tile_b,
+                out_width=out_width,
             )
             return float(jnp.sum(jnp.where(jnp.isfinite(out), out, 0.0)))
 

@@ -19,21 +19,26 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache from the first section on (bench.main() also
+    # sets it, but the A/B sections run first and their compiles dominate)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     t0 = time.time()
     print(f"devices: {jax.devices()} ({time.time() - t0:.1f}s)", flush=True)
     print(f"trivial: {float(jnp.sum(jnp.arange(8.0) * 2))} ({time.time() - t0:.1f}s)", flush=True)
 
+    import gc
     import traceback
 
-    from profile_fused_fold import main as fold_main
+    def cleanup():
+        # a section that OOMs (or just finished) must not poison the next:
+        # drop cached executables AND collect dead device buffers before the
+        # next section allocates
+        jax.clear_caches()
+        gc.collect()
 
-    print("--- fused fold profile ---", flush=True)
-    try:
-        fold_main()
-    except Exception:
-        # a fused-variant Mosaic failure must not block the bench rows
-        traceback.print_exc()
-
+    # decision-critical measurement FIRST (a later-section OOM can't block it)
     print("--- heavy bench A/B (per-class vs fused fold, end to end) ---", flush=True)
     import bench
     from xsdba_tpu.ops.pallas import merge_kernel
@@ -41,7 +46,7 @@ def main():
     merge_kernel.FUSE_FOLD_CLASSES = False
     h0 = bench._bench_heavy_doy31(jax, jnp)
     print(f"heavy per-class fold: {h0} gp-yr/s ({h0 / 324000:.3f}x)", flush=True)
-    jax.clear_caches()
+    cleanup()
     try:
         merge_kernel.FUSE_FOLD_CLASSES = True
         h1 = bench._bench_heavy_doy31(jax, jnp)
@@ -50,7 +55,17 @@ def main():
         traceback.print_exc()
         h1 = 0.0
     merge_kernel.FUSE_FOLD_CLASSES = h1 > h0  # leave the winner on for bench
-    jax.clear_caches()
+    cleanup()
+
+    print("--- fused fold profile ---", flush=True)
+    try:
+        from profile_fused_fold import main as fold_main
+
+        fold_main()
+    except Exception:
+        # a fused-variant Mosaic failure must not block the bench rows
+        traceback.print_exc()
+    cleanup()
 
     print("--- bench ---", flush=True)
     bench.main()
