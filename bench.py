@@ -39,8 +39,14 @@ def _inscan_rate(jax, jnp, step, inputs, gpy_per_step, n_steps=12, reps=3):
     def scan_steps(x0):
         def body(carry, _):
             acc = step(carry)
-            eps = (0 * acc).astype(inputs[0].dtype)
-            return tuple(x + eps for x in inputs), acc
+            # data-chain the NEXT step's inputs through this step's output
+            # (eps is exactly zero, so every step sees identical values).
+            # Chain from ``carry``, not the closed-over ``inputs``: closure
+            # constants are inlined into the serialized HLO, and at the
+            # headline shape that is ~340 MB — the relay's remote-compile
+            # endpoint rejects it (HTTP 413).
+            eps = (0 * acc).astype(carry[0].dtype)
+            return tuple(x + eps for x in carry), acc
 
         _, accs = jax.lax.scan(body, x0, None, length=n_steps)
         return jnp.nansum(accs)

@@ -18,6 +18,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compile cache: the suite is compile-bound on CPU (hundreds of
+# small jits); caching executables across runs cuts iteration wall time ~2.5x.
+# Repo-local and gitignored; delete the directory to force cold compiles.
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache_tests")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

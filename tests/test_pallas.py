@@ -111,7 +111,10 @@ def test_fused_classes_fold_bit_exact(random):
         sort_rows_alternating,
     )
 
-    B, Dp, m, window, G, Ymax = 2, 96, 32, 9, 37, 10
+    # smallest shape that still exercises >1 fold class and the class-index
+    # clamp (G=25, window=9 -> uneven class group counts); the production
+    # window and batch tiling are covered in the slow lane
+    B, Dp, m, window, G, Ymax = 1, 64, 32, 9, 25, 10
     x = np.full((B, Dp, m), np.inf, dtype=np.float32)
     x[..., :Ymax] = random.normal(0, 1, (B, Dp, Ymax))
     xs = sort_rows_alternating(jnp.asarray(x), interpret=True)

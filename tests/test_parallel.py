@@ -117,6 +117,7 @@ def test_graft_entry_compiles():
     assert bool(jnp.isfinite(out).any())
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n", [2, 4])
 def test_graft_dryrun_other_sizes(n):
     import sys, os
