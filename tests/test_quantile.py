@@ -88,3 +88,31 @@ def test_quantile_on_sorted_inf_sentinel_oracle():
     got = np.asarray(_quantile_on_sorted(jnp.asarray(m), uniform, jnp.asarray(q), 1.0, 1.0, sentinel="inf"))
     want = np.quantile(m[2, 3, :nv], q)
     np.testing.assert_allclose(got[2, 3], want, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("variant", ["plain", "nans", "ties", "infs"])
+def test_rank_with_sorted_fused_parity(random, variant):
+    """The one-sort fused rank+quantile helper (MBCn hist side) must be
+    numerically identical to the separate rank and nan_quantile calls."""
+    from xsdba_tpu.ops.quantile import _quantile_on_sorted
+    from xsdba_tpu.ops.rank import rank_pct_rescaled, rank_pct_rescaled_with_sorted
+
+    x = random.normal(size=(4, 7, 211))
+    if variant == "nans":
+        x[x < -0.8] = np.nan
+        x[2, 3] = np.nan  # one all-NaN row
+    elif variant == "ties":
+        x = np.round(x, 1)  # heavy ties
+    elif variant == "infs":
+        x[x > 1.5] = np.inf
+        x[x < -1.5] = -np.inf
+        x[np.abs(x) < 0.05] = np.nan  # NaNs must sort behind the +infs
+    q = np.linspace(0.0, 1.0, 21)
+
+    rnk, s, v = rank_pct_rescaled_with_sorted(x, axis=-1)
+    got_q = np.asarray(_quantile_on_sorted(s, v, np.asarray(q, x.dtype), 1.0, 1.0))
+
+    want_rnk = np.asarray(rank_pct_rescaled(x, axis=-1))
+    want_q = np.asarray(nan_quantile(x, q, axis=-1))
+    np.testing.assert_array_equal(np.asarray(rnk), want_rnk)
+    np.testing.assert_array_equal(got_q, want_q)

@@ -17,8 +17,8 @@ import jax.numpy as jnp
 
 from ..ops.escore import escore
 from ..ops.interp import interp1d_table
-from ..ops.quantile import nan_quantile
-from ..ops.rank import rank_pct_rescaled
+from ..ops.quantile import _quantile_on_sorted, nan_quantile
+from ..ops.rank import rank_pct_rescaled, rank_pct_rescaled_with_sorted
 
 __all__ = ["npdft_adjust_core", "npdft_train_core", "standardize_lastaxis"]
 
@@ -58,9 +58,14 @@ def npdft_train_core(ref, hist, rots, quantiles, *, interp: str, extrap: str, n_
         r = jnp.einsum("ij,...jl->...il", rot, r)
         h = jnp.einsum("ij,...jl->...il", rot, h)
         ref_q = nan_quantile(r, quantiles, axis=-1)
-        hist_q = nan_quantile(h, quantiles, axis=-1)
+        # hist side needs BOTH quantiles and ranks of the same array — one
+        # shared value sort serves both (the sort is the iteration's
+        # dominant cost; numerically identical to nan_quantile + rank)
+        rnk, h_sorted, h_valid = rank_pct_rescaled_with_sorted(h, axis=-1)
+        hist_q = _quantile_on_sorted(
+            h_sorted, h_valid, jnp.asarray(quantiles, h.dtype), 1.0, 1.0
+        )
         af_q = ref_q - hist_q
-        rnk = rank_pct_rescaled(h, axis=-1)
         qtab = jnp.broadcast_to(quantiles, hist_q.shape)
         af = interp1d_table(rnk, qtab, af_q, interp, extrap)
         h = h + af

@@ -18,18 +18,20 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["average_rank", "pct_rank", "rank_pct_rescaled"]
+__all__ = ["average_rank", "pct_rank", "rank_pct_rescaled", "rank_pct_rescaled_with_sorted"]
 
 
-def average_rank(x, axis: int = -1):
-    """Average rank along ``axis``; NaNs -> NaN; ranks start at 1.
+def _rank_core(x):
+    """Shared internals on a last-axis layout: returns
+    (avg ranks [NaN where x is NaN], sorted values with NaNs last, NaN mask).
 
     Two multi-operand ``lax.sort`` calls: the first sorts (value, position),
     the second sorts (position, rank) to scatter ranks back — no gathers at
-    all (element-wise gathers are ~100x slower than sorts on TPU v5e).
+    all (element-wise gathers are ~100x slower than sorts on TPU v5e).  The
+    first sort's output IS the value-sorted row, so callers needing both
+    ranks and quantiles of the same array get the sort for free
+    (``rank_pct_rescaled_with_sorted``).
     """
-    x = jnp.asarray(x)
-    x = jnp.moveaxis(x, axis, -1)
     n = x.shape[-1]
     nan = jnp.isnan(x)
     key = jnp.where(nan, jnp.inf, x)
@@ -49,7 +51,40 @@ def average_rank(x, axis: int = -1):
     avg_sorted = (a + b).astype(x.dtype) / 2 + 1
     _, rnk = jax.lax.sort((perm, avg_sorted), dimension=x.ndim - 1, num_keys=1)
     rnk = jnp.where(nan, jnp.nan, rnk)
+    # restore NaNs in the sorted row (they sorted as +inf behind real +infs)
+    sorted_x = jnp.where(snan == 1, jnp.nan, s)
+    return rnk, sorted_x, nan
+
+
+def average_rank(x, axis: int = -1):
+    """Average rank along ``axis``; NaNs -> NaN; ranks start at 1."""
+    x = jnp.asarray(x)
+    x = jnp.moveaxis(x, axis, -1)
+    rnk, _, _ = _rank_core(x)
     return jnp.moveaxis(rnk, -1, axis)
+
+
+def rank_pct_rescaled_with_sorted(x, axis: int = -1):
+    """``rank_pct_rescaled`` plus the value-sorted row (NaNs last) and valid
+    counts, all from ONE value sort.
+
+    Returns ``(rescaled pct ranks, sorted values, valid counts)`` — sorted
+    values/counts in last-axis layout, ready for
+    ``ops.quantile._quantile_on_sorted``.  Callers that need both the ranks
+    and the quantiles of the same array (the npdft hist side: reference
+    ``_adjustment.py:310-326`` computes ``_quantile`` then ``_rank_bn`` on
+    the same slice) save a full sort per call.
+    """
+    x = jnp.asarray(x)
+    x = jnp.moveaxis(x, axis, -1)
+    rnk, sorted_x, nan = _rank_core(x)
+    nvalid = jnp.sum(~nan, axis=-1, keepdims=True).astype(rnk.dtype)
+    r = rnk / jnp.where(nvalid == 0, 1, nvalid)
+    mn = jnp.nanmin(r, axis=-1, keepdims=True)
+    mx = jnp.nanmax(r, axis=-1, keepdims=True)
+    denom = mx - mn
+    pct = jnp.where(denom == 0, 0.0, mx * (r - mn) / jnp.where(denom == 0, 1, denom))
+    return jnp.moveaxis(pct, -1, axis), sorted_x, nvalid[..., 0]
 
 
 def pct_rank(x, axis: int = -1):
