@@ -116,7 +116,7 @@ def npdf_transform_core(
     Returns (scenh, scens, escores).
     """
     from ..ops.interp import interp_on_quantiles_grouped
-    from ..ops.segment import gather_groups, grouped_rank
+    from ..ops.segment import gather_groups, grouped_rank, grouped_rank_and_quantile
 
     Th = ref.shape[-1]
     stride = max(1, int(-(-Th // n_escore))) if n_escore > 0 else 1
@@ -125,25 +125,36 @@ def npdf_transform_core(
     sd = jnp.nanstd(ref, axis=-1, ddof=1, keepdims=True)
     ref_n = ((ref - mu) / sd)[..., ::stride]
 
-    def qdm_step(x, af, hist_q, gather, gidx, slot, frac, pos):
-        if base == "qdm":
-            rnk = grouped_rank(x, gather, gidx, slot, pct=True)      # [..., V, T]
-            qtab = jnp.broadcast_to(quantiles, af.shape)
-            af_t = interp_on_quantiles_grouped(rnk, frac, qtab, af, pos, interp, extrap)
-        else:  # eqm: look the value up in hist's quantile table
-            af_t = interp_on_quantiles_grouped(x, frac, hist_q, af, pos, interp, extrap)
-        return x + af_t
-
     def body(carry, rot):
         h, s = carry
         refp = jnp.einsum("ij,...jl->...il", rot, ref)
         hp = jnp.einsum("ij,...jl->...il", rot, h)
         sp = jnp.einsum("ij,...jl->...il", rot, s)
         ref_q = nan_quantile(gather_groups(refp, gather_h), quantiles, axis=-1)
-        hist_q = nan_quantile(gather_groups(hp, gather_h), quantiles, axis=-1)
-        af = ref_q - hist_q                                          # [..., V, G, nq]
-        scenhp = qdm_step(hp, af, hist_q, gather_h, group_idx_h, slot_h, frac_h, pos_h)
-        scensp = qdm_step(sp, af, hist_q, gather_s, group_idx_s, slot_s, frac_s, pos_s)
+        if base == "qdm":
+            # the hist side needs both its grouped ranks and its grouped
+            # quantile tables — one gather + one value sort serves both
+            rnk_h, hist_q = grouped_rank_and_quantile(
+                hp, gather_h, group_idx_h, slot_h, quantiles
+            )
+            af = ref_q - hist_q                                      # [..., V, G, nq]
+            qtab = jnp.broadcast_to(quantiles, af.shape)
+            scenhp = hp + interp_on_quantiles_grouped(
+                rnk_h, frac_h, qtab, af, pos_h, interp, extrap
+            )
+            rnk_s = grouped_rank(sp, gather_s, group_idx_s, slot_s, pct=True)
+            scensp = sp + interp_on_quantiles_grouped(
+                rnk_s, frac_s, qtab, af, pos_s, interp, extrap
+            )
+        else:  # eqm: look the value up in hist's quantile table
+            hist_q = nan_quantile(gather_groups(hp, gather_h), quantiles, axis=-1)
+            af = ref_q - hist_q
+            scenhp = hp + interp_on_quantiles_grouped(
+                hp, frac_h, hist_q, af, pos_h, interp, extrap
+            )
+            scensp = sp + interp_on_quantiles_grouped(
+                sp, frac_s, hist_q, af, pos_s, interp, extrap
+            )
         h = jnp.einsum("ji,...jl->...il", rot, scenhp)
         s = jnp.einsum("ji,...jl->...il", rot, scensp)
         if n_escore >= 0:

@@ -67,3 +67,28 @@ def grouped_rank(x, gather_idx, group_idx, scatter_slot, pct: bool = False):
         denom = jnp.where(mx - mn == 0, 1, mx - mn)
         rnk = mx * (rnk - mn) / denom
     return scatter_back(rnk, group_idx, scatter_slot)
+
+
+def grouped_rank_and_quantile(x, gather_idx, group_idx, scatter_slot, quantiles):
+    """Fused ``grouped_rank(pct=True)`` + per-group quantile tables.
+
+    One gather and ONE value sort serve both: the rank's first
+    ``lax.sort`` already produces the value-sorted group rows, which feed
+    ``_quantile_on_sorted`` directly.  Numerically identical to
+    ``grouped_rank(x, ..., pct=True)`` plus
+    ``nan_quantile(gather_groups(x, gather_idx), quantiles)`` — the
+    NpdfTransform/QDM pattern (reference ``_adjustment.py:820-846``: rank
+    then table-interp of the same grouped array).
+
+    Returns ``(pct ranks scattered back to time [..., T],
+    quantile tables [..., G, nq])``.
+    """
+    from .quantile import _quantile_on_sorted
+    from .rank import rank_pct_rescaled_with_sorted
+
+    v = gather_groups(x, gather_idx)            # [..., G, L]
+    rnk, sorted_v, nvalid = rank_pct_rescaled_with_sorted(v, axis=-1)
+    qtab = _quantile_on_sorted(
+        sorted_v, nvalid, jnp.asarray(quantiles, sorted_v.dtype), 1.0, 1.0
+    )
+    return scatter_back(rnk, group_idx, scatter_slot), qtab
