@@ -289,3 +289,26 @@ def test_ocean_mask_fused_train_adjust():
     # finite sites must equal a run on finite-only data
     scen_f, _, _ = eqm_train_adjust_windowed(ref[::2], hist[::2], sim[::2], gi.merge_plan, q, br, kind="+")
     np.testing.assert_allclose(np.asarray(scen)[::2], np.asarray(scen_f), rtol=1e-12)
+
+
+def test_flat_extract_matches_strip_bitexact():
+    """EXTRACT_FLAT (one constant-index gather) must be bit-identical to the
+    strip extraction on finite data, including all-NaN (ocean-mask) rows."""
+    from xsdba_tpu.ops import quantile as qmod
+
+    t, x = _series("noleap", years=6, n_sites=4, seed=9)
+    x = x.astype(np.float32)
+    x[1] = np.nan  # one ocean-masked site
+    gi = Grouper("time.dayofyear", window=5).indexes(t)
+    q = np.linspace(0.02, 0.98, 20).astype(np.float32)
+
+    old = qmod.EXTRACT_FLAT
+    try:
+        qmod.EXTRACT_FLAT = False
+        want = np.asarray(windowed_group_quantile(x, gi.merge_plan, q, use_kernel=False))
+        qmod.EXTRACT_FLAT = True
+        got = np.asarray(windowed_group_quantile(x, gi.merge_plan, q, use_kernel=False))
+    finally:
+        qmod.EXTRACT_FLAT = old
+    np.testing.assert_array_equal(got, want)
+    assert np.isnan(got[1]).all() and not np.isnan(got[0]).any()

@@ -195,6 +195,67 @@ def _pair_finite_probe(a, b):
     return _static_safe(a) & _static_safe(b)
 
 
+# extraction variant for host-known counts: "strip" = per-quantile static
+# 32-wide slices + constant-mask selects; "flat" = one constant-index gather
+# from the flattened [..., G*n] axis.  A/B'd on hardware (PERFORMANCE.md).
+EXTRACT_FLAT = False
+
+
+def _static_extract_indices(counts, q_static, n, dtype, alpha, beta):
+    """Host-side (numpy) replication of ``_virtual_index``/``_indices`` for
+    compile-time-known valid counts: returns (prev idx, next idx, gamma,
+    empty mask), each [G, nq] / [G].  The f32 arithmetic matches the device
+    op order exactly so the selected columns are bit-identical."""
+    npdt = np.float32 if dtype == jnp.float32 else np.float64
+    nvh = np.asarray(counts, dtype=np.int64)[:, None]          # [G, 1]
+    v = nvh.astype(npdt)
+    qs = np.asarray(q_static, dtype=npdt)[None, :]             # [1, nq]
+    vi = (v * qs + (npdt(alpha) + qs * npdt(1.0 - alpha - beta)) - npdt(1.0)).astype(npdt)
+    prev = np.floor(vi)
+    above = vi >= v - npdt(1.0)
+    below = vi < 0
+    pi = np.clip(prev, 0, n - 1).astype(np.int64)
+    ni = np.clip(prev + 1, 0, n - 1).astype(np.int64)
+    # above/below land on pad/first entries; the gather path's NaN-range
+    # clip then substitutes the max valid value — statically that is nv-1
+    last_valid = np.maximum(nvh - 1, 0)
+    pi = np.where(above, last_valid, np.where(below, 0, pi))
+    ni = np.where(above, last_valid, np.where(below, 0, ni))
+    gamma = (vi - prev).astype(npdt)
+    empty = nvh[:, 0] == 0
+    return pi, ni, gamma, empty
+
+
+def _static_flat_extract(merged, counts, q_static, edge_ids, alpha, beta):
+    """Static-count extraction as ONE constant-index gather from the
+    flattened [..., G*n] axis.
+
+    Bit-identical to ``_static_strip_extract`` (same host-side index math,
+    same ``_lerp``), but with no strip-width constraint and no [..., G, nq,
+    32] intermediate — the strip variant's 32-lane minor axis underfills the
+    (8, 128) vregs, while a constant-index gather from a megabyte-long minor
+    axis tiles cleanly (docs/PERFORMANCE.md design rule 3).
+    """
+    n = merged.shape[-1]
+    G = merged.shape[-2]
+    pi, ni, gamma, empty = _static_extract_indices(
+        counts, q_static, n, merged.dtype, alpha, beta
+    )
+    nq = pi.shape[1]
+    lead = merged.shape[:-2]
+    flat = merged.reshape(lead + (G * n,))
+    rowbase = np.arange(G, dtype=np.int64)[:, None] * n
+    both = np.concatenate([(rowbase + pi).ravel(), (rowbase + ni).ravel()])
+    vals = jnp.take(flat, jnp.asarray(both, dtype=jnp.int32), axis=-1)
+    left = vals[..., : G * nq].reshape(lead + (G, nq))
+    right = vals[..., G * nq :].reshape(lead + (G, nq))
+    npdt = np.float32 if merged.dtype == jnp.float32 else np.float64
+    out = _lerp(left, right, jnp.asarray(gamma.astype(npdt)))
+    if empty.any():
+        out = jnp.where(jnp.asarray(empty)[:, None], jnp.nan, out)
+    return out
+
+
 def _static_strip_extract(merged, counts, q_static, edge_ids, alpha, beta):
     """Extraction with host-known per-group valid counts: all indices and
     lerp weights are compile-time constants, so each quantile reads a narrow
@@ -211,23 +272,9 @@ def _static_strip_extract(merged, counts, q_static, edge_ids, alpha, beta):
     G = merged.shape[-2]
     npdt = np.float32 if merged.dtype == jnp.float32 else np.float64
     nvh = np.asarray(counts, dtype=np.int64)[:, None]          # [G, 1]
-    v = nvh.astype(npdt)
-    qs = np.asarray(q_static, dtype=npdt)[None, :]             # [1, nq]
-    nq = qs.shape[1]
-    # replicate _virtual_index / _indices in the device dtype, same op order
-    vi = (v * qs + (npdt(alpha) + qs * npdt(1.0 - alpha - beta)) - npdt(1.0)).astype(npdt)
-    prev = np.floor(vi)
-    above = vi >= v - npdt(1.0)
-    below = vi < 0
-    pi = np.clip(prev, 0, n - 1).astype(np.int64)
-    ni = np.clip(prev + 1, 0, n - 1).astype(np.int64)
-    # above/below land on pad/first entries; the gather path's NaN-range
-    # clip then substitutes the max valid value — statically that is nv-1
-    last_valid = np.maximum(nvh - 1, 0)
-    pi = np.where(above, last_valid, np.where(below, 0, pi))
-    ni = np.where(above, last_valid, np.where(below, 0, ni))
-    gamma = (vi - prev).astype(npdt)
-    empty = nvh[:, 0] == 0
+    pi, ni, gamma, empty = _static_extract_indices(
+        counts, q_static, n, merged.dtype, alpha, beta
+    )
 
     # strip bases from the groups whose counts are authoritative (non-edge,
     # non-empty); edge groups are overwritten by the exact path afterwards,
@@ -441,8 +488,12 @@ def _windowed_group_quantile_core(
     q = jnp.asarray(quantiles, dtype=x.dtype)
     out = None
     if counts is not None and q_static is not None:
-        # host-known valid counts: fully-static strip extraction (no gathers)
-        out = _static_strip_extract(merged, counts, q_static, edge_tuple, alpha, beta)
+        # host-known valid counts: fully-static extraction (flat constant
+        # gather or strip selects, bit-identical — EXTRACT_FLAT above)
+        if EXTRACT_FLAT:
+            out = _static_flat_extract(merged, counts, q_static, edge_tuple, alpha, beta)
+        else:
+            out = _static_strip_extract(merged, counts, q_static, edge_tuple, alpha, beta)
         if out is not None:
             # all-NaN site rows (ocean masks) are static-safe only with an
             # explicit mask: their slab rows sort to [+inf pads..., NaNs],
