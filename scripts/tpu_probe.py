@@ -1,0 +1,261 @@
+"""Parameterized TPU micro-probe runner (consolidates the one-shot probe
+scripts of rounds 2-3; see docs/PERFORMANCE.md for recorded results).
+
+Usage: python scripts/tpu_probe.py NAME [NAME...]
+Each NAME is a registered probe; results print as one JSON line per probe:
+{"probe": ..., "ms": ..., "extra": {...}}.
+
+Timing protocol: in-scan chained steps (one dispatch, one scalar fetch)
+minus the trivial dispatch+fetch roundtrip, min over reps — the same
+protocol as bench.py (relay dispatch latency varies ~3x run to run).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+PROBES = {}
+
+
+def probe(fn):
+    PROBES[fn.__name__] = fn
+    return fn
+
+
+def _timed_fetch(f):
+    t0 = time.perf_counter()
+    float(f())
+    return time.perf_counter() - t0
+
+
+def inscan_ms(step, inputs, n_steps=8, reps=3):
+    """Per-step milliseconds of ``step(carry)->scalar`` chained in one scan."""
+    inputs = tuple(jnp.asarray(x) for x in inputs)
+
+    @jax.jit
+    def scan_steps(x0):
+        def body(carry, _):
+            acc = step(carry)
+            eps = (0 * acc).astype(carry[0].dtype)
+            return tuple(x + eps for x in carry), acc
+
+        _, accs = jax.lax.scan(body, x0, None, length=n_steps)
+        return jnp.nansum(accs)
+
+    @jax.jit
+    def triv(xs):
+        return jnp.nansum(xs[0]) * 1.0000001
+
+    s = float(scan_steps(inputs))
+    assert np.isfinite(s), s
+    float(triv(inputs))
+    t_triv = min(_timed_fetch(lambda: triv(inputs)) for _ in range(reps))
+    t_scan = min(_timed_fetch(lambda: scan_steps(inputs)) for _ in range(reps))
+    return max((t_scan - t_triv) / n_steps, 1e-9) * 1e3
+
+
+def _heavy_problem(n_sites=256, n_years=150):
+    from xsdba_tpu.models._wrap import device_brackets
+    from xsdba_tpu.ops.correction import equally_spaced_nodes
+    from xsdba_tpu.utils.calendar import date_range
+    from xsdba_tpu.utils.grouper import Grouper
+
+    t = date_range("1950-01-01", periods=365 * n_years, freq="D", calendar="noleap")
+    gi = Grouper("time.dayofyear", window=31).indexes(t)
+    rng = np.random.default_rng(1)
+    T = len(t)
+    ref = rng.normal(10, 2, (n_sites, T)).astype(np.float32)
+    hist = rng.normal(12, 3, (n_sites, T)).astype(np.float32)
+    sim = rng.normal(13, 3, (n_sites, T)).astype(np.float32)
+    q = equally_spaced_nodes(50).astype(np.float32)
+    return gi, ref, hist, sim, q, device_brackets(gi, "linear")
+
+
+@probe
+def heavy_step():
+    """Current heavy path: fused windowed EQM train+adjust, 256 sites."""
+    from xsdba_tpu.models._algos import eqm_train_adjust_windowed
+
+    gi, ref, hist, sim, q, brackets = _heavy_problem()
+    qd = jnp.asarray(q)
+
+    def step(carry):
+        r, h, s = carry
+        scen, _, _ = eqm_train_adjust_windowed(
+            r, h, s, gi.merge_plan, qd, brackets,
+            kind="+", interp="linear", extrapolation="constant", assume_finite=True,
+        )
+        return jnp.nansum(scen)
+
+    ms = inscan_ms(step, (jnp.asarray(ref), jnp.asarray(hist), jnp.asarray(sim)))
+    return ms, {"gpyrs_per_s": round(256 * 150 / (ms / 1e3), 1)}
+
+
+@probe
+def heavy_train():
+    """Train-only half of the heavy path (fused windowed EQM train)."""
+    from xsdba_tpu.models._algos import eqm_train_windowed
+
+    gi, ref, hist, sim, q, brackets = _heavy_problem()
+    qd = jnp.asarray(q)
+
+    def step(carry):
+        r, h, s = carry
+        af, hist_q = eqm_train_windowed(r, h, gi.merge_plan, qd, kind="+")
+        return jnp.nansum(af) + jnp.nansum(hist_q)
+
+    return inscan_ms(step, (jnp.asarray(ref), jnp.asarray(hist), jnp.asarray(sim))), {}
+
+
+@probe
+def heavy_adjust():
+    """Adjust-only half: grouped table interp + correction on sim."""
+    from xsdba_tpu.models._algos import qm_adjust_core
+    from xsdba_tpu.models._algos import eqm_train_windowed
+
+    gi, ref, hist, sim, q, brackets = _heavy_problem()
+    qd = jnp.asarray(q)
+    af, hist_q = eqm_train_windowed(jnp.asarray(ref), jnp.asarray(hist), gi.merge_plan, qd, kind="+")
+    af.block_until_ready()
+
+    def step(carry):
+        (s,) = carry
+        scen = qm_adjust_core(s, hist_q, af, brackets, kind="+", interp="linear", extrapolation="constant")
+        return jnp.nansum(scen)
+
+    return inscan_ms(step, (jnp.asarray(sim),)), {}
+
+
+@probe
+def argsort_bt():
+    """jnp.argsort (sort with i32 payload) on [512, 54750] f32."""
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(512, 54750)).astype(np.float32)
+
+    def step(carry):
+        (xc,) = carry
+        idx = jnp.argsort(xc, axis=-1)
+        return jnp.sum(idx[:, ::997].astype(jnp.float32))
+
+    return inscan_ms(step, (x,)), {}
+
+
+@probe
+def sort_bt():
+    """Plain value sort on [512, 54750] f32 (no payload)."""
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(512, 54750)).astype(np.float32)
+
+    def step(carry):
+        (xc,) = carry
+        s = jnp.sort(xc, axis=-1)
+        return jnp.sum(s[:, ::997])
+
+    return inscan_ms(step, (x,)), {}
+
+
+@probe
+def onehot_hist():
+    """Blocked doy histogram: [512, 54750] i16 doys -> [512, 1712, 366] i32
+    counts via one-hot compare + block sum (L2=32)."""
+    rng = np.random.default_rng(0)
+    d = rng.integers(0, 365, size=(512, 54784)).astype(np.int16)  # padded to 1712*32
+
+    def step(carry):
+        (dc,) = carry
+        blk = dc.reshape(512, 1712, 32, 1)
+        eq = (blk == jnp.arange(366, dtype=jnp.int16)).astype(jnp.int8)
+        cnt = jnp.sum(eq, axis=2, dtype=jnp.int32)  # [512, 1712, 366]
+        return jnp.sum(cnt[:, ::31, ::31].astype(jnp.float32))
+
+    return inscan_ms(step, (d,)), {}
+
+
+@probe
+def dyngather_blocks():
+    """Dynamic block gather: per (site,[365,102]) target, a 32-wide block from
+    [512, 54784] i16 + membership cumsum — the selection inner stage shape."""
+    rng = np.random.default_rng(0)
+    d = rng.integers(0, 365, size=(512, 54784)).astype(np.int16)
+    bstar = rng.integers(0, 1712, size=(512, 365, 102)).astype(np.int32)
+
+    def step(carry):
+        dc, bc = carry
+        # gather [512, 365, 102, 32]
+        idx = bc[..., None] * 32 + jnp.arange(32, dtype=jnp.int32)
+        blk = jnp.take_along_axis(dc[:, None, None, :], idx.reshape(512, 1, 1, -1), axis=-1)
+        blk = blk.reshape(512, 365, 102, 32)
+        g = jnp.arange(365, dtype=jnp.int16)[None, :, None, None]
+        dist = jnp.abs(blk - g)
+        member = (jnp.minimum(dist, 365 - dist) <= 15).astype(jnp.int32)
+        cs = jnp.cumsum(member, axis=-1)
+        pos = jnp.sum((cs < 7).astype(jnp.int32), axis=-1)
+        return jnp.sum(pos.astype(jnp.float32))
+
+    return inscan_ms(step, (d, bstar.astype(np.int32))), {}
+
+
+@probe
+def cw_search():
+    """Target-rank search: 102 static ranks vs CW rows [512, 365, 1712] i32
+    (two-level: stride-32 coarse compare + 32-wide refine gather)."""
+    rng = np.random.default_rng(0)
+    cw = np.sort(rng.integers(0, 4650, size=(512, 365, 1712)).astype(np.int32), axis=-1)
+    ks = np.sort(rng.integers(0, 4650, size=102)).astype(np.int32)
+
+    def step(carry):
+        (c,) = carry
+        coarse = c[..., ::32]  # [512, 365, 54]
+        k = jnp.asarray(ks)[None, None, :, None]
+        b1 = jnp.sum((coarse[..., None, :] <= k[..., 0, :][..., None]).astype(jnp.int32), axis=-1)
+        # refine: gather 32 consecutive CW entries starting at (b1-1)*32
+        start = jnp.clip((b1 - 1) * 32, 0, 1712 - 32)
+        idx = start[..., None] + jnp.arange(32, dtype=jnp.int32)
+        seg = jnp.take_along_axis(c[:, :, None, :], idx.reshape(512, 365, 1, -1), axis=-1)
+        seg = seg.reshape(512, 365, 102, 32)
+        off = jnp.sum((seg <= k[..., 0, :][..., None]).astype(jnp.int32), axis=-1)
+        return jnp.sum((start + off).astype(jnp.float32))
+
+    return inscan_ms(step, (cw,)), {}
+
+
+@probe
+def cumsum_big():
+    """Prefix sums [512, 366, 1712] i32 over the block axis."""
+    rng = np.random.default_rng(0)
+    w = rng.integers(0, 32, size=(512, 366, 1712)).astype(np.int32)
+
+    def step(carry):
+        (x,) = carry
+        cs = jnp.cumsum(x, axis=-1)
+        return jnp.sum(cs[:, ::31, ::97].astype(jnp.float32))
+
+    return inscan_ms(step, (w,)), {}
+
+
+def main(names):
+    for name in names:
+        fn = PROBES[name]
+        out = fn()
+        ms, extra = out if isinstance(out, tuple) else (out, {})
+        print(json.dumps({"probe": name, "ms": round(ms, 2), "extra": extra}), flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or list(PROBES))

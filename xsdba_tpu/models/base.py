@@ -16,11 +16,43 @@ import numpy as np
 from ..utils.container import DataArray, Dataset
 from ..utils.formatting import gen_call_string, update_history
 from ..utils.grouper import Grouper
-from ..utils.options import EXTRA_OUTPUT, get_option
+from ..utils.options import AS_DATASET, EXTRA_OUTPUT, get_option
 from ..utils.params import ParametrizableWithDataset
 from ..utils.units import harmonize_units
 
 __all__ = ["Adjust", "BaseAdjustment", "TrainAdjust"]
+
+
+def _normalize_group_kwarg(kwargs: dict) -> dict:
+    """Fold string ``group`` + ``window``/``add_dims`` kwargs into a single
+    Grouper (reference ``Grouper.from_kwargs``, base.py:179-186)."""
+    if isinstance(kwargs.get("group"), str):
+        kwargs["group"] = Grouper(
+            kwargs["group"],
+            window=kwargs.pop("window", 1),
+            add_dims=kwargs.pop("add_dims", None),
+        )
+    return kwargs
+
+
+def _package_output(raw, source: DataArray, call_str: str, units: str | None):
+    """Contractual output form shared by both schemes: a ``scen`` DataArray
+    carrying the source attrs, a timestamped CF ``history`` line and the
+    ``bias_adjustment`` marker (reference adjustment.py:295-316, 395-409) —
+    or the full / one-variable Dataset under the ``extra_output`` /
+    ``as_dataset`` options."""
+    ds = Dataset({"scen": raw.rename("scen")}) if isinstance(raw, DataArray) else raw
+    scen: DataArray = ds["scen"]
+    scen.attrs.update(source.attrs)
+    scen.attrs["history"] = update_history(f"Bias-adjusted with {call_str}", source)
+    scen.attrs["bias_adjustment"] = call_str
+    if units is not None and "multivar" not in source.coords:
+        scen.attrs["units"] = units
+    if get_option(EXTRA_OUTPUT):
+        return ds
+    if get_option(AS_DATASET):
+        return Dataset({"scen": scen})
+    return scen
 
 
 class BaseAdjustment(ParametrizableWithDataset):
@@ -84,20 +116,12 @@ class TrainAdjust(BaseAdjustment):
 
     @classmethod
     def train(cls, ref: DataArray, hist: DataArray, **kwargs) -> "TrainAdjust":
-        skip_checks = kwargs.pop("skip_input_checks", False)
-        if isinstance(kwargs.get("group"), str):
-            # reference Grouper.from_kwargs (base.py:179-186): window and
-            # add_dims ride along with a string group
-            kwargs["group"] = Grouper(
-                kwargs["group"],
-                window=kwargs.pop("window", 1),
-                add_dims=kwargs.pop("add_dims", None),
-            )
-        if not skip_checks:
+        validate = not kwargs.pop("skip_input_checks", False)
+        kwargs = _normalize_group_kwarg(kwargs)
+        units = ref.units
+        if validate:
             cls._check_inputs(ref, hist, group=kwargs.get("group"))
-            (ref, hist), train_units = cls._harmonize_units(ref, hist)
-        else:
-            train_units = ref.units
+            (ref, hist), units = cls._harmonize_units(ref, hist)
 
         if not cls._allow_diff_training_times:
             cls._check_matching_times(ref, hist)
@@ -110,38 +134,22 @@ class TrainAdjust(BaseAdjustment):
         obj = cls(
             _trained=True,
             hist_calendar=hist.time.calendar if hist.time is not None else "standard",
-            train_units=train_units,
+            train_units=units,
             **params,
         )
         obj.set_dataset(ds)
         return obj
 
     def adjust(self, sim: DataArray, *args, **kwargs):
-        skip_checks = kwargs.pop("skip_input_checks", False)
-        if not skip_checks:
+        validate = not kwargs.pop("skip_input_checks", False)
+        if validate:
             if "group" in self:
                 self._check_inputs(sim, *args, group=self.group)
             (sim, *args), _ = self._harmonize_units(sim, *args, target=self.train_units)
 
-        out = self._adjust(sim, *args, **kwargs)
-        if isinstance(out, DataArray):
-            out = Dataset({"scen": out.rename("scen")})
-        scen: DataArray = out["scen"]
-
-        scen.attrs.update(sim.attrs)
-        params = gen_call_string("", **kwargs)[1:-1]
-        infostr = f"{self!s}.adjust(sim, {params})"
-        scen.attrs["history"] = update_history(f"Bias-adjusted with {infostr}", sim)
-        scen.attrs["bias_adjustment"] = infostr
-        if "multivar" not in sim.coords:
-            scen.attrs["units"] = self.train_units
-        from ..utils.options import AS_DATASET
-
-        if get_option(EXTRA_OUTPUT):
-            return out
-        if get_option(AS_DATASET):
-            return Dataset({"scen": scen})
-        return scen
+        raw = self._adjust(sim, *args, **kwargs)
+        call_str = f"{self!s}.adjust(sim, {gen_call_string('', **kwargs)[1:-1]})"
+        return _package_output(raw, sim, call_str, self.train_units)
 
     def set_dataset(self, ds: Dataset):
         super().set_dataset(ds)
@@ -161,21 +169,15 @@ class Adjust(BaseAdjustment):
 
     @classmethod
     def adjust(cls, ref: DataArray, hist: DataArray, sim: DataArray | None = None, **kwargs):
-        kwargs = dict(kwargs)
-        if isinstance(kwargs.get("group"), str):
-            kwargs["group"] = Grouper(
-                kwargs["group"],
-                window=kwargs.pop("window", 1),
-                add_dims=kwargs.pop("add_dims", None),
-            )
-        skip_checks = kwargs.pop("skip_input_checks", False)
+        kwargs = _normalize_group_kwarg(dict(kwargs))
+        validate = not kwargs.pop("skip_input_checks", False)
 
         if sim is None:
             # reference adjustment.py:370-372: sim defaults to hist, marked.
             sim = hist.copy()
             sim.attrs["_is_hist"] = True
 
-        if not skip_checks:
+        if validate:
             if "group" in kwargs:
                 cls._check_inputs(ref, hist, sim, group=kwargs["group"])
             (ref, hist, sim), _ = cls._harmonize_units(ref, hist, sim)
@@ -185,25 +187,10 @@ class Adjust(BaseAdjustment):
         if not cls._allow_diff_training_times:
             cls._check_matching_times(ref, hist)
 
-        out = cls._adjust(ref, hist, sim, **kwargs)
-        if isinstance(out, DataArray):
-            out = Dataset({"scen": out.rename("scen")})
-        scen = out["scen"]
-
+        raw = cls._adjust(ref, hist, sim, **kwargs)
         params = ", ".join(f"{k}={v!r}" for k, v in kwargs.items())
-        infostr = f"{cls.__name__}.adjust(ref, hist, sim, {params})"
-        scen.attrs.update(sim.attrs)
-        scen.attrs["history"] = update_history(f"Bias-adjusted with {infostr}", sim)
-        scen.attrs["bias_adjustment"] = infostr
-        if "multivar" not in sim.coords:
-            scen.attrs["units"] = ref.units
-        from ..utils.options import AS_DATASET
-
-        if get_option(EXTRA_OUTPUT):
-            return out
-        if get_option(AS_DATASET):
-            return Dataset({"scen": scen})
-        return scen
+        call_str = f"{cls.__name__}.adjust(ref, hist, sim, {params})"
+        return _package_output(raw, sim, call_str, ref.units)
 
     @classmethod
     def _adjust(cls, ref, hist, sim, **kwargs):

@@ -130,26 +130,30 @@ def get_clusters_1d(data: np.ndarray, u1: float, u2: float):
     """Clusters of a 1-D array: maximal runs above ``u2`` containing at least
     one value above ``u1`` (reference ``utils.py:788-840``; Extremes.jl
     ``getcluster``).  Returns ``(starts, ends, maxpos, maxval)`` with ``ends``
-    inclusive."""
-    data = np.asarray(data)
-    exce = np.concatenate(([u2 - 1], data, [u2 - 1])) > u2
-    bounds = np.diff(exce.astype(np.int32))
-    starts = np.where(bounds == 1)[0]
-    ends = np.where(bounds == -1)[0]
-    cl_start, cl_end, cl_maxpos, cl_maxval = [], [], [], []
-    for start, end in zip(starts, ends):
-        cluster_max = data[start:end].max()
-        if cluster_max > u1:
-            cl_start.append(start)
-            cl_end.append(end - 1)
-            cl_maxpos.append(start + int(np.argmax(data[start:end])))
-            cl_maxval.append(cluster_max)
-    return (
-        np.array(cl_start),
-        np.array(cl_end),
-        np.array(cl_maxpos),
-        np.array(cl_maxval),
-    )
+    inclusive.
+
+    Host form of the device kernel (:mod:`xsdba_tpu.ops.clusters`): run
+    membership -> segment reductions over run spans (``ufunc.reduceat``), no
+    per-run Python loop.  A NaN is never a member, so it terminates a run.
+    """
+    x = np.asarray(data)
+    member = x > u2  # NaN compares False -> breaks runs
+    if not member.any():
+        z = np.array([], dtype=np.int64)
+        return z, z.copy(), z.copy(), np.array([])
+    member_prev = np.concatenate(([False], member[:-1]))
+    member_next = np.concatenate((member[1:], [False]))
+    first = np.flatnonzero(member & ~member_prev)  # run begins
+    last = np.flatnonzero(member & ~member_next)  # run ends (inclusive)
+    filled = np.where(member, x, -np.inf)
+    run_max = np.maximum.reduceat(filled, first)
+    # segment argmax = earliest member position attaining the run maximum
+    run_of = np.cumsum(member & ~member_prev) - 1
+    at_max = member & (filled == run_max[run_of])
+    positions = np.where(at_max, np.arange(x.size), x.size)
+    run_maxpos = np.minimum.reduceat(positions, first)
+    keep = run_max > u1
+    return first[keep], last[keep], run_maxpos[keep], run_max[keep]
 
 
 def copy_all_attrs(ds, ref):
