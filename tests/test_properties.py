@@ -100,6 +100,21 @@ class TestTemporal:
         rv = float(np.asarray(properties.return_value(da, period=20, op="max").data))
         assert rv > np.quantile(x, 0.99)
 
+    def test_return_value_all_methods_batched(self, random):
+        # ML/PWM/MM/APP all run on device; estimates agree on clean GEV data
+        n = 365 * 30
+        x = sps.genextreme.rvs(0.1, loc=30, scale=3, size=n, random_state=7)
+        da = series(x)
+        vals = {
+            m: float(np.asarray(properties.return_value(da, period=20, op="max", method=m).data))
+            for m in ("ML", "PWM", "MM", "APP")
+        }
+        ml = vals["ML"]
+        for m, v in vals.items():
+            assert v == pytest.approx(ml, rel=0.05), vals
+        with pytest.raises(ValueError, match="method"):
+            properties.return_value(da, method="NOPE")
+
 
 class TestMultivariateSpatial:
     def test_corr_btw_var(self, random):

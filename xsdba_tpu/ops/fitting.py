@@ -24,6 +24,7 @@ import numpy as np
 __all__ = [
     "fit_scipy",
     "gev_fit_ml",
+    "gev_fit_mm",
     "gev_fit_pwm",
     "gev_ppf",
     "gpd_cdf",
@@ -242,6 +243,67 @@ def gev_fit_ml(x, *, n_iter: int = 40):
     return c, loc, scale
 
 
+def _gev_skew(c):
+    """Skewness of a GEV with scipy shape ``c`` (vectorized, c > -1/3);
+    evaluated away from the 0/0 point at c = 0 by a tiny nudge."""
+    c = jnp.where(jnp.abs(c) < 1e-6, 1e-6, c)
+    lg = jax.scipy.special.gammaln
+    g1 = jnp.exp(lg(1.0 + c))
+    g2 = jnp.exp(lg(1.0 + 2.0 * c))
+    g3 = jnp.exp(lg(1.0 + 3.0 * c))
+    a = (1.0 - g1) / c
+    var = (g2 - g1 * g1) / (c * c)
+    ez3 = (1.0 - 3.0 * g1 + 3.0 * g2 - g3) / (c**3)
+    central3 = ez3 - 3.0 * a * var - a**3
+    return central3 / jnp.maximum(var, 1e-300) ** 1.5
+
+
+@partial(jax.jit, static_argnames=("n_iter",))
+def gev_fit_mm(x, *, n_iter: int = 80):
+    """Batched method-of-moments GEV fit of x [..., N] (NaN padded).
+
+    Solves the exact moment system: the skewness pins the shape (bisection
+    on the monotone-decreasing ``_gev_skew``), then scale and location
+    follow in closed form — the vectorized counterpart of scipy
+    ``genextreme.fit(method="mm")``.  Returns (c, loc, scale).
+    """
+    x = jnp.asarray(x)
+    valid = ~jnp.isnan(x)
+    n = jnp.sum(valid, axis=-1)
+    nf = jnp.maximum(n, 1).astype(jnp.result_type(x.dtype, float))
+    xv = jnp.where(valid, x, 0.0)
+    m = jnp.sum(xv, -1) / nf
+    d = jnp.where(valid, x - m[..., None], 0.0)
+    v = jnp.sum(d * d, -1) / nf  # biased, as scipy's raw-moment matching
+    m3 = jnp.sum(d**3, -1) / nf
+    g = m3 / jnp.maximum(v, 1e-300) ** 1.5
+
+    lo = jnp.full(g.shape, -1.0 / 3.0 + 1e-4)
+    hi = jnp.full(g.shape, 10.0)
+
+    def body(_, ab):
+        lo, hi = ab
+        mid = 0.5 * (lo + hi)
+        too_low = _gev_skew(mid) > g  # skew decreasing: need larger c
+        return (jnp.where(too_low, mid, lo), jnp.where(too_low, hi, mid))
+
+    lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
+    c = 0.5 * (lo + hi)
+    cs = jnp.where(jnp.abs(c) < 1e-6, 1e-6, c)
+    lg = jax.scipy.special.gammaln
+    g1 = jnp.exp(lg(1.0 + cs))
+    g2 = jnp.exp(lg(1.0 + 2.0 * cs))
+    var1 = (g2 - g1 * g1) / (cs * cs)
+    scale = jnp.sqrt(v / jnp.maximum(var1, 1e-300))
+    loc = m - scale * (1.0 - g1) / cs
+    bad = n < 3
+    return (
+        jnp.where(bad, jnp.nan, c),
+        jnp.where(bad, jnp.nan, loc),
+        jnp.where(bad, jnp.nan, scale),
+    )
+
+
 # ---------------------------------------------------------------------------
 # batched linear regression (diagnostics: trend over many sites)
 # ---------------------------------------------------------------------------
@@ -304,40 +366,200 @@ def linregress_field(y, x, field: str = "slope"):
 # ---------------------------------------------------------------------------
 
 
+def _threshold_loc_estimate(x_sorted):
+    """Cooke (1979) lower-bound estimator from the smallest two and largest
+    order statistics; used by the reference's gamma and fisk APP starts
+    (``utils.py:1245-1285``).  Falls back to just below the minimum when the
+    geometric condition degenerates."""
+    x1, x2, xn = x_sorted[0], x_sorted[1], x_sorted[-1]
+    denom = x1 + xn - 2 * x2
+    loc0 = (x1 * xn - x2**2) / denom if denom != 0 else np.inf
+    if not loc0 < x1:
+        loc0 = 0.9999 * x1 if x1 > 0 else 1.0001 * x1
+    return loc0
+
+
 def _fit_start(x, dist_name: str, **fitkwargs):
-    """Reference ``utils.py:1197-1296`` smart starting values (subset)."""
+    """Reference ``utils.py:1197-1296`` smart starting values.
+
+    These double as the APP ("approximate") fit itself, so the estimators
+    follow the reference's cited sources exactly: Gumbel-moment start for
+    GEV, Extremes.jl moment start for GPD with known location, Cooke-1979
+    threshold + Thom-1958 shape for gamma, moment-matched log-logistic for
+    fisk, and the moment/plotting start for weibull_min.
+    """
     x = np.asarray(x)
     x = x[~np.isnan(x)]
     m, v = x.mean(), x.var()
-    if dist_name in ("genextreme",):
+    if dist_name == "genextreme":
         s = np.sqrt(6 * v) / np.pi
         return (0.1,), {"loc": m - 0.57722 * s, "scale": s}
-    if dist_name in ("genpareto",) and "floc" in fitkwargs:
-        loc = fitkwargs["floc"]
-        xs = x - loc
+    if dist_name == "genpareto" and "floc" in fitkwargs:
+        xs = x - fitkwargs["floc"]
         mxs, vxs = xs.mean(), xs.var()
-        xi0 = -0.5 * (mxs**2 / vxs - 1)
-        s0 = 0.5 * mxs * (mxs**2 / vxs + 1)
-        return (xi0,), {"scale": s0}
+        c0 = 0.5 * (1 - mxs**2 / vxs)
+        return (c0,), {"scale": (1 - c0) * mxs}
     if dist_name == "gamma":
-        if "floc" in fitkwargs:
-            xs = x - fitkwargs["floc"]
-            m, v = xs.mean(), xs.var()
-        return (m**2 / v,), {"scale": v / m}
-    if dist_name in ("weibull_min",):
-        ls = np.log(x[x > 0])
-        return (1.0,), {"loc": 0.0, "scale": np.exp(ls.mean())}
+        loc0 = fitkwargs["floc"] if "floc" in fitkwargs else _threshold_loc_estimate(np.sort(x))
+        xp = x - loc0
+        xp = xp[xp > 0]
+        mp = xp.mean()
+        # Thom (1958) closed-form ML approximation for the shape
+        A = np.log(mp) - np.log(xp).mean()
+        a0 = (1 + np.sqrt(1 + 4 * A / 3)) / (4 * A)
+        return (a0,), {"loc": loc0, "scale": mp / a0}
+    if dist_name == "weibull_min":
+        s = x.std()
+        loc0 = x.min() - 0.01 * s
+        # Gumbel-moment shape of log(x - loc), then moment scale
+        c0 = np.pi / np.sqrt(6) / np.log(x - loc0).std()
+        scale0 = ((x - loc0) ** c0).mean() ** (1 / c0)
+        return (c0,), {"loc": loc0, "scale": scale0}
     if dist_name == "fisk":
-        # start from lognormal-ish moments
-        return (1.0,), {"loc": 0.0, "scale": m}
+        loc0 = fitkwargs["floc"] if "floc" in fitkwargs else _threshold_loc_estimate(np.sort(x))
+        xp = x - loc0
+        xp = xp[xp > 0]
+        # moment matching of the two-parameter log-logistic:
+        # E[X] = s·πb/sin(πb), E[X²]/E[X]² = tan(πb)·... solved for (c, s)
+        m1, m2 = xp.mean(), (xp**2).mean()
+        scale0 = 2 * m1**3 / (m2 + m1**2)
+        c0 = np.pi * m1 / np.sqrt(3) / np.sqrt(m2 - m1**2)
+        return (c0,), {"loc": loc0, "scale": scale0}
     return (), {}
+
+
+# --- L-moment (PWM) estimators ---------------------------------------------
+#
+# Closed-form inversions of the first three L-moments, after Hosking &
+# Wallis, "Regional Frequency Analysis" (1997), App. A — the same formulas
+# the reference reaches through ``lmoments3`` (``utils.py:1178-1179``).
+# Parameters are returned in scipy conventions.
+
+#: scipy distribution names with an L-moment estimator (the lmoments3 set).
+PWM_SUPPORTED = (
+    "expon",
+    "gamma",
+    "genextreme",
+    "genpareto",
+    "gumbel_r",
+    "pearson3",
+    "weibull_min",
+)
+
+
+def sample_lmoments(x):
+    """First three unbiased sample L-moments ``(l1, l2, l3)`` of 1-D data
+    via probability-weighted moments (Hosking 1990, unbiased estimators)."""
+    x = np.sort(np.asarray(x, dtype=np.float64))
+    n = x.size
+    if n < 3:
+        return np.nan, np.nan, np.nan
+    j = np.arange(n, dtype=np.float64)  # rank - 1
+    b0 = x.mean()
+    b1 = np.sum(x * j) / (n * (n - 1.0))
+    b2 = np.sum(x * j * (j - 1.0)) / (n * (n - 1.0) * (n - 2.0))
+    return b0, 2 * b1 - b0, 6 * b2 - 6 * b1 + b0
+
+
+def _gev_from_lmoments(l1, l2, t3):
+    """GEV (k, loc, scale), scipy ``genextreme`` convention, from L-moments
+    (Hosking's rational approximation for the shape)."""
+    from scipy.special import gamma as _gamma
+
+    z = 2.0 / (3.0 + t3) - np.log(2.0) / np.log(3.0)
+    k = 7.8590 * z + 2.9554 * z * z
+    if abs(k) < 1e-8:
+        scale = l2 / np.log(2.0)
+        return 0.0, l1 - _EULER * scale, scale
+    g1 = _gamma(1.0 + k)
+    scale = l2 * k / ((1.0 - 2.0 ** (-k)) * g1)
+    return k, l1 - scale * (1.0 - g1) / k, scale
+
+
+def _lmom_fit(x, name: str):
+    """Parameter tuple for ``name`` from the sample L-moments of ``x``;
+    NaNs when the L-moment ratios leave the distribution's feasible set
+    (where lmoments3 raises)."""
+    from scipy.special import gamma as _gamma
+
+    if name not in PWM_SUPPORTED:
+        raise NotImplementedError(
+            f"PWM (L-moment) fitting is not implemented for {name!r}; "
+            f"supported distributions: {', '.join(PWM_SUPPORTED)}."
+        )
+    l1, l2, l3 = sample_lmoments(x)
+    nan2, nan3 = (np.nan, np.nan), (np.nan, np.nan, np.nan)
+    if not np.isfinite(l2) or l2 <= 0:
+        return nan2 if name in ("expon", "gumbel_r") else nan3
+    t3 = l3 / l2
+
+    if name == "expon":
+        scale = 2.0 * l2
+        return (l1 - scale, scale)
+    if name == "gumbel_r":
+        scale = l2 / np.log(2.0)
+        return (l1 - _EULER * scale, scale)
+    if name == "genextreme":
+        if abs(t3) >= 1:
+            return nan3
+        return _gev_from_lmoments(l1, l2, t3)
+    if name == "genpareto":
+        if abs(t3) >= 1:
+            return nan3
+        k = (1.0 - 3.0 * t3) / (1.0 + t3)
+        scale = (1.0 + k) * (2.0 + k) * l2
+        loc = l1 - (2.0 + k) * l2
+        return (-k, loc, scale)  # scipy c = -k (Hosking)
+    if name == "gamma":
+        if l1 <= l2:  # requires positive data with L-CV < 1
+            return nan3
+        t = l2 / l1
+        if t < 0.5:
+            z = np.pi * t * t
+            a = (1.0 - 0.3080 * z) / (z - 0.05812 * z * z + 0.01765 * z**3)
+        else:
+            z = 1.0 - t
+            a = (0.7213 * z - 0.5947 * z * z) / (1.0 - 2.1817 * z + 1.2113 * z * z)
+        return (a, 0.0, l1 / a)
+    if name == "pearson3":
+        at3 = abs(t3)
+        if at3 >= 1:
+            return nan3
+        if at3 < 1e-8:  # normal limit
+            return (0.0, l1, l2 * np.sqrt(np.pi))
+        if at3 < 1.0 / 3.0:
+            z = 3.0 * np.pi * t3 * t3
+            a = (1.0 + 0.2906 * z) / (z + 0.1882 * z * z + 0.0442 * z**3)
+        else:
+            z = 1.0 - at3
+            a = (0.36067 * z - 0.59567 * z * z + 0.25361 * z**3) / (
+                1.0 - 2.78861 * z + 2.56096 * z * z - 0.77045 * z**3
+            )
+        skew = 2.0 / np.sqrt(a) * np.sign(t3)
+        sigma = l2 * np.sqrt(np.pi * a) * _gamma(a) / _gamma(a + 0.5)
+        return (skew, l1, sigma)
+    if name == "weibull_min":
+        # Weibull(delta, zeta, beta) <=> -X ~ GEV(k=1/delta, xi=-zeta-beta,
+        # alpha=beta/delta): fit GEV to the reflected L-moments (-l1, l2, -t3)
+        if t3 >= 1 or -t3 >= 1:
+            return nan3
+        k, xi, alpha = _gev_from_lmoments(-l1, l2, -t3)
+        if not (k > 0):
+            return nan3
+        delta = 1.0 / k
+        beta = alpha / k
+        return (delta, -xi - beta, beta)
+    raise AssertionError(f"unhandled PWM distribution {name!r}")  # pragma: no cover
 
 
 def fit_scipy(x, dist, method: str = "ML", **fitkwargs):
     """Fit a scipy distribution to 1-D data (reference ``utils.py:1164-1193``).
 
-    method in {"ML", "MM", "PWM"(genextreme/genpareto only → falls back to
-    lmoment-free ML here), "APP"}.  Returns the parameter tuple.
+    method in {"ML", "MM", "PWM", "APP"}.  Returns the parameter tuple in
+    scipy order (shapes..., loc, scale).  PWM inverts the sample L-moments
+    for the distributions lmoments3 supports (:data:`PWM_SUPPORTED`) and
+    raises ``NotImplementedError`` otherwise; APP returns the reference's
+    closed-form starting estimates as the fit.
     """
     from scipy import stats
 
@@ -346,22 +568,33 @@ def fit_scipy(x, dist, method: str = "ML", **fitkwargs):
     if isinstance(dist, str):
         dist = getattr(stats, dist)
     name = dist.name
-    if len(x) == 0:
+    if method == "PWM" and name not in PWM_SUPPORTED:
+        _lmom_fit(x, name)  # raises NotImplementedError
+    if len(x) <= 1:  # reference utils.py:1169-1171
         nparams = len(dist.shapes.split(",")) if dist.shapes else 0
         return tuple([np.nan] * (nparams + 2))
-    if method in ("ML", "PWM"):
+    if method == "ML":
         args, guess = _fit_start(x, name, **fitkwargs)
         try:
             params = dist.fit(x, *args, **guess, **fitkwargs)
         except Exception:
             params = dist.fit(x, **fitkwargs)
+    elif method == "PWM":
+        params = _lmom_fit(x, name)
     elif method == "MM":
         params = dist.fit(x, method="MM", **fitkwargs)
     elif method == "APP":
         args, guess = _fit_start(x, name, **fitkwargs)
-        loc = guess.get("loc", fitkwargs.get("floc", 0.0))
-        scale = guess.get("scale", x.std())
-        params = (*args, loc, scale)
+        if "scale" not in guess:
+            raise ValueError(
+                f"The APP (approximate) fit has no starting estimator for {name!r}; "
+                "supported: genextreme, genpareto (with floc), gamma, weibull_min, fisk."
+            )
+        params = (*args, guess.get("loc", 0.0), guess["scale"])
     else:
         raise ValueError(f"Unknown fitting method {method!r}")
+    params = np.asarray(params, dtype=np.float64)
+    # reference _fitfunc_1d: any NaN parameter poisons the whole vector
+    if np.isnan(params).any():
+        params[:] = np.nan
     return tuple(params)

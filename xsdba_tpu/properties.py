@@ -394,8 +394,9 @@ def _return_value(da, *, period=20, op="max", method="ML", group="time"):
     """T-year return value from a GEV fit on annual extremes (reference
     properties.py:1258-1307).
 
-    ML and PWM fits run batched on device (``ops.fitting.gev_fit_ml`` /
-    ``gev_fit_pwm``); other methods fall back to the per-row scipy dispatch."""
+    Every method runs batched on device: ML/PWM/MM via
+    ``ops.fitting.gev_fit_{ml,pwm,mm}``, APP via its closed form — no
+    per-site host loop anywhere."""
     dac = da.move_dim_last("time")
     x = np.asarray(dac.data)
     gather, _ = period_blocks(da.time, "group")
@@ -404,24 +405,26 @@ def _return_value(da, *, period=20, op="max", method="ML", group="time"):
         extremes = np.nanmax(xg, axis=-1) if op == "max" else np.nanmin(xg, axis=-1)
     q = 1 - 1.0 / period if op == "max" else 1.0 / period
 
-    if method in ("ML", "PWM"):
-        from .ops.fitting import gev_fit_ml, gev_fit_pwm, gev_ppf
+    if method in ("ML", "PWM", "MM"):
+        from .ops.fitting import gev_fit_ml, gev_fit_mm, gev_fit_pwm, gev_ppf
 
-        fit = gev_fit_ml if method == "ML" else gev_fit_pwm
+        fit = {"ML": gev_fit_ml, "PWM": gev_fit_pwm, "MM": gev_fit_mm}[method]
         c, loc, scale = fit(jnp.asarray(extremes))
         vals = np.asarray(gev_ppf(q, c, loc, scale))
+    elif method == "APP":
+        # the reference's closed-form start IS the approximate fit
+        # (utils.py:1172-1185 + 1234-1236): c=0.1, Gumbel-moment loc/scale
+        from .ops.fitting import gev_ppf
+
+        with np.errstate(all="ignore"):
+            m = np.nanmean(extremes, axis=-1)
+            v = np.nanvar(extremes, axis=-1)
+        s = np.sqrt(6 * v) / np.pi
+        n_valid = np.sum(~np.isnan(extremes), axis=-1)
+        c = np.where(n_valid < 2, np.nan, 0.1)
+        vals = np.asarray(gev_ppf(q, jnp.asarray(c), jnp.asarray(m - 0.57722 * s), jnp.asarray(s)))
     else:
-        from scipy import stats as sps
-
-        from .ops.fitting import fit_scipy
-
-        def rv(row):
-            params = fit_scipy(row, sps.genextreme, method=method)
-            if np.any(np.isnan(params)):
-                return np.nan
-            return sps.genextreme.ppf(q, *params)
-
-        vals = np.apply_along_axis(rv, -1, extremes)
+        raise ValueError(f"Unknown return_value fitting method {method!r} (ML, PWM, MM, APP).")
     bdims = dac.dims[:-1]
     bcoords = {d: dac.coords[d] for d in bdims if d in dac.coords}
     return DataArray(vals, bdims, bcoords, {"units": da.units}, "return_value")
