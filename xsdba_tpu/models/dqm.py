@@ -136,7 +136,7 @@ class DetrendedQuantileMapping(TrainAdjust):
         sim: DataArray,
         interp: str = "nearest",
         extrapolation: str = "constant",
-        detrend: int | BaseDetrend = 4,
+        detrend: int | BaseDetrend = 1,
     ):
         from .eqm import _adjust_preprocess, _apply_max_tail_mask
 

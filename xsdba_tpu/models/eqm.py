@@ -155,7 +155,7 @@ class QuantileDeltaMapping(EmpiricalQuantileMapping):
         sim: DataArray,
         interp: str = "nearest",
         extrapolation: str = "constant",
-        rank_window: bool = False,
+        rank_window: bool | None = None,
     ):
         group: Grouper = self.group
         gi = group.indexes(sim.time)

@@ -9,6 +9,7 @@ transition function.
 
 from __future__ import annotations
 
+import warnings
 from functools import partial
 from typing import Any
 
@@ -153,11 +154,24 @@ class ExtremeValues(TrainAdjust):
         sim: DataArray,
         scen: DataArray,
         *,
-        frac: float = 0.70,
-        power: float = 3.0,
+        frac: float | None = None,
+        power: float | None = None,
         interp: str = "linear",
         extrapolation: str = "constant",
     ):
+        if frac is None or power is None:
+            # reference adjustment.py:905-914: the defaults changed from
+            # (0.25, 1) to (0.70, 3) in v0.6.1 and silent reliance on them
+            # warns
+            warnings.warn(
+                "No value was provided for the `frac` and/or `power` parameters; "
+                "using the current defaults frac=0.70, power=3. Set them "
+                "explicitly to silence this warning.",
+                FutureWarning,
+                stacklevel=2,
+            )
+        frac = 0.70 if frac is None else frac
+        power = 3.0 if power is None else power
         sima, _, _ = to_compute(sim)
         scena, _, _ = to_compute(scen)
         T = sima.shape[-1]

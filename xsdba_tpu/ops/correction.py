@@ -34,9 +34,12 @@ def get_correction(x, y, kind: str):
     raise ValueError("kind must be + or *.")
 
 
-def apply_correction(x, factor, kind: str):
+def apply_correction(x, factor, kind: str | None = None):
     """x + factor (additive) or x * factor (multiplicative) —
-    reference utils.py:148-163."""
+    reference utils.py:148-163.  When ``kind`` is None it is read from the
+    factor's ``kind`` attribute (set by grouped trainers)."""
+    if kind is None:
+        kind = getattr(factor, "attrs", {}).get("kind")
     if kind == ADDITIVE:
         return x + factor
     if kind == MULTIPLICATIVE:
@@ -44,8 +47,11 @@ def apply_correction(x, factor, kind: str):
     raise ValueError("kind must be + or *.")
 
 
-def invert(x, kind: str):
-    """-x (additive) or 1/x (multiplicative) — reference utils.py:166-177."""
+def invert(x, kind: str | None = None):
+    """-x (additive) or 1/x (multiplicative) — reference utils.py:166-177.
+    When ``kind`` is None it is read from x's ``kind`` attribute."""
+    if kind is None:
+        kind = getattr(x, "attrs", {}).get("kind")
     if kind == ADDITIVE:
         return -x
     if kind == MULTIPLICATIVE:

@@ -16,13 +16,13 @@ import numpy as np
 __all__ = ["best_pc_orientation_full", "best_pc_orientation_simple", "first_eof_pattern", "pc_matrix", "pc_transform_matrix"]
 
 
-def pc_matrix(x):
-    """x [..., M, P] -> PC matrix [..., M, M]: eigvecs(cov) · sqrt(eigvals).
+def pc_matrix(arr):
+    """arr [..., M, P] -> PC matrix [..., M, M]: eigvecs(cov) · sqrt(eigvals).
 
     Columns (points) with any NaN coordinate are excluded (reference
     adjustment.py:1148-1153 drops them before np.cov, ddof=1).
     """
-    x = jnp.asarray(x)
+    x = jnp.asarray(arr)
     valid = ~jnp.any(jnp.isnan(x), axis=-2, keepdims=True)          # [..., 1, P]
     n = jnp.sum(valid, axis=-1)                                     # [..., 1]
     x0 = jnp.where(valid, x, 0.0)

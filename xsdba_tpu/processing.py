@@ -107,10 +107,10 @@ def jitter_over_thresh(x: DataArray, thresh: str, upper_bnd: str) -> DataArray:
     return jitter(x, upper=thresh, maximum=upper_bnd)
 
 
-def uniform_noise_like(x: DataArray, low: float = 1e-6, high: float = 1e-3) -> DataArray:
-    """Uniform noise with x's shape (reference processing.py:304-320)."""
-    data = jax.random.uniform(next_key(), np.shape(x.data), minval=low, maxval=high)
-    return x.copy(data=data.astype(x.dtype))
+def uniform_noise_like(da: DataArray, low: float = 1e-6, high: float = 1e-3) -> DataArray:
+    """Uniform noise with da's shape (reference processing.py:304-320)."""
+    data = jax.random.uniform(next_key(), np.shape(da.data), minval=low, maxval=high)
+    return da.copy(data=data.astype(da.dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -309,12 +309,33 @@ def _reordering_core(ref, sim):
     return jnp.take_along_axis(sim_sorted, order, axis=-1)
 
 
-def reordering(ref: DataArray, sim: DataArray, dim: str = "time") -> DataArray:
+def reordering(ref: DataArray, sim: DataArray, group: str | Grouper = "time") -> DataArray:
     """Reorder sim so its rank structure matches ref's (Schaake shuffle;
-    reference processing.py:361-390)."""
-    refc = ref.move_dim_last(dim)
-    simc = sim.move_dim_last(dim)
-    out = _reordering_core(jnp.asarray(refc.data), jnp.asarray(simc.data))
+    reference processing.py:361-390), optionally within each group block."""
+    group = Grouper(group) if isinstance(group, str) else group
+    refc = ref.move_dim_last("time")
+    simc = sim.move_dim_last("time")
+    rv, sv = jnp.asarray(refc.data), jnp.asarray(simc.data)
+    if group.prop == "group":
+        out = _reordering_core(rv, sv)
+    else:
+        if group.window > 1:
+            raise ValueError("reordering does not support windowed groups.")
+        # reorder within each group's members: gather into [..., G, L]
+        # (NaN padded — pads rank last on both sides), then scatter back
+        gi = group.indexes(sim.time)
+        gidx = jnp.asarray(gi.gather_idx)
+        pad = gidx < 0
+        safe = jnp.clip(gidx, 0, rv.shape[-1] - 1)
+        rg = jnp.where(pad, jnp.nan, rv[..., safe])
+        sg = jnp.where(pad, jnp.nan, sv[..., safe])
+        og = _reordering_core(rg, sg)
+        flatpos = jnp.where(pad, rv.shape[-1], safe).reshape(-1)
+        out = (
+            jnp.zeros(rv.shape[:-1] + (rv.shape[-1] + 1,), rv.dtype)
+            .at[..., flatpos]
+            .set(og.reshape(og.shape[: rv.ndim - 1] + (-1,)))[..., : rv.shape[-1]]
+        )
     from .models._wrap import scen_like
 
     res = scen_like(sim, out, name=sim.name)
@@ -328,10 +349,12 @@ def reordering(ref: DataArray, sim: DataArray, dim: str = "time") -> DataArray:
 # ---------------------------------------------------------------------------
 
 
-def stack_variables(ds: Dataset, dim: str = "multivar") -> DataArray:
+def stack_variables(ds: Dataset, rechunk: bool = True, dim: str = "multivar") -> DataArray:
     """Stack Dataset variables into one DataArray along a leading ``dim``
     (alphabetical order).  Per-variable attrs are preserved for
-    :func:`unstack_variables`; units are blanked on the stacked array."""
+    :func:`unstack_variables`; units are blanked on the stacked array.
+    ``rechunk`` is accepted for reference signature parity (processing.py:736)
+    and ignored — there is no dask layer here."""
     items = sorted(ds.items(), key=lambda e: e[0])
     names = [nm for nm, _ in items]
     first = items[0][1]
@@ -743,11 +766,11 @@ def _idct2(X, axis):
     return jnp.moveaxis(x, -1, axis)
 
 
-def cos2_mask_func(alpha, low, high):
+def cos2_mask_func(da, low, high):
     """Cosine-squared low-pass mask (reference processing.py:950-984):
     1 below ``low``, cos^2 ramp between, 0 above ``high``."""
-    ramp = jnp.cos(((alpha - low) / (high - low)) * (jnp.pi / 2)) ** 2
-    return jnp.where(alpha < low, 1.0, jnp.where(alpha > high, 0.0, ramp))
+    ramp = jnp.cos(((da - low) / (high - low)) * (jnp.pi / 2)) ** 2
+    return jnp.where(da < low, 1.0, jnp.where(da > high, 0.0, ramp))
 
 
 def estimate_delta_from_cf(da: DataArray) -> str:
@@ -847,13 +870,13 @@ def spectral_filter(
     return res
 
 
-def grouped_time_indexes(time, group):
+def grouped_time_indexes(times, group):
     """Integer time-index blocks per group and windowed group (reference
     processing.py:829-918): returns (g_idxs [G, L], gw_idxs [G, Lw]) with -1
     padding.  On TPU this is just the Grouper's static lowering."""
     group = Grouper(group) if isinstance(group, str) else group
-    gi_w = group.indexes(time)
-    gi = Grouper(group.name).indexes(time) if group.window > 1 else gi_w
+    gi_w = group.indexes(times)
+    gi = Grouper(group.name).indexes(times) if group.window > 1 else gi_w
     return gi.gather_idx, gi_w.gather_idx
 
 
@@ -900,11 +923,11 @@ def sort_along_dim(da: DataArray, dim: str = "time") -> DataArray:
     return out
 
 
-def get_clusters(da: DataArray, u1, u2, dim: str = "time") -> Dataset:
+def get_clusters(data: DataArray, u1, u2, dim: str = "time") -> Dataset:
     """Cluster count/max/positions along ``dim`` (reference utils.py:844-921)."""
     from .ops.clusters import cluster_fields
 
-    dac = da.move_dim_last(dim)
+    dac = data.move_dim_last(dim)
     x = jnp.asarray(dac.data)
     fields = cluster_fields(x, u1, u2, max_clusters=x.shape[-1] // 2)
     bdims = dac.dims[:-1]
@@ -923,11 +946,21 @@ def get_clusters(da: DataArray, u1, u2, dim: str = "time") -> Dataset:
 
 
 @parse_group
-def broadcast(grouped: DataArray, x: DataArray, *, group: str | Grouper = "time", interp: str = "nearest") -> DataArray:
+def broadcast(
+    grouped: DataArray,
+    x: DataArray,
+    *,
+    group: str | Grouper = "time",
+    interp: str = "nearest",
+    sel: dict[str, DataArray] | None = None,
+) -> DataArray:
     """Broadcast a grouped array ([..., prop]) back onto ``x``'s time axis
     (reference ``utils.py:181-248``): nearest selection by group id, or
     linear interpolation over the fractional group index with cyclic group
-    padding."""
+    padding.  ``sel`` maps additional grouped dimensions to per-time
+    coordinates of ``x`` (e.g. ``{"quantiles": sim_rank}``): those dims are
+    consumed by pointwise nearest selection / linear interpolation — the
+    separable equivalent of the reference's multi-dim ``.sel``/``.interp``."""
     from .ops.correction import broadcast_group_factors
 
     group = Grouper(group) if isinstance(group, str) else group
@@ -942,6 +975,33 @@ def broadcast(grouped: DataArray, x: DataArray, *, group: str | Grouper = "time"
         interp=interp,
     )
     bdims = gc.dims[:-1]
+    for key, selda in (sel or {}).items():
+        if key not in bdims:
+            raise ValueError(f"sel key {key!r} is not a dimension of the grouped array {bdims}.")
+        coord = jnp.asarray(np.asarray(gc.coords[key], dtype=np.float64), out.dtype)
+        # align sel values onto (bdims - key) + time by dim name
+        sc = selda.move_dim_last("time") if "time" in selda.dims else selda
+        tgt_dims = tuple(d for d in bdims if d != key) + ("time",)
+        vshape = [1] * len(tgt_dims)
+        for d, n in zip(sc.dims, np.shape(sc.data)):
+            if d not in tgt_dims:
+                raise ValueError(f"sel value for {key!r} has unknown dim {d!r}.")
+            vshape[tgt_dims.index(d)] = n
+        vals = jnp.asarray(sc.data).reshape(vshape) if sc.dims != tgt_dims else jnp.asarray(sc.data)
+        ax = bdims.index(key)
+        moved = jnp.moveaxis(out, ax, -1)  # (bdims - key) + (time, K)
+        if interp == "nearest":
+            idx = jnp.argmin(jnp.abs(coord[None, :] - vals[..., None]), axis=-1)
+            out = jnp.take_along_axis(moved, idx[..., None], axis=-1)[..., 0]
+        else:
+            hi = jnp.clip(jnp.searchsorted(coord, vals), 1, coord.shape[0] - 1)
+            lo = hi - 1
+            clo, chi = coord[lo], coord[hi]
+            w = jnp.clip((vals - clo) / jnp.where(chi == clo, 1.0, chi - clo), 0.0, 1.0)
+            vlo = jnp.take_along_axis(moved, lo[..., None], axis=-1)[..., 0]
+            vhi = jnp.take_along_axis(moved, hi[..., None], axis=-1)[..., 0]
+            out = vlo * (1 - w) + vhi * w
+        bdims = tuple(d for d in bdims if d != key)
     coords = {d: gc.coords[d] for d in bdims if d in gc.coords}
     coords["time"] = x.time
     return DataArray(out, bdims + ("time",), coords, dict(grouped.attrs), grouped.name)

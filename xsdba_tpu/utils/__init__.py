@@ -4,9 +4,12 @@ from .grouper import GroupIndexes, Grouper, parse_group, period_blocks
 from .helpers import (
     add_cyclic_bounds,
     copy_all_attrs,
+    ecdf,
     ensure_longest_doy,
     get_clusters_1d,
+    map_cdf,
     map_cdf_1d,
+    rand_rot_matrix,
     random_tiebreak,
 )
 from .options import get_option, set_options
@@ -23,13 +26,10 @@ _LAZY = {
     "optimal_transport": "..ops.ot",
     "eps_cholesky": "..ops.ot",
     "broadcast": "..processing",
-    "ecdf": "..ops.correction",
-    "map_cdf": "..ops.correction",
     "equally_spaced_nodes": "..ops.correction",
     "get_correction": "..ops.correction",
     "apply_correction": "..ops.correction",
     "invert": "..ops.correction",
-    "rand_rot_matrix": "..ops.rotation",
     "rank": "..processing",
     "sort_along_dim": "..processing",
     "get_clusters": "..processing",

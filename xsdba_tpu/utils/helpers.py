@@ -16,9 +16,12 @@ from .container import DataArray, Dataset
 __all__ = [
     "add_cyclic_bounds",
     "copy_all_attrs",
+    "ecdf",
     "ensure_longest_doy",
     "get_clusters_1d",
+    "map_cdf",
     "map_cdf_1d",
+    "rand_rot_matrix",
     "random_tiebreak",
 ]
 
@@ -98,6 +101,66 @@ def map_cdf_1d(x, y, y_value):
     sy = np.r_[-np.inf, np.sort(y, axis=None)]
     q = np.searchsorted(sy, y_value, side="right") / np.sum(~np.isnan(sy))
     return np.nanquantile(x, q=q)
+
+
+def ecdf(x, value, dim: str = "time"):
+    """P(X <= value) along ``dim`` (reference ``utils.py:87-105``).
+
+    Accepts a container DataArray (named ``dim``) or a bare array (``dim``
+    as an integer axis, default last)."""
+    from ..ops import correction as _corr
+
+    if isinstance(x, DataArray):
+        xc = x.move_dim_last(dim)
+        out = _corr.ecdf(xc.data, value, axis=-1)
+        bdims = xc.dims[:-1]
+        return DataArray(out, bdims, {d: xc.coords[d] for d in bdims if d in xc.coords}, {"units": ""}, x.name)
+    return _corr.ecdf(x, value, axis=dim if isinstance(dim, int) else -1)
+
+
+def map_cdf(ds, *, y_value, dim: str = "time"):
+    """Value in ``ds.x`` with the same CDF as ``y_value`` in ``ds.y``
+    (reference ``utils.py:47-84``): quantile mapping of a scalar threshold.
+
+    ``ds`` is a Dataset with variables ``x`` (values to pick from) and ``y``
+    (values ranking ``y_value``); vectorizes over all non-``dim`` dims."""
+    from ..ops import correction as _corr
+
+    x, y = ds["x"], ds["y"]
+    xc = x.move_dim_last(dim)
+    yc = y.move_dim_last(dim)
+    yv = np.atleast_1d(y_value).astype(float)
+    outs = [np.asarray(_corr.map_cdf(xc.data, yc.data, np.asarray(v), axis=-1)) for v in yv]
+    out = np.stack(outs, axis=-1)  # [..., len(y_value)] — reference's "x" dim
+    bdims = xc.dims[:-1]
+    coords = {d: xc.coords[d] for d in bdims if d in xc.coords}
+    return DataArray(out, bdims + ("x",), coords, dict(x.attrs), x.name)
+
+
+def rand_rot_matrix(crd, num: int = 1, new_dim: str | None = None, **kwargs):
+    """Random SO(N) rotation matrices (reference ``utils.py:924-975``,
+    Mezzadri 2007).
+
+    With an integer first argument this is the device kernel
+    (:func:`xsdba_tpu.ops.rotation.rand_rot_matrix`, extra kwargs pass
+    through).  With a coordinate DataArray it returns a labelled DataArray
+    over ``(crd_dim, new_dim)`` — stacked along ``matrices`` when num > 1 —
+    matching the reference's form."""
+    from ..ops.rotation import rand_rot_matrix as _device
+
+    if isinstance(crd, (int, np.integer)):
+        return _device(int(crd), num=num, **kwargs)
+    vals = np.asarray(crd.data if isinstance(crd, DataArray) else crd)
+    dim = crd.dims[0] if isinstance(crd, DataArray) else "crd"
+    if new_dim is None:
+        new_dim = dim + "_prime"
+    N = vals.size
+    mats = np.asarray(_device(N, num=num, **kwargs), dtype=np.float32)  # [num?, N, N]
+    coords = {dim: vals, new_dim: vals.copy()}
+    attrs = {"crd_dim": dim, "new_dim": new_dim}
+    if num > 1:
+        return DataArray(mats, ("matrices", dim, new_dim), coords, attrs, "rot_matrices")
+    return DataArray(mats, (dim, new_dim), coords, attrs, "rot_matrix")
 
 
 def random_tiebreak(da: DataArray, dim: str = "time") -> DataArray:
