@@ -1,0 +1,123 @@
+"""Exact-parity mode for grouped quantile lookups (VERDICT r3 #2).
+
+``mode="reference"`` must reproduce the reference's 2-D scipy-griddata
+pipeline (utils.py:380-400 + nbutils.py:397-416) through the public API at
+<= 1e-6 — the oracle below re-implements that pipeline directly from scipy,
+independent of xsdba_tpu.ops.interp.
+"""
+
+import numpy as np
+import pytest
+from scipy.interpolate import griddata
+
+import xsdba_tpu as xt
+from xsdba_tpu import DataArray, Grouper, date_range
+from xsdba_tpu.processing import interp_on_quantiles
+
+
+def reference_pipeline_oracle(v, frac, xq, yq, positions, method="linear", extrap="constant"):
+    """The reference grouped lookup, straight from scipy: cyclic pad, drop
+    NaN nodes, griddata, then the constant/nan extrapolation overwrite."""
+    pos_p = np.concatenate([[2 * positions[0] - positions[1]], positions, [2 * positions[-1] - positions[-2]]])
+    xq_p = np.concatenate([xq[-1:], xq, xq[:1]], axis=0)
+    yq_p = np.concatenate([yq[-1:], yq, yq[:1]], axis=0)
+    pts_g = np.repeat(pos_p, xq.shape[1])
+    mask_old = np.isnan(xq_p.ravel()) | np.isnan(yq_p.ravel())
+    out = griddata(
+        (xq_p.ravel()[~mask_old], pts_g[~mask_old]),
+        yq_p.ravel()[~mask_old],
+        (v, frac),
+        method=method,
+    )
+    if method == "nearest" or extrap != "nan":
+        blo = np.interp(frac, pos_p, xq_p[:, 0])
+        bhi = np.interp(frac, pos_p, xq_p[:, -1])
+        toolow, toohigh = v < blo, v > bhi
+        if extrap == "constant":
+            out[toolow] = np.interp(frac, pos_p, yq_p[:, 0])[toolow]
+            out[toohigh] = np.interp(frac, pos_p, yq_p[:, -1])[toohigh]
+        else:
+            out[toolow] = np.nan
+            out[toohigh] = np.nan
+    return out
+
+
+def _mk(v, t, units="K"):
+    return DataArray(v, ("time",), {"time": t}, {"units": units}, "tas")
+
+
+@pytest.fixture()
+def daily_decade():
+    t = date_range("1991-01-01", periods=3650, freq="D", calendar="noleap")
+    rng = np.random.default_rng(42)
+    season = 4 * np.sin(2 * np.pi * np.arange(3650) / 365.0)
+    ref = _mk(10 + season + rng.normal(0, 2, 3650), t)
+    hist = _mk(12 + 1.2 * season + rng.normal(0, 2.5, 3650), t)
+    return t, ref, hist
+
+
+def test_eqm_monthly_reference_mode_matches_scipy_oracle(daily_decade):
+    t, ref, hist = daily_decade
+    eqm = xt.EmpiricalQuantileMapping.train(ref, hist, group="time.month", nquantiles=25)
+    scen = eqm.adjust(hist, interp="linear", mode="reference")
+
+    gi = Grouper("time.month").indexes(t)
+    hist_q = np.asarray(eqm.ds["hist_q"].data, np.float64)
+    af = np.asarray(eqm.ds["af"].data, np.float64)
+    v = np.asarray(hist.data, np.float64)
+    af_t = reference_pipeline_oracle(v, gi.frac_idx, hist_q, af, gi.positions)
+    want = v + af_t
+    got = np.asarray(scen.data, np.float64)
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=0)
+    # and the blend path genuinely differs somewhere (same support, different
+    # boundary interpolant) — otherwise this test proves nothing
+    blend = np.asarray(eqm.adjust(hist, interp="linear").data, np.float64)
+    assert np.nanmax(np.abs(blend - want)) > 1e-8
+
+
+def test_qdm_monthly_reference_mode_matches_scipy_oracle(daily_decade):
+    t, ref, hist = daily_decade
+    qdm = xt.QuantileDeltaMapping.train(ref, hist, group="time.month", nquantiles=25, kind="+")
+    with xt.set_options(extra_output=True):
+        out = qdm.adjust(hist, interp="linear", mode="reference")
+    scen, sim_q = out["scen"], out["sim_q"]
+
+    gi = Grouper("time.month").indexes(t)
+    q = np.asarray(qdm.ds["af"].coords["quantiles"], np.float64)
+    af = np.asarray(qdm.ds["af"].data, np.float64)
+    xq = np.broadcast_to(q, (len(gi.positions), q.size))
+    af_t = reference_pipeline_oracle(
+        np.asarray(sim_q.data, np.float64), gi.frac_idx, np.asarray(xq), af, gi.positions
+    )
+    want = np.asarray(hist.data, np.float64) + af_t
+    np.testing.assert_allclose(np.asarray(scen.data, np.float64), want, atol=1e-6, rtol=0)
+
+
+def test_public_interp_on_quantiles_reference_mode(daily_decade):
+    t, ref, hist = daily_decade
+    G, nq = 12, 15
+    rng = np.random.default_rng(3)
+    pos = np.arange(1.0, G + 1)
+    xq_np = np.sort(rng.normal(10, 3, (G, nq)), axis=-1)
+    yq_np = np.sort(rng.normal(11, 3, (G, nq)), axis=-1)
+    xq = DataArray(xq_np, ("month", "quantiles"), {"month": pos, "quantiles": np.linspace(0.01, 0.99, nq)}, {}, "xq")
+    yq = DataArray(yq_np, ("month", "quantiles"), {"month": pos, "quantiles": np.linspace(0.01, 0.99, nq)}, {}, "yq")
+    gi = Grouper("time.month").indexes(t)
+    for method in ("linear", "nearest"):
+        got = interp_on_quantiles(hist, xq, yq, group="time.month", method=method, mode="reference")
+        newg = gi.frac_idx if method != "nearest" else gi.positions[gi.group_idx]
+        want = reference_pipeline_oracle(np.asarray(hist.data, np.float64), newg, xq_np, yq_np, pos, method=method)
+        np.testing.assert_allclose(np.asarray(got.data, np.float64), want, atol=1e-6, rtol=0)
+    with pytest.raises(ValueError, match="mode"):
+        interp_on_quantiles(hist, xq, yq, group="time.month", mode="nope")
+
+
+def test_dqm_reference_mode_runs(daily_decade):
+    t, ref, hist = daily_decade
+    dqm = xt.DetrendedQuantileMapping.train(ref, hist, group="time.month", nquantiles=20)
+    a = np.asarray(dqm.adjust(hist, interp="linear", detrend=1, mode="reference").data)
+    b = np.asarray(dqm.adjust(hist, interp="linear", detrend=1).data)
+    assert np.isfinite(a).all()
+    # boundary interpolants differ; bulk agrees
+    assert np.nanmedian(np.abs(a - b)) < 0.05
+    assert np.nanmax(np.abs(a - b)) > 0

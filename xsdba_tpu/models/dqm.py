@@ -137,8 +137,14 @@ class DetrendedQuantileMapping(TrainAdjust):
         interp: str = "nearest",
         extrapolation: str = "constant",
         detrend: int | BaseDetrend = 1,
+        mode: str = "blend",
     ):
-        from .eqm import _adjust_preprocess, _apply_max_tail_mask
+        from .eqm import (
+            _adjust_preprocess,
+            _apply_max_tail_mask,
+            _reference_af_lookup,
+            _use_reference_interp,
+        )
 
         group: Grouper = self.group
         gi = group.indexes(sim.time)
@@ -163,15 +169,26 @@ class DetrendedQuantileMapping(TrainAdjust):
         det = detrending.detrend(scaled_da)
 
         deta, _, _ = to_compute(det)
-        scen = _algos.qm_adjust_core(
-            deta,
-            jnp.asarray(self.ds["hist_q"].data),
-            jnp.asarray(self.ds["af"].data),
-            device_brackets(gi, interp),
-            kind=self.kind,
-            interp=interp,
-            extrapolation=extrapolation,
-        )
+        if _use_reference_interp(mode, gi):
+            af_t = _reference_af_lookup(
+                deta,
+                jnp.asarray(self.ds["hist_q"].data),
+                jnp.asarray(self.ds["af"].data),
+                gi,
+                interp,
+                extrapolation,
+            )
+            scen = apply_correction(deta, af_t, self.kind)
+        else:
+            scen = _algos.qm_adjust_core(
+                deta,
+                jnp.asarray(self.ds["hist_q"].data),
+                jnp.asarray(self.ds["af"].data),
+                device_brackets(gi, interp),
+                kind=self.kind,
+                interp=interp,
+                extrapolation=extrapolation,
+            )
         scen = detrending.retrend(scen_like(sim, scen))
         scena = jnp.asarray(scen.move_dim_last("time").data)
         scena = _apply_max_tail_mask(self, sima, scena, gi, interp)

@@ -12,7 +12,7 @@ from typing import Any
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.correction import ADDITIVE, equally_spaced_nodes
+from ..ops.correction import ADDITIVE, apply_correction, equally_spaced_nodes
 from ..utils.container import DataArray, Dataset
 from ..utils.grouper import Grouper
 from . import _algos
@@ -114,7 +114,7 @@ class EmpiricalQuantileMapping(TrainAdjust):
             "max_tail_factor": max_tail_factor,
         }
 
-    def _adjust(self, sim: DataArray, interp: str = "nearest", extrapolation: str = "constant"):
+    def _adjust(self, sim: DataArray, interp: str = "nearest", extrapolation: str = "constant", mode: str = "blend"):
         group: Grouper = self.group
         gi = group.indexes(sim.time)
         sima, _, _ = to_compute(sim)
@@ -123,15 +123,19 @@ class EmpiricalQuantileMapping(TrainAdjust):
         hist_q = jnp.asarray(self.ds["hist_q"].data)
         af = jnp.asarray(self.ds["af"].data)
 
-        scen = _algos.qm_adjust_core(
-            sima,
-            hist_q,
-            af,
-            device_brackets(gi, interp),
-            kind=self.kind,
-            interp=interp,
-            extrapolation=extrapolation,
-        )
+        if _use_reference_interp(mode, gi):
+            af_t = _reference_af_lookup(sima, hist_q, af, gi, interp, extrapolation)
+            scen = apply_correction(sima, af_t, self.kind)
+        else:
+            scen = _algos.qm_adjust_core(
+                sima,
+                hist_q,
+                af,
+                device_brackets(gi, interp),
+                kind=self.kind,
+                interp=interp,
+                extrapolation=extrapolation,
+            )
         scen = _apply_max_tail_mask(self, sima, scen, gi, interp)
         return scen_like(sim, scen)
 
@@ -156,6 +160,7 @@ class QuantileDeltaMapping(EmpiricalQuantileMapping):
         interp: str = "nearest",
         extrapolation: str = "constant",
         rank_window: bool | None = None,
+        mode: str = "blend",
     ):
         group: Grouper = self.group
         gi = group.indexes(sim.time)
@@ -181,6 +186,14 @@ class QuantileDeltaMapping(EmpiricalQuantileMapping):
             interp=interp,
             extrapolation=extrapolation,
         )
+        if _use_reference_interp(mode, gi):
+            # redo only the AF lookup exactly: the shared quantile nodes act
+            # as each group's xq (reference _adjustment.py:874-880 +
+            # utils.py:466-480 expand_dims)
+            G = len(gi.positions)
+            xq = np.broadcast_to(np.asarray(quantiles, np.float64), (G, quantiles.shape[0]))
+            af_t = _reference_af_lookup(sim_q, xq, af, gi, interp, extrapolation)
+            scen = apply_correction(sima, af_t, self.kind)
         scen = _apply_max_tail_mask(self, sima, scen, gi, interp)
         out = Dataset({"scen": scen_like(sim, scen), "sim_q": scen_like(sim, sim_q, name="sim_q")})
         from ..utils.options import EXTRA_OUTPUT, get_option
@@ -239,6 +252,36 @@ def _preprocess(
     thresh = convert_units_to(adapt_freq_thresh, hist_da.units)
     histg_ad, P0_ref, P0_hist, pth, _ = _adapt_freq_grouped(refg, histg, thresh)
     return refg, histg_ad, P0_ref, P0_hist, pth
+
+
+def _use_reference_interp(mode: str, gi) -> bool:
+    """True when the exact reference-parity grouped lookup should run.
+
+    ``mode="blend"`` is the TPU path (separable cyclic blend);
+    ``mode="reference"`` evaluates the reference's scipy-griddata
+    triangulation on host (utils.py:380-400) — parity runs, not perf runs.
+    The ungrouped 1-D path is already bit-faithful, so "reference" only
+    changes behavior for grouped configs."""
+    if mode not in ("blend", "reference"):
+        raise ValueError(f"Unknown interpolation mode {mode!r} (blend, reference).")
+    return mode == "reference" and gi.prop != "group"
+
+
+def _reference_af_lookup(values, xq, yq, gi, interp, extrapolation):
+    """Host exact grouped AF lookup at ``values`` (float64 throughout)."""
+    from ..ops.interp import interp_on_quantiles_reference
+
+    newg = gi.frac_idx if interp != "nearest" else gi.positions[gi.group_idx]
+    out = interp_on_quantiles_reference(
+        np.asarray(values, np.float64),
+        newg,
+        np.asarray(xq, np.float64),
+        np.asarray(yq, np.float64),
+        gi.positions,
+        method=interp,
+        extrap=extrapolation,
+    )
+    return jnp.asarray(out, jnp.asarray(values).dtype)
 
 
 def _adjust_preprocess(obj, sima, sim_da, gi):

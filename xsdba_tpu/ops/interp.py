@@ -34,6 +34,7 @@ __all__ = [
     "interp1d_table",
     "interp_grouped_partitioned",
     "interp_on_quantiles_grouped",
+    "interp_on_quantiles_reference",
     "searchsorted_batched",
 ]
 
@@ -391,3 +392,103 @@ def interp_on_quantiles_grouped(
         return acc + c
 
     return jax.lax.fori_loop(0, Gp, body2, acc0)
+
+
+# ---------------------------------------------------------------------------
+# exact reference-parity grouped lookup (host; scipy griddata)
+# ---------------------------------------------------------------------------
+
+
+def _first_last_nonnull(a):
+    """Per-row (first, last) non-NaN values of a [..., nq] array
+    (reference ``nbutils.py:378-394``)."""
+    a = np.asarray(a, dtype=np.float64)
+    valid = ~np.isnan(a)
+    anyv = valid.any(axis=-1)
+    first_i = np.argmax(valid, axis=-1)
+    last_i = a.shape[-1] - 1 - np.argmax(valid[..., ::-1], axis=-1)
+    first = np.take_along_axis(a, first_i[..., None], axis=-1)[..., 0]
+    last = np.take_along_axis(a, last_i[..., None], axis=-1)[..., 0]
+    return (
+        np.where(anyv, first, np.nan),
+        np.where(anyv, last, np.nan),
+    )
+
+
+def interp_on_quantiles_reference(
+    v,
+    newg,
+    xq,
+    yq,
+    group_positions,
+    method: str = "linear",
+    extrap: str = "constant",
+):
+    """Bit-faithful reimplementation of the reference's grouped
+    ``interp_on_quantiles`` (``utils.py:380-400`` + ``nbutils.py:397-416``):
+    cyclic-pad the group axis with extrapolated coordinates, drop NaN nodes,
+    run ``scipy.interpolate.griddata`` over the scattered
+    (value, group-index) points, then re-apply the constant/nan
+    extrapolation outside each group's interpolated table span.
+
+    Host path — parity runs, not perf runs.  Shapes: ``v`` [..., T],
+    ``newg`` [T] (fractional group index for linear/cubic, exact group
+    coordinates for nearest), ``xq``/``yq`` [..., G, nq],
+    ``group_positions`` [G].
+    """
+    from scipy.interpolate import griddata
+
+    v = np.asarray(v, dtype=np.float64)
+    newg = np.asarray(newg, dtype=np.float64)
+    xq = np.asarray(xq, dtype=np.float64)
+    yq = np.asarray(yq, dtype=np.float64)
+    pos = np.asarray(group_positions, dtype=np.float64)
+    G = pos.shape[0]
+
+    # reference add_cyclic_bounds(..., cyclic_coords=False): wrap the rows,
+    # extrapolate the coordinate by its neighbouring step
+    if G > 1:
+        pos_p = np.concatenate([[2 * pos[0] - pos[1]], pos, [2 * pos[-1] - pos[-2]]])
+    else:
+        pos_p = np.concatenate([pos - 1.0, pos, pos + 1.0])
+    xq_p = np.concatenate([xq[..., -1:, :], xq, xq[..., :1, :]], axis=-2)
+    yq_p = np.concatenate([yq[..., -1:, :], yq, yq[..., :1, :]], axis=-2)
+
+    batch = np.broadcast_shapes(v.shape[:-1], xq.shape[:-2], yq.shape[:-2])
+    T = v.shape[-1]
+    nq = xq.shape[-1]
+    vf = np.broadcast_to(v, batch + (T,)).reshape(-1, T)
+    xf = np.broadcast_to(xq_p, batch + (G + 2, nq)).reshape(-1, G + 2, nq)
+    yf = np.broadcast_to(yq_p, batch + (G + 2, nq)).reshape(-1, G + 2, nq)
+    oldg = np.broadcast_to(pos_p[:, None], (G + 2, nq))
+
+    out = np.full_like(vf, np.nan)
+    for b in range(vf.shape[0]):
+        newx = vf[b]
+        oldx, oldy = xf[b], yf[b]
+        mask_new = np.isnan(newx) | np.isnan(newg)
+        mask_old = np.isnan(oldx) | np.isnan(oldy)
+        if mask_new.all() or mask_old.all():
+            continue
+        res = out[b]
+        res[~mask_new] = griddata(
+            (oldx[~mask_old], oldg[~mask_old]),
+            oldy[~mask_old],
+            (newx[~mask_new], newg[~mask_new]),
+            method=method,
+        )
+        if method == "nearest" or extrap != "nan":
+            # nbutils._extrapolate_on_quantiles: per-group table span,
+            # linearly interpolated over the padded group coordinate
+            xp = pos_p
+            blo, bhi = _first_last_nonnull(oldx)
+            toolow = newx < np.interp(newg, xp, blo)
+            toohigh = newx > np.interp(newg, xp, bhi)
+            if extrap == "constant":
+                clo, chi = _first_last_nonnull(oldy)
+                res[toolow] = np.interp(newg, xp, clo)[toolow]
+                res[toohigh] = np.interp(newg, xp, chi)[toohigh]
+            else:
+                res[toolow] = np.nan
+                res[toohigh] = np.nan
+    return out.reshape(batch + (T,))

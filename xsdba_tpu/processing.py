@@ -1008,28 +1008,65 @@ def broadcast(
 
 
 @parse_group
-def interp_on_quantiles(newx: DataArray, xq: DataArray, yq: DataArray, *, group: str | Grouper = "time", method: str = "linear", extrapolation: str = "constant") -> DataArray:
+def interp_on_quantiles(
+    newx: DataArray,
+    xq: DataArray,
+    yq: DataArray,
+    *,
+    group: str | Grouper = "time",
+    method: str = "linear",
+    extrapolation: str = "constant",
+    mode: str = "blend",
+) -> DataArray:
     """Public grouped/ungrouped quantile-table interpolation (reference
-    utils.py:409-513)."""
-    from .ops.interp import interp1d_table, interp_on_quantiles_grouped
+    utils.py:409-513).
 
+    ``mode="blend"`` (default) runs the TPU separable cyclic blend for
+    grouped lookups; ``mode="reference"`` evaluates the reference's exact
+    scipy-griddata triangulation on host (utils.py:380-400) — use it when
+    bit-parity with xsdba outputs matters more than speed.  The ungrouped
+    1-D path is identical either way."""
+    from .ops.interp import interp1d_table, interp_on_quantiles_grouped, interp_on_quantiles_reference
+
+    if mode not in ("blend", "reference"):
+        raise ValueError(f"Unknown interpolation mode {mode!r} (blend, reference).")
     group = Grouper(group) if isinstance(group, str) else group
     v = jnp.asarray(newx.move_dim_last("time").data)
     xqv = jnp.asarray(xq.data)
     yqv = jnp.asarray(yq.data)
-    if group.prop == "group" or xq.dims[-2:-1] == ():
+    grouped = not (group.prop == "group" or (group.prop_name not in xq.dims and group.prop_name not in yq.dims))
+    if not grouped:
         out = interp1d_table(v, xqv, yqv, method, extrapolation)
     else:
         gi = group.indexes(newx.time)
-        out = interp_on_quantiles_grouped(
-            v,
-            jnp.asarray(gi.frac_idx, dtype=v.dtype),
-            xqv,
-            yqv,
-            jnp.asarray(gi.positions, dtype=v.dtype),
-            method,
-            extrapolation,
-        )
+        G = len(gi.positions)
+        # reference utils.py:476-480: a prop-less table is shared by all groups
+        if group.prop_name not in xq.dims and xqv.ndim == 1:
+            xqv = jnp.broadcast_to(xqv, (G,) + xqv.shape[-1:])
+        if mode == "reference":
+            newg = gi.frac_idx if method != "nearest" else gi.positions[gi.group_idx]
+            out = jnp.asarray(
+                interp_on_quantiles_reference(
+                    np.asarray(v, np.float64),
+                    newg,
+                    np.asarray(xqv, np.float64),
+                    np.asarray(yqv, np.float64),
+                    gi.positions,
+                    method=method,
+                    extrap=extrapolation,
+                ),
+                v.dtype,
+            )
+        else:
+            out = interp_on_quantiles_grouped(
+                v,
+                jnp.asarray(gi.frac_idx, dtype=v.dtype),
+                xqv,
+                yqv,
+                jnp.asarray(gi.positions, dtype=v.dtype),
+                method,
+                extrapolation,
+            )
     from .models._wrap import scen_like
 
     return scen_like(newx, out, name=newx.name)
