@@ -19,7 +19,7 @@ import numpy as np
 _BASELINE_GPYRS_PER_S = 1_036_800 * 150 / 60 / 8  # = 324_000
 
 
-def _inscan_rate(jax, jnp, step, inputs, gpy_per_step, n_steps=12, reps=3):
+def _inscan_rate(jax, jnp, step, inputs, gpy_per_step, n_steps=12, reps=5):
     """Chip-throughput timing: ``n_steps`` dependent full steps inside ONE
     jitted ``lax.scan`` — one dispatch, one scalar fetch — minus the measured
     trivial dispatch+fetch roundtrip.  Through the remote-TPU relay,
@@ -28,6 +28,11 @@ def _inscan_rate(jax, jnp, step, inputs, gpy_per_step, n_steps=12, reps=3):
     masquerade as compute.  In-graph chaining measures what the chip
     actually sustains, which is also the production regime (few large
     dispatches).
+
+    Relay robustness: ``reps`` independent in-scan estimates are collected
+    and the MEDIAN rate is reported (a single latency spike or lucky window
+    cannot set the metric), with the relative spread ``(max-min)/median``
+    returned alongside for the JSON ``extra``.
 
     ``step`` takes the full ``inputs`` tuple, and EVERY input is data-chained
     through the scan carry — otherwise XLA hoists the loop-invariant work
@@ -58,10 +63,17 @@ def _inscan_rate(jax, jnp, step, inputs, gpy_per_step, n_steps=12, reps=3):
     s = float(scan_steps(inputs))  # compile + first run
     assert np.isfinite(s)
     float(triv(inputs))
+    # The trivial roundtrip is pure relay latency; its floor (min) is the
+    # right subtraction — anything above the floor is a spike, and spikes
+    # also hit the scan runs, where the median absorbs them.
     t_triv = min(_timed_fetch(lambda: triv(inputs)) for _ in range(reps))
-    t_scan = min(_timed_fetch(lambda: scan_steps(inputs)) for _ in range(reps))
-    dt = max((t_scan - t_triv) / n_steps, 1e-9)
-    return gpy_per_step / dt
+    rates = []
+    for _ in range(reps):
+        t_scan = _timed_fetch(lambda: scan_steps(inputs))
+        rates.append(gpy_per_step / max((t_scan - t_triv) / n_steps, 1e-9))
+    value = float(np.median(rates))
+    spread = float((max(rates) - min(rates)) / value)
+    return value, spread
 
 
 def _timed_fetch(f):
@@ -109,7 +121,7 @@ def main():
         return jnp.nansum(out)
 
     gp_years = n_sites * n_years
-    value = _inscan_rate(jax, jnp, step, data, gp_years)
+    value, headline_spread = _inscan_rate(jax, jnp, step, data, gp_years)
 
     def emit(extra):
         print(
@@ -128,17 +140,20 @@ def main():
     # preliminary line first: the heavy/MBCn rows compile many kernels, and
     # if an external timeout kills the run mid-way the LAST printed line
     # still records the headline
-    extra = {}
+    extra = {"spread": {"headline": round(headline_spread, 3)}}
     emit(extra)
     try:
-        heavy = _bench_heavy_doy31(jax, jnp)
+        heavy, heavy_spread = _bench_heavy_doy31(jax, jnp)
         extra["heavy_config1_eqm_doy31w_gpyrs_per_s"] = heavy
         extra["heavy_vs_baseline"] = round(heavy / _BASELINE_GPYRS_PER_S, 3)
+        extra["spread"]["heavy"] = round(heavy_spread, 3)
         emit(extra)
     except Exception as err:  # pragma: no cover - defensive
         extra["heavy_error"] = str(err)[:200]
     try:
-        extra["mbcn_train_iterations_per_s"] = _bench_mbcn(jnp)
+        mbcn, mbcn_spread = _bench_mbcn(jnp)
+        extra["mbcn_train_iterations_per_s"] = mbcn
+        extra["spread"]["mbcn"] = round(mbcn_spread, 3)
     except Exception as err:  # pragma: no cover - defensive
         extra["mbcn_error"] = str(err)[:200]
     emit(extra)
@@ -180,7 +195,8 @@ def _bench_heavy_doy31(jax, jnp):
 
     import jax as _jax
 
-    return round(_inscan_rate(_jax, jnp, step, (ref, hist, sim), n_sites * n_years), 1)
+    value, spread = _inscan_rate(_jax, jnp, step, (ref, hist, sim), n_sites * n_years)
+    return round(value, 1), spread
 
 
 def _bench_mbcn(jnp):
@@ -217,9 +233,13 @@ def _bench_mbcn(jnp):
         return _time.perf_counter() - t0
 
     # one public-API call is a single un-chainable dispatch+fetch, so relay
-    # latency cannot be amortized out of it; min-of-3 rejects relay spikes
-    dt = min(once() for _ in range(3))
-    return round(20 / dt, 1)
+    # latency cannot be amortized out of it; the MEDIAN of 5 repeats keeps a
+    # single spike (or a single lucky window) from setting the metric, and
+    # the relative spread is surfaced in the JSON extra
+    times = [once() for _ in range(5)]
+    dt = float(np.median(times))
+    spread = float((max(times) - min(times)) / dt)
+    return round(20 / dt, 1), spread
 
 
 if __name__ == "__main__":

@@ -44,12 +44,12 @@ def main():
     from xsdba_tpu.ops.pallas import merge_kernel
 
     merge_kernel.FUSE_FOLD_CLASSES = False
-    h0 = bench._bench_heavy_doy31(jax, jnp)
+    h0, _ = bench._bench_heavy_doy31(jax, jnp)
     print(f"heavy per-class fold: {h0} gp-yr/s ({h0 / 324000:.3f}x)", flush=True)
     cleanup()
     try:
         merge_kernel.FUSE_FOLD_CLASSES = True
-        h1 = bench._bench_heavy_doy31(jax, jnp)
+        h1, _ = bench._bench_heavy_doy31(jax, jnp)
         print(f"heavy fused fold    : {h1} gp-yr/s ({h1 / 324000:.3f}x)", flush=True)
     except Exception:
         traceback.print_exc()
