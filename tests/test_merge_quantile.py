@@ -246,7 +246,12 @@ def test_ocean_mask_rides_static_path():
     assert bool(_finite_probe(jnp.asarray(x)))  # homogeneous rows: static-safe
     assert not bool(_finite_probe(jnp.asarray(np.where(np.arange(len(t)) < 50, np.nan, x[:1]))))
 
-    got = np.asarray(windowed_group_quantile(jnp.asarray(x), gi.merge_plan, jnp.asarray(q)))
+    # use_kernel pins the MERGE backend: the probe/static-extraction pair
+    # under test is merge-path machinery (the selection backend, the
+    # default when the plan has interval membership, needs no probe)
+    got = np.asarray(
+        windowed_group_quantile(jnp.asarray(x), gi.merge_plan, jnp.asarray(q), use_kernel=False)
+    )
     assert _PLAN_FINITE_HINT.get(gi.merge_plan) is True  # stayed on the fast path
     assert np.isnan(got[2]).all() and np.isnan(got[3]).all()
     want = np.asarray(grouped_nan_quantile(jnp.asarray(x), gi.gather_idx, jnp.asarray(q)))

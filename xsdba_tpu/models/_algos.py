@@ -326,6 +326,47 @@ def _eqm_train_windowed_fused(
     return get_correction(q2[1], q2[0], kind), q2[1]
 
 
+@partial(jax.jit, static_argnames=("G", "kind"))
+def _eqm_train_windowed_sel(ref, hist, lab, q, *, G, kind):
+    """Fused EQM windowed train on the counting-selection backend: stack +
+    selection quantiles + factors in ONE NaN-exact program — no speculative
+    static/dynamic pair, no finiteness probe (ops/selquant.py)."""
+    from ..ops.selquant import selection_windowed_quantile_core
+
+    both = jnp.stack([ref, hist], axis=0)
+    q2 = selection_windowed_quantile_core(both, lab, q, G=G)
+    return get_correction(q2[1], q2[0], kind), q2[1]
+
+
+@partial(jax.jit, static_argnames=("G", "kind", "interp", "extrapolation"))
+def _eqm_train_adjust_windowed_sel(
+    ref, hist, sim, lab, q, brackets, *, G, kind, interp, extrapolation
+):
+    """Selection-backend analogue of ``_eqm_train_adjust_windowed_fused``."""
+    af, hist_q = _eqm_train_windowed_sel.__wrapped__(ref, hist, lab, q, G=G, kind=kind)
+    scen = qm_adjust_core.__wrapped__(
+        sim, hist_q, af, brackets, kind=kind, interp=interp, extrapolation=extrapolation
+    )
+    return scen, af, hist_q
+
+
+def _sel_fused_ok(plan, ref, hist, quantiles) -> bool:
+    """Fused selection train(+adjust) applies: backend on, matching pair,
+    and the stage-3 block gather of the stacked batch fits (~8 GB f32)."""
+    from ..ops.selquant import selection_ok
+
+    if not (
+        selection_ok(plan, quantiles)
+        and ref.shape == hist.shape
+        and ref.dtype == hist.dtype
+    ):
+        return False
+    B2 = 2 * int(np.prod(ref.shape[:-1], dtype=np.int64))
+    G = int(plan.fast_mask.shape[0])
+    K = 2 * int(np.shape(quantiles)[0]) + 1
+    return B2 * G * K * 128 <= (1 << 31)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -381,6 +422,17 @@ def eqm_train_adjust_windowed(
     ref = jnp.asarray(ref)
     hist = jnp.asarray(hist)
     sim = jnp.asarray(sim)
+
+    if _sel_fused_ok(plan, ref, hist, quantiles):
+        from ..ops.selquant import _plan_label_device
+
+        return _eqm_train_adjust_windowed_sel(
+            ref, hist, sim, _plan_label_device(plan),
+            jnp.asarray(quantiles, dtype=ref.dtype), brackets,
+            G=int(plan.fast_mask.shape[0]), kind=kind,
+            interp=interp, extrapolation=extrapolation,
+        )
+
     pairable = (
         ref.shape == hist.shape
         and ref.dtype == hist.dtype
@@ -446,6 +498,16 @@ def eqm_train_windowed(ref, hist, plan, quantiles, *, kind: str):
 
     ref = jnp.asarray(ref)
     hist = jnp.asarray(hist)
+
+    if _sel_fused_ok(plan, ref, hist, quantiles):
+        from ..ops.selquant import _plan_label_device
+
+        return _eqm_train_windowed_sel(
+            ref, hist, _plan_label_device(plan),
+            jnp.asarray(quantiles, dtype=ref.dtype),
+            G=int(plan.fast_mask.shape[0]), kind=kind,
+        )
+
     pairable = (
         ref.shape == hist.shape
         and ref.dtype == hist.dtype

@@ -536,6 +536,15 @@ def windowed_group_quantile(
     (``GroupIndexes.merge_plan``).
     """
     x = jnp.asarray(x)
+
+    # counting-selection backend: one NaN-exact program, no merge, no
+    # speculative static/dynamic dispatch (ops/selquant.py); bit-identical
+    # to the jitted re-sort oracle and ulp-level vs the merge path
+    from .selquant import selection_ok, selection_windowed_quantile
+
+    if use_kernel is None and not interpret and selection_ok(plan, quantiles):
+        return selection_windowed_quantile(x, plan, quantiles, alpha=alpha, beta=beta)
+
     if use_kernel is None:
         use_kernel = _merge_backend_default(x.dtype)
 

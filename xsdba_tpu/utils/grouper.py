@@ -70,6 +70,12 @@ class WindowMergePlan:
                                        # the virtual wrap rows are year-shifted
                                        # slices of it): slab build by
                                        # reshape+swapaxes instead of gathers
+    sel_labels: np.ndarray | None = None  # [T] int32 packed start*1024+length
+                                          # cyclic group-interval membership
+                                          # (counting-selection backend; None
+                                          # when membership is not a cyclic
+                                          # interval per element — see
+                                          # ops.selquant.interval_membership)
 
     @property
     def n_fast(self) -> int:
@@ -161,6 +167,11 @@ def _window_merge_plan(gidx, gather_idx, n_groups: int, window: int, prop: str):
             if np.array_equal(w1x[:half], head) and np.array_equal(w1x[half + G :], tail):
                 regular = G
 
+    from ..ops.selquant import interval_membership, pack_labels
+
+    iv = interval_membership(gather_idx, G, T)
+    sel_labels = pack_labels(*iv) if iv is not None else None
+
     return WindowMergePlan(
         w1_gather=w1x,
         fast_mask=fast,
@@ -174,6 +185,7 @@ def _window_merge_plan(gidx, gather_idx, n_groups: int, window: int, prop: str):
         dp=dp,
         nv_host=nv_host,
         regular_period=regular,
+        sel_labels=sel_labels,
     )
 
 
@@ -271,6 +283,11 @@ class GroupIndexes:
                 if plan.nv_host is None
                 else (plan.nv_host * n_add).astype(np.int64),
                 regular_period=None,
+                # intervals are per-element and copies keep their element's
+                # groups, so the pooled labels are the tiled originals
+                sel_labels=None
+                if plan.sel_labels is None
+                else np.tile(plan.sel_labels, n_add),
             )
         out = GroupIndexes(
             n_groups=self.n_groups,
