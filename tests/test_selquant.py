@@ -76,18 +76,50 @@ def test_bit_parity_f64_and_alpha_beta():
         np.testing.assert_array_equal(got, want, err_msg=f"alpha={a} beta={b}")
 
 
-def test_wb_invariance():
-    """The block width is a tuning knob, never a semantics knob."""
+def test_wb_slots_invariance():
+    """Block width, chunking and the emission slot window are tuning knobs,
+    never semantics knobs — including slot windows small enough that the
+    in-program overflow reroute (lax.cond full-width window) must fire."""
     gi = _mk(365 * 3, 31)
     plan = gi.merge_plan
     q = equally_spaced_nodes(10).astype(np.float32)
     rng = np.random.default_rng(5)
     x = jnp.asarray(rng.normal(0, 1, (2, 365 * 3)).astype(np.float32))
-    outs = [
-        np.asarray(selection_windowed_quantile(x, plan, q, Wb=wb)) for wb in (8, 32, 128)
-    ]
-    np.testing.assert_array_equal(outs[0], outs[1])
-    np.testing.assert_array_equal(outs[0], outs[2])
+    want = np.asarray(selection_windowed_quantile(x, plan, q))
+    for kw in ({"Wb": 8}, {"Wb": 128}, {"nb_chunk": 16}, {"slots": 1}, {"slots": 64}):
+        got = np.asarray(selection_windowed_quantile(x, plan, q, **kw))
+        np.testing.assert_array_equal(got, want, err_msg=str(kw))
+
+
+def test_emit_mode_parity():
+    """The dense-emission engine (TPU form) must match the gather engine and
+    the re-sort oracle bit for bit, including NaN data and tiny slot windows
+    that force the overflow reroute."""
+    gi = _mk(365 * 4, 31)
+    plan = gi.merge_plan
+    q = equally_spaced_nodes(15).astype(np.float32)
+    rng = np.random.default_rng(21)
+    x = rng.normal(5, 2, (3, 365 * 4)).astype(np.float32)
+    x[rng.random(x.shape) < 0.15] = np.nan
+    xj = jnp.asarray(x)
+    want = np.asarray(_oracle(gi)(xj, jnp.asarray(q)))
+    for kw in ({"mode": "emit"}, {"mode": "emit", "slots": 2}, {"mode": "gather"}):
+        got = np.asarray(selection_windowed_quantile(xj, plan, q, **kw))
+        np.testing.assert_array_equal(got, want, err_msg=str(kw))
+
+
+def test_concentrated_ties_precip_like():
+    """Dry-season-style value concentration (60% exact zeros) stresses the
+    emission windows: many members of one group share one sorted run."""
+    gi = _mk(365 * 5, 31)
+    plan = gi.merge_plan
+    q = equally_spaced_nodes(20).astype(np.float32)
+    rng = np.random.default_rng(13)
+    x = rng.gamma(2.0, 3.0, (3, 365 * 5)).astype(np.float32)
+    x[rng.random(x.shape) < 0.6] = 0.0
+    got = np.asarray(selection_windowed_quantile(jnp.asarray(x), plan, q))
+    want = np.asarray(_oracle(gi)(jnp.asarray(x), jnp.asarray(q)))
+    np.testing.assert_array_equal(got, want)
 
 
 def test_standard_calendar_declines():

@@ -326,24 +326,26 @@ def _eqm_train_windowed_fused(
     return get_correction(q2[1], q2[0], kind), q2[1]
 
 
-@partial(jax.jit, static_argnames=("G", "kind"))
-def _eqm_train_windowed_sel(ref, hist, lab, q, *, G, kind):
+@partial(jax.jit, static_argnames=("G", "kind", "mode"))
+def _eqm_train_windowed_sel(ref, hist, lab, q, *, G, kind, mode):
     """Fused EQM windowed train on the counting-selection backend: stack +
     selection quantiles + factors in ONE NaN-exact program — no speculative
     static/dynamic pair, no finiteness probe (ops/selquant.py)."""
     from ..ops.selquant import selection_windowed_quantile_core
 
     both = jnp.stack([ref, hist], axis=0)
-    q2 = selection_windowed_quantile_core(both, lab, q, G=G)
+    q2 = selection_windowed_quantile_core(both, lab, q, G=G, mode=mode)
     return get_correction(q2[1], q2[0], kind), q2[1]
 
 
-@partial(jax.jit, static_argnames=("G", "kind", "interp", "extrapolation"))
+@partial(jax.jit, static_argnames=("G", "kind", "mode", "interp", "extrapolation"))
 def _eqm_train_adjust_windowed_sel(
-    ref, hist, sim, lab, q, brackets, *, G, kind, interp, extrapolation
+    ref, hist, sim, lab, q, brackets, *, G, kind, mode, interp, extrapolation
 ):
     """Selection-backend analogue of ``_eqm_train_adjust_windowed_fused``."""
-    af, hist_q = _eqm_train_windowed_sel.__wrapped__(ref, hist, lab, q, G=G, kind=kind)
+    af, hist_q = _eqm_train_windowed_sel.__wrapped__(
+        ref, hist, lab, q, G=G, kind=kind, mode=mode
+    )
     scen = qm_adjust_core.__wrapped__(
         sim, hist_q, af, brackets, kind=kind, interp=interp, extrapolation=extrapolation
     )
@@ -424,12 +426,12 @@ def eqm_train_adjust_windowed(
     sim = jnp.asarray(sim)
 
     if _sel_fused_ok(plan, ref, hist, quantiles):
-        from ..ops.selquant import _plan_label_device
+        from ..ops.selquant import _plan_label_device, default_mode
 
         return _eqm_train_adjust_windowed_sel(
             ref, hist, sim, _plan_label_device(plan),
             jnp.asarray(quantiles, dtype=ref.dtype), brackets,
-            G=int(plan.fast_mask.shape[0]), kind=kind,
+            G=int(plan.fast_mask.shape[0]), kind=kind, mode=default_mode(),
             interp=interp, extrapolation=extrapolation,
         )
 
@@ -500,12 +502,12 @@ def eqm_train_windowed(ref, hist, plan, quantiles, *, kind: str):
     hist = jnp.asarray(hist)
 
     if _sel_fused_ok(plan, ref, hist, quantiles):
-        from ..ops.selquant import _plan_label_device
+        from ..ops.selquant import _plan_label_device, default_mode
 
         return _eqm_train_windowed_sel(
             ref, hist, _plan_label_device(plan),
             jnp.asarray(quantiles, dtype=ref.dtype),
-            G=int(plan.fast_mask.shape[0]), kind=kind,
+            G=int(plan.fast_mask.shape[0]), kind=kind, mode=default_mode(),
         )
 
     pairable = (

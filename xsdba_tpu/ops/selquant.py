@@ -12,15 +12,23 @@ exactly by counting, in three TPU-friendly stages:
    ``[start_t, start_t + len_t)`` whenever the grouping is a rolling window
    over contiguous time (checked host-side from the exact gather matrix;
    see :func:`interval_membership`).
-2. Per-block windowed rank counts: the sorted order is cut into blocks of
+2. Per-block windowed member counts: the sorted order is cut into blocks of
    ``Wb`` elements; each block's per-group member count is an elementwise
    interval test reduced over the block (VPU work, no gathers), and a
-   cumulative sum over blocks gives, for every (site, group, target rank),
-   the block containing that rank by pure comparisons.  Both the membership
-   reduce and the rank search run CHUNKED over blocks (``lax.map`` /
-   ``lax.scan``) so the [B, T, G]-sized broadcasts never materialize.
-3. One row-gather of the single containing block per query, and an in-block
-   masked cumulative count picks the exact element.
+   cumulative sum over blocks yields the exact valid count — and so the
+   needed type-7 ranks — per (site, group).
+3. DENSE EMISSION: the sorted stream is re-scanned chunk by chunk; every
+   element computes its own member-rank per group and tests it against the
+   ≤``slots`` needed ranks that fall inside its chunk (located by pure
+   comparisons against chunk-boundary counts).  Each needed rank is hit by
+   exactly one element globally, so per-chunk value*hit accumulators
+   assemble into the full table with a small one-hot select.  No random
+   access anywhere: v5e measures row-gathers at ~147M rows/s and sorts at
+   ~2 ns/element, so per-query gathers or sort-based searches would
+   dominate the step (docs/PERFORMANCE.md); dense interval tests are the
+   only primitive this chip serves at full rate.  The rare slot-overflow
+   case (extreme value concentration) reroutes in-program to the exact
+   full-width window via ``lax.cond``.
 
 Stage 2's counts are exact for NaN data too (NaNs sort last and are excluded
 from membership), so the ranks are computed dynamically from the true valid
@@ -130,18 +138,27 @@ def selection_windowed_quantile_core(
     G: int,
     Wb: int = 64,
     nb_chunk: int = 128,
+    slots: int = 32,
     g_chunk: int = 64,
+    mode: str = "emit",
     alpha: float = 1.0,
     beta: float = 1.0,
 ):
     """Traceable core: ``x`` [..., T] values, ``labels`` [T] packed
     ``start*_PACK + length`` int32, ``quantiles`` [nq].  Returns [..., G, nq].
 
-    ``Wb`` is the sorted-order block width (gather row length; 64 makes the
-    combined value+label gather row exactly one 128-lane vreg row),
-    ``nb_chunk`` the number of blocks each membership/search chunk processes,
-    ``g_chunk`` the group-chunk of the final block gather — all pure
-    performance knobs, asserted semantics-free in tests.
+    ``mode`` picks the extraction engine over the shared sort + counting
+    stages: ``"emit"`` (dense emission, below — the TPU form: v5e serves
+    dense interval tests at full VPU rate but random row-gathers at only
+    ~147M rows/s) or ``"gather"`` (per-query block row-gather + in-block
+    pick — the CPU form: XLA CPU gathers are cheap and the dense emission's
+    ~1e11 slot-tests are not).  Both are exact and bit-identical.
+
+    ``Wb`` is the sorted-order block width, ``nb_chunk`` the number of blocks
+    each membership/emission chunk processes, ``slots`` the per-chunk
+    needed-rank window width of the dense emission — all pure performance
+    knobs, asserted semantics-free in tests (``slots`` overflow reroutes to
+    the exact full-width window in-program).
     """
     x = jnp.asarray(x)
     lead = x.shape[:-1]
@@ -196,96 +213,217 @@ def selection_windowed_quantile_core(
     nmax = jnp.maximum(n, 1)[..., None]
     r_left = jnp.where(above, nmax, jnp.where(below, 1, pi + 1))
     r_right = jnp.where(above, nmax, jnp.where(below, 1, pi + 2))
-    # K = 2*nq + 1 rank queries; the last column selects the max valid value
-    # (rank n) used by the NaN-range clip (nbutils.py:144-147)
-    r = jnp.concatenate([r_left, r_right, nmax], axis=-1)  # [B, G, K]
-    K = 2 * nq + 1
 
-    # --- stage 2b: containing block + local rank, scanned over block chunks ---
-    C3 = jnp.moveaxis(C.reshape(B, nbo, nb_chunk, G), 1, 0)  # [nbo, B, nc, G]
+    if mode == "gather":
+        # K = 2*nq + 1 rank queries; the last column selects the max valid
+        # value (rank n) used by the NaN-range clip (nbutils.py:144-147)
+        r = jnp.concatenate([r_left, r_right, nmax], axis=-1)  # [B, G, K]
+        K = 2 * nq + 1
+        # --- stage 2b: containing block + local rank, scanned over block chunks ---
+        C3 = jnp.moveaxis(C.reshape(B, nbo, nb_chunk, G), 1, 0)  # [nbo, B, nc, G]
 
-    def _search_body(carry, Cc):
-        bacc, cpacc = carry
-        lt = Cc[:, :, :, None] < r[:, None, :, :]        # [B, nc, G, K]
-        bacc = bacc + jnp.sum(lt, axis=1, dtype=jnp.int32)
-        cpacc = jnp.maximum(cpacc, jnp.max(jnp.where(lt, Cc[:, :, :, None], 0), axis=1))
-        return (bacc, cpacc), None
+        def _search_body(carry, Cc):
+            bacc, cpacc = carry
+            lt = Cc[:, :, :, None] < r[:, None, :, :]        # [B, nc, G, K]
+            bacc = bacc + jnp.sum(lt, axis=1, dtype=jnp.int32)
+            cpacc = jnp.maximum(cpacc, jnp.max(jnp.where(lt, Cc[:, :, :, None], 0), axis=1))
+            return (bacc, cpacc), None
 
-    z = jnp.zeros((B, G, K), jnp.int32)
-    (bstar, cprev), _ = jax.lax.scan(_search_body, (z, z), C3)
-    m = r - cprev                                        # local member rank
-    bstar = jnp.minimum(bstar, nb - 1)                   # n==0 rows: clamp
+        z = jnp.zeros((B, G, K), jnp.int32)
+        (bstar, cprev), _ = jax.lax.scan(_search_body, (z, z), C3)
+        m = r - cprev                                        # local member rank
+        bstar = jnp.minimum(bstar, nb - 1)                   # n==0 rows: clamp
 
-    # --- stage 3: gather ONE block per query, pick the m-th member ---
-    # chunked over groups: the full gather output [B, G, K, 2*Wb] is
-    # gigabytes at production batch; per-chunk it is bounded and at the
-    # default Wb=64 the combined row is exactly one 128-lane vreg row
-    if svals.dtype == jnp.float32:
-        # labels ride the value gather bitcast to f32 (one row-gather of
-        # 2*Wb instead of two of Wb); the bias keeps every pattern normal
-        lab_f = jax.lax.bitcast_convert_type(slab + _LABEL_BIAS, jnp.float32)
-        blk = jnp.concatenate(
-            [svals.reshape(B, nb, Wb), lab_f.reshape(B, nb, Wb)], axis=-1
-        )  # [B, nb, 2*Wb]
-    else:
-        blk = None
-
-    Gc = min(g_chunk, G)
-    ngc = -(-G // Gc)
-    Gp = ngc * Gc
-    if Gp > G:
-        padq = [(0, 0), (0, Gp - G), (0, 0)]
-        bstar_p = jnp.pad(bstar, padq)
-        m_p = jnp.pad(m, padq)
-        g_pad = jnp.pad(g_iota, (0, Gp - G))
-    else:
-        bstar_p, m_p, g_pad = bstar, m, g_iota
-
-    def _chunk_select(args):
-        bs_c, m_c, g_c = args                      # [B, Gc, K], [B, Gc, K], [Gc]
-        idx = bs_c.reshape(B, Gc * K, 1)
-        if blk is not None:
-            got = jnp.take_along_axis(blk, idx, axis=1).reshape(B, Gc, K, 2 * Wb)
-            vals_w = got[..., :Wb]
-            lab_w = jax.lax.bitcast_convert_type(got[..., Wb:], jnp.int32) - _LABEL_BIAS
+        # --- stage 3: gather ONE block per query, pick the m-th member ---
+        # chunked over groups: the full gather output [B, G, K, 2*Wb] is
+        # gigabytes at production batch; per-chunk it is bounded and at the
+        # default Wb=64 the combined row is exactly one 128-lane vreg row
+        if svals.dtype == jnp.float32:
+            # labels ride the value gather bitcast to f32 (one row-gather of
+            # 2*Wb instead of two of Wb); the bias keeps every pattern normal
+            lab_f = jax.lax.bitcast_convert_type(slab + _LABEL_BIAS, jnp.float32)
+            blk = jnp.concatenate(
+                [svals.reshape(B, nb, Wb), lab_f.reshape(B, nb, Wb)], axis=-1
+            )  # [B, nb, 2*Wb]
         else:
-            vals_w = jnp.take_along_axis(svals.reshape(B, nb, Wb), idx, axis=1)
-            vals_w = vals_w.reshape(B, Gc, K, Wb)
-            lab_w = jnp.take_along_axis(slab.reshape(B, nb, Wb), idx, axis=1)
-            lab_w = lab_w.reshape(B, Gc, K, Wb)
-        a_w = lab_w // _PACK
-        l_w = lab_w % _PACK
-        gq = g_c[None, :, None, None]
-        dq = gq - a_w
-        dq = dq + jnp.where(dq < 0, G, 0)
-        member_w = (dq < l_w) & ~jnp.isnan(vals_w)
-        csum = jnp.cumsum(member_w.astype(jnp.int32), axis=-1)
-        pick = member_w & (csum == m_c[..., None])
-        return jnp.sum(jnp.where(pick, vals_w, 0), axis=-1)  # [B, Gc, K]
+            blk = None
 
-    xs = (
-        jnp.moveaxis(bstar_p.reshape(B, ngc, Gc, K), 1, 0),
-        jnp.moveaxis(m_p.reshape(B, ngc, Gc, K), 1, 0),
-        g_pad.reshape(ngc, Gc),
-    )
-    val = jax.lax.map(_chunk_select, xs)                  # [ngc, B, Gc, K]
-    val = jnp.moveaxis(val, 0, 1).reshape(B, Gp, K)[:, :G]
+        Gc = min(g_chunk, G)
+        ngc = -(-G // Gc)
+        Gp = ngc * Gc
+        if Gp > G:
+            padq = [(0, 0), (0, Gp - G), (0, 0)]
+            bstar_p = jnp.pad(bstar, padq)
+            m_p = jnp.pad(m, padq)
+            g_pad = jnp.pad(g_iota, (0, Gp - G))
+        else:
+            bstar_p, m_p, g_pad = bstar, m, g_iota
 
-    left, right, maxv = val[..., :nq], val[..., nq : 2 * nq], val[..., 2 * nq :]
-    interp = _lerp(left, right, gamma)
-    out = jnp.where(jnp.isnan(interp), maxv, interp)
-    out = jnp.where((n == 0)[..., None], jnp.nan, out)
+        def _chunk_select(args):
+            bs_c, m_c, g_c = args                      # [B, Gc, K], [B, Gc, K], [Gc]
+            idx = bs_c.reshape(B, Gc * K, 1)
+            if blk is not None:
+                got = jnp.take_along_axis(blk, idx, axis=1).reshape(B, Gc, K, 2 * Wb)
+                vals_w = got[..., :Wb]
+                lab_w = jax.lax.bitcast_convert_type(got[..., Wb:], jnp.int32) - _LABEL_BIAS
+            else:
+                vals_w = jnp.take_along_axis(svals.reshape(B, nb, Wb), idx, axis=1)
+                vals_w = vals_w.reshape(B, Gc, K, Wb)
+                lab_w = jnp.take_along_axis(slab.reshape(B, nb, Wb), idx, axis=1)
+                lab_w = lab_w.reshape(B, Gc, K, Wb)
+            a_w = lab_w // _PACK
+            l_w = lab_w % _PACK
+            gq = g_c[None, :, None, None]
+            dq = gq - a_w
+            dq = dq + jnp.where(dq < 0, G, 0)
+            member_w = (dq < l_w) & ~jnp.isnan(vals_w)
+            csum = jnp.cumsum(member_w.astype(jnp.int32), axis=-1)
+            pick = member_w & (csum == m_c[..., None])
+            return jnp.sum(jnp.where(pick, vals_w, 0), axis=-1)  # [B, Gc, K]
+
+        xs = (
+            jnp.moveaxis(bstar_p.reshape(B, ngc, Gc, K), 1, 0),
+            jnp.moveaxis(m_p.reshape(B, ngc, Gc, K), 1, 0),
+            g_pad.reshape(ngc, Gc),
+        )
+        val = jax.lax.map(_chunk_select, xs)                  # [ngc, B, Gc, K]
+        val = jnp.moveaxis(val, 0, 1).reshape(B, Gp, K)[:, :G]
+
+        left, right, maxv = val[..., :nq], val[..., nq : 2 * nq], val[..., 2 * nq :]
+        interp = _lerp(left, right, gamma)
+        out = jnp.where(jnp.isnan(interp), maxv, interp)
+        out = jnp.where((n == 0)[..., None], jnp.nan, out)
+        return out.reshape(lead + (G, nq))
+
+    if mode != "emit":
+        raise ValueError(f"Unknown selection mode {mode!r} (emit, gather).")
+
+    # --- stage 2b+3: DENSE EMISSION (no search, no gather).  v5e measures
+    # random row-gathers at ~147M rows/s and big sorts at ~2 ns/element
+    # (docs/PERFORMANCE.md), so per-query block gathers and sort-based rank
+    # searches are both off the table at ~1.9e7 queries.  Instead the sorted
+    # stream is re-scanned once, densely: every element computes its own
+    # member-rank per group (block-cumulative count + in-chunk cumsum) and
+    # tests it against the needed ranks that fall inside its chunk — a
+    # ``slots``-wide window of each (sorted) rank list, located by pure
+    # comparisons against the chunk-boundary counts.  Each needed rank is
+    # hit by exactly one element globally, so per-chunk accumulators of
+    # value*hit assemble into the full table with a tiny one-hot select.
+    # A window only overflows when > slots needed ranks land in ONE chunk
+    # (extreme value concentration); the in-program flag then reroutes to
+    # the full-width window via lax.cond — exact always, one program.
+    Cb4 = C.reshape(B, nbo, nb_chunk, G)
+    Chi = Cb4[:, :, -1, :]                               # [B, nchunk, G]
+    Clo = jnp.concatenate([jnp.zeros_like(Chi[:, :1]), Chi[:, :-1]], axis=1)
+
+    def _window(rk):
+        # rk [B, G, K] sorted over K: per chunk, the first needed-rank index
+        # past the chunk start and the number of ranks inside the chunk
+        le_lo = rk[:, None, :, :] <= Clo[:, :, :, None]  # [B, C, G, K]
+        le_hi = rk[:, None, :, :] <= Chi[:, :, :, None]
+        kb = jnp.sum(le_lo, axis=-1, dtype=jnp.int32)    # [B, C, G]
+        cross = jnp.sum(le_hi, axis=-1, dtype=jnp.int32) - kb
+        return kb, cross
+
+    kbL, crossL = _window(r_left)
+    kbR, crossR = _window(r_right)
+    overflow = jnp.maximum(jnp.max(crossL), jnp.max(crossR)) > slots
+
+    k_iota = jnp.arange(nq, dtype=jnp.int32)
+    Clo3 = jnp.moveaxis(Clo, 1, 0)                       # [C, B, G]
+
+    def _run(S: int):
+        s_iota = jnp.arange(S, dtype=jnp.int32)
+
+        def _rho(rk, kb):
+            # rho[b,c,g,s] = rk[b,g,kb+s] via a one-hot over the K axis
+            sel = k_iota[None, None, None, None, :] == (
+                kb[:, :, :, None, None] + s_iota[None, None, None, :, None]
+            )                                            # [B, C, G, S, K]
+            return jnp.sum(
+                jnp.where(sel, rk[:, None, :, None, :], 0), axis=-1
+            )                                            # [B, C, G, S]
+
+        rhoL = jnp.moveaxis(_rho(r_left, kbL), 1, 0)     # [C, B, G, S]
+        rhoR = jnp.moveaxis(_rho(r_right, kbR), 1, 0)
+
+        def _chunk_emit(args):
+            sv, sl, rl_c, rr_c, clo_c = args             # [B,E],[B,E],[B,G,S]x2,[B,G]
+            a = sl // _PACK
+            ln = sl % _PACK
+            d0 = g_iota[None, None, :] - a[:, :, None]
+            dd = d0 + jnp.where(d0 < 0, G, 0)
+            member = (dd < ln[:, :, None]) & ~jnp.isnan(sv)[:, :, None]
+            csum = jnp.cumsum(member.astype(jnp.int32), axis=1)
+            R = clo_c[:, None, :] + csum                 # [B, E, G] member rank
+            R = jnp.where(member, R, 0)                  # rank 0 never needed
+            svw = sv[:, :, None, None]
+            hitL = R[..., None] == rl_c[:, None, :, :]   # [B, E, G, S]
+            accL = jnp.sum(jnp.where(hitL, svw, 0), axis=1)
+            hitR = R[..., None] == rr_c[:, None, :, :]
+            accR = jnp.sum(jnp.where(hitR, svw, 0), axis=1)
+            hitM = R == nmax[:, None, :, 0]              # rank n: the max value
+            accM = jnp.sum(jnp.where(hitM, sv[:, :, None], 0), axis=1)
+            return accL, accR, accM                      # [B,G,S],[B,G,S],[B,G]
+
+        accL, accR, accM = jax.lax.map(
+            _chunk_emit, (sv3, sl3, rhoL, rhoR, Clo3)
+        )                                                # [C, B, G, S] x2, [C, B, G]
+        valM = jnp.sum(accM, axis=0)                     # [B, G]
+
+        def _assemble(rk, kb, acc):
+            # chunk containing rank k, then (chunk, slot) one-hot select
+            cc = jnp.sum(
+                Clo[:, :, :, None] < rk[:, None, :, :], axis=1, dtype=jnp.int32
+            ) - 1                                        # [B, G, K]
+            kb_at = jnp.sum(
+                jnp.where(
+                    jnp.arange(nbo, dtype=jnp.int32)[None, :, None, None]
+                    == cc[:, None, :, :],
+                    kb[:, :, :, None],
+                    0,
+                ),
+                axis=1,
+            )                                            # [B, G, K]
+            flat = cc * S + (k_iota[None, None, :] - kb_at)
+            accf = jnp.moveaxis(acc, 0, 1)               # [B, C, G, S]
+            accf = jnp.moveaxis(accf, 3, 2).reshape(B, nbo * S, G)
+            sel = (
+                jnp.arange(nbo * S, dtype=jnp.int32)[None, :, None, None]
+                == flat[:, None, :, :]
+            )                                            # [B, C*S, G, K]
+            return jnp.sum(jnp.where(sel, accf[:, :, :, None], 0), axis=1)
+
+        left = _assemble(r_left, kbL, accL)
+        right = _assemble(r_right, kbR, accR)
+        interp = _lerp(left, right, gamma)
+        out = jnp.where(jnp.isnan(interp), valM[:, :, None], interp)
+        return jnp.where((n == 0)[:, :, None], jnp.nan, out)
+
+    if slots >= nq:
+        out = _run(nq)                                   # full window: no overflow
+    else:
+        out = jax.lax.cond(overflow, lambda: _run(nq), lambda: _run(slots))
     return out.reshape(lead + (G, nq))
 
 
 @functools.partial(
-    jax.jit, static_argnames=("G", "Wb", "nb_chunk", "g_chunk", "alpha", "beta")
+    jax.jit,
+    static_argnames=("G", "Wb", "nb_chunk", "slots", "g_chunk", "mode", "alpha", "beta"),
 )
-def _selection_core_jit(x, labels, quantiles, *, G, Wb, nb_chunk, g_chunk, alpha, beta):
+def _selection_core_jit(
+    x, labels, quantiles, *, G, Wb, nb_chunk, slots, g_chunk, mode, alpha, beta
+):
     return selection_windowed_quantile_core(
-        x, labels, quantiles, G=G, Wb=Wb, nb_chunk=nb_chunk, g_chunk=g_chunk,
-        alpha=alpha, beta=beta,
+        x, labels, quantiles, G=G, Wb=Wb, nb_chunk=nb_chunk, slots=slots,
+        g_chunk=g_chunk, mode=mode, alpha=alpha, beta=beta,
     )
+
+
+def default_mode() -> str:
+    """Per-backend extraction engine: gathers are cheap on CPU, dense
+    emission is the only full-rate primitive on TPU (module doc)."""
+    return "gather" if jax.default_backend() == "cpu" else "emit"
 
 
 def pack_labels(start, length) -> np.ndarray:
@@ -303,7 +441,9 @@ def selection_windowed_quantile(
     beta: float = 1.0,
     Wb: int = 64,
     nb_chunk: int = 128,
+    slots: int = 32,
     g_chunk: int = 64,
+    mode: str | None = None,
 ):
     """Windowed grouped quantile via counting selection (see module doc).
 
@@ -327,6 +467,9 @@ def selection_windowed_quantile(
     for d in lead:
         B *= d
 
+    if mode is None:
+        mode = default_mode()
+
     def run(xc):
         return _selection_core_jit(
             xc,
@@ -335,7 +478,9 @@ def selection_windowed_quantile(
             G=G,
             Wb=Wb,
             nb_chunk=nb_chunk,
+            slots=slots,
             g_chunk=g_chunk,
+            mode=mode,
             alpha=alpha,
             beta=beta,
         )
