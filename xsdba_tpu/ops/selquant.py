@@ -60,11 +60,14 @@ __all__ = [
 # membership: counting selection (this module).  False restores the merge
 # cascade everywhere (A/B escape hatch; scripts/probe_selquant.py).
 SELECTION_BACKEND = True
-# On the TPU backend the first-cut stage-3 block gather and rank search
-# measured slower than the merge cascade (probe_selquant round 4); keep the
-# merge path the TPU default until the sort-based redesign lands.  CPU (and
-# any non-TPU backend) takes selection: measured 28x the merge path there,
-# NaN-exact in one program.
+# The TPU keeps the merge cascade: every selection variant measured above
+# the merge step on v5e — row-gathers are rate-limited at ~147M rows/s
+# (gather engine ≥ 134 ms of gathers alone), long-row sorts floor at
+# ~55 ms even hand-written (ops/pallas/sort_kernel.py), and the dense
+# emission's XLA lowering materializes its hit transients through HBM
+# (0.9-4.4 s/step measured).  Full story + numbers: docs/PERFORMANCE.md
+# "Selection-class roofline".  CPU (and any non-TPU backend) takes
+# selection: measured 28x the merge path there, NaN-exact in one program.
 SELECTION_ON_TPU = False
 
 
