@@ -174,6 +174,25 @@ class TestQDM:
         simq = np.asarray(out["sim_q"].data)
         assert simq.min() >= 0 and simq.max() <= 1
 
+    def test_rank_window_deprecation(self, random):
+        """Unset rank_window on a windowed group warns that windowed ranking
+        becomes the default (reference _adjustment.py:858-871); explicit
+        True/False and unwindowed groups stay silent."""
+        import warnings
+
+        n = 365 * 3
+        r = series(random.normal(10, 1, n))
+        h = series(random.normal(12, 1, n))
+        qdm = QuantileDeltaMapping.train(r, h, group="time.month", window=3)
+        with pytest.warns(DeprecationWarning, match="rank_window"):
+            qdm.adjust(h)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", DeprecationWarning)
+            qdm.adjust(h, rank_window=True)
+            qdm.adjust(h, rank_window=False)
+            qdm2 = QuantileDeltaMapping.train(r, h, group="time.month")
+            qdm2.adjust(h)
+
 
 class TestScaling:
     @pytest.mark.parametrize("kind", ["+", "*"])

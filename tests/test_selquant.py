@@ -108,6 +108,27 @@ def test_emit_mode_parity():
         np.testing.assert_array_equal(got, want, err_msg=str(kw))
 
 
+def test_unsorted_quantiles_both_modes():
+    """q need not be ascending: the emit engine's chunk windows assume sorted
+    rank lists, so the core sorts q internally and un-permutes the output.
+    Regression for the round-4 review finding (emit mode returned wrong
+    values, up to ~17 abs error, for shuffled q)."""
+    gi = _mk(365 * 4, 5)
+    plan = gi.merge_plan
+    rng = np.random.default_rng(33)
+    q = equally_spaced_nodes(15).astype(np.float32)
+    qs = q.copy()
+    rng.shuffle(qs)
+    x = rng.normal(5, 2, (3, 365 * 4)).astype(np.float32)
+    x[rng.random(x.shape) < 0.1] = np.nan
+    xj = jnp.asarray(x)
+    want = np.asarray(_oracle(gi)(xj, jnp.asarray(qs)))
+    for kw in ({"mode": "emit"}, {"mode": "emit", "Wb": 8, "nb_chunk": 4},
+               {"mode": "emit", "slots": 2}, {"mode": "gather"}):
+        got = np.asarray(selection_windowed_quantile(xj, plan, qs, **kw))
+        np.testing.assert_array_equal(got, want, err_msg=str(kw))
+
+
 def test_concentrated_ties_precip_like():
     """Dry-season-style value concentration (60% exact zeros) stresses the
     emission windows: many members of one group share one sorted run."""

@@ -7,6 +7,7 @@ adjust is one fused table lookup + correction.
 
 from __future__ import annotations
 
+import warnings
 from typing import Any
 
 import jax.numpy as jnp
@@ -167,6 +168,21 @@ class QuantileDeltaMapping(EmpiricalQuantileMapping):
         # rank over the full training window or only group members
         # (reference _adjustment.py:858-872: window ranking is the new default
         # path when `rank_window` is set).
+        if rank_window is None and group.window > 1:
+            # reference _adjustment.py:858-871: unset rank_window on a
+            # windowed group warns that windowed ranking becomes the only
+            # behaviour in xsdba>=0.8
+            warnings.warn(
+                "QDM method can now perform the adjustment step by expanding "
+                "the time dimension with the same window as used in the "
+                "training. This can already be used by setting "
+                "`rank_window = True`. This will be the only possible "
+                "behaviour in `xsdba>=0.8`. The current behaviour is obtained "
+                "by setting `rank_window = False` and will be deprecated in "
+                "`xsdba>=0.8`.",
+                category=DeprecationWarning,
+                stacklevel=2,
+            )
         gi_rank = gi if rank_window else Grouper(group.name).indexes(sim.time)
         sima, _, _ = to_compute(sim)
         sima = _adjust_preprocess(self, sima, sim, gi)

@@ -436,8 +436,6 @@ def interp_on_quantiles_reference(
     coordinates for nearest), ``xq``/``yq`` [..., G, nq],
     ``group_positions`` [G].
     """
-    from scipy.interpolate import griddata
-
     v = np.asarray(v, dtype=np.float64)
     newg = np.asarray(newg, dtype=np.float64)
     xq = np.asarray(xq, dtype=np.float64)
@@ -462,33 +460,84 @@ def interp_on_quantiles_reference(
     yf = np.broadcast_to(yq_p, batch + (G + 2, nq)).reshape(-1, G + 2, nq)
     oldg = np.broadcast_to(pos_p[:, None], (G + 2, nq))
 
+    # when the tables carry no batch dims (e.g. QDM's shared quantile nodes)
+    # every row interpolates over the SAME (value, group) point cloud —
+    # triangulate once instead of once per row (Delaunay dominates griddata)
+    shared = xq.ndim == 2 and yq.ndim == 2
+    fn_shared = lo_x = hi_x = lo_y = hi_y = None
+    if shared:
+        mask_old = np.isnan(xq_p) | np.isnan(yq_p)
+        if not mask_old.all():
+            fn_shared = _griddata_interpolator(
+                xq_p[~mask_old], oldg[~mask_old], yq_p[~mask_old], method
+            )
+            # extrapolation bounds depend only on the tables and newg: hoist
+            blo, bhi = _first_last_nonnull(xq_p)
+            lo_x = np.interp(newg, pos_p, blo)
+            hi_x = np.interp(newg, pos_p, bhi)
+            if extrap == "constant":
+                clo, chi = _first_last_nonnull(yq_p)
+                lo_y = np.interp(newg, pos_p, clo)
+                hi_y = np.interp(newg, pos_p, chi)
+
     out = np.full_like(vf, np.nan)
     for b in range(vf.shape[0]):
         newx = vf[b]
-        oldx, oldy = xf[b], yf[b]
         mask_new = np.isnan(newx) | np.isnan(newg)
-        mask_old = np.isnan(oldx) | np.isnan(oldy)
-        if mask_new.all() or mask_old.all():
+        if mask_new.all():
             continue
+        if shared:
+            if fn_shared is None:
+                continue
+            fn = fn_shared
+        else:
+            oldx, oldy = xf[b], yf[b]
+            mask_old = np.isnan(oldx) | np.isnan(oldy)
+            if mask_old.all():
+                continue
+            fn = _griddata_interpolator(
+                oldx[~mask_old], oldg[~mask_old], oldy[~mask_old], method
+            )
         res = out[b]
-        res[~mask_new] = griddata(
-            (oldx[~mask_old], oldg[~mask_old]),
-            oldy[~mask_old],
-            (newx[~mask_new], newg[~mask_new]),
-            method=method,
-        )
+        res[~mask_new] = fn(newx[~mask_new], newg[~mask_new])
         if method == "nearest" or extrap != "nan":
             # nbutils._extrapolate_on_quantiles: per-group table span,
             # linearly interpolated over the padded group coordinate
-            xp = pos_p
-            blo, bhi = _first_last_nonnull(oldx)
-            toolow = newx < np.interp(newg, xp, blo)
-            toohigh = newx > np.interp(newg, xp, bhi)
+            if shared:
+                toolow = newx < lo_x
+                toohigh = newx > hi_x
+            else:
+                blo, bhi = _first_last_nonnull(oldx)
+                lo_x = np.interp(newg, pos_p, blo)
+                hi_x = np.interp(newg, pos_p, bhi)
+                toolow = newx < lo_x
+                toohigh = newx > hi_x
+                if extrap == "constant":
+                    clo, chi = _first_last_nonnull(oldy)
+                    lo_y = np.interp(newg, pos_p, clo)
+                    hi_y = np.interp(newg, pos_p, chi)
             if extrap == "constant":
-                clo, chi = _first_last_nonnull(oldy)
-                res[toolow] = np.interp(newg, xp, clo)[toolow]
-                res[toohigh] = np.interp(newg, xp, chi)[toohigh]
+                res[toolow] = lo_y[toolow]
+                res[toohigh] = hi_y[toohigh]
             else:
                 res[toolow] = np.nan
                 res[toohigh] = np.nan
     return out.reshape(batch + (T,))
+
+
+def _griddata_interpolator(px, pg, values, method: str):
+    """The interpolator ``scipy.interpolate.griddata`` would build for the
+    scattered 2-D points (px, pg) — constructed once so repeated evaluations
+    share the Delaunay triangulation."""
+    import scipy.interpolate as si
+
+    pts = np.column_stack([px.ravel(), pg.ravel()])
+    if method == "nearest":
+        f = si.NearestNDInterpolator(pts, values.ravel())
+    elif method == "linear":
+        f = si.LinearNDInterpolator(pts, values.ravel(), fill_value=np.nan)
+    elif method == "cubic":
+        f = si.CloughTocher2DInterpolator(pts, values.ravel(), fill_value=np.nan)
+    else:  # pragma: no cover - caller validates
+        raise ValueError(f"Unknown griddata method {method!r}")
+    return lambda qx, qg: f(np.column_stack([qx.ravel(), qg.ravel()])).ravel()

@@ -33,6 +33,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from .merge_kernel import _next_pow2
+
 __all__ = ["sort_rows_with_payload"]
 
 _M = 128  # lane width of the grid layout
@@ -96,13 +98,6 @@ def _level(key, lab, roll, j: int):
         key, lab = _cx(key, lab, roll, s, key.ndim - 1, is_low ^ desc)
         s //= 2
     return key, lab
-
-
-def _next_pow2(n: int) -> int:
-    p = 1
-    while p < max(n, 1):
-        p *= 2
-    return p
 
 
 def _pallas_stage(fn, k3, l3, tile_b: int, interpret: bool):

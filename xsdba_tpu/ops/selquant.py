@@ -172,6 +172,13 @@ def selection_windowed_quantile_core(
     xb = x.reshape(B, T)
     q = jnp.asarray(quantiles, dtype=x.dtype)
     nq = q.shape[0]
+    # The emit engine's chunk windows require the per-group rank lists to be
+    # ascending over the K axis (true iff q is ascending, since the type-7
+    # virtual index is monotone in q).  Sort q here and un-permute the output
+    # columns at the end — bit-exact, each quantile is computed independently.
+    q_order = jnp.argsort(q)
+    q_inv = jnp.argsort(q_order)
+    q = q[q_order]
 
     # --- stage 1: one sort per site, labels ride as payload (NaNs last) ---
     lab = jnp.broadcast_to(jnp.asarray(labels, jnp.int32)[None, :], (B, T))
@@ -296,7 +303,7 @@ def selection_windowed_quantile_core(
         interp = _lerp(left, right, gamma)
         out = jnp.where(jnp.isnan(interp), maxv, interp)
         out = jnp.where((n == 0)[..., None], jnp.nan, out)
-        return out.reshape(lead + (G, nq))
+        return out[..., q_inv].reshape(lead + (G, nq))
 
     if mode != "emit":
         raise ValueError(f"Unknown selection mode {mode!r} (emit, gather).")
@@ -407,7 +414,7 @@ def selection_windowed_quantile_core(
         out = _run(nq)                                   # full window: no overflow
     else:
         out = jax.lax.cond(overflow, lambda: _run(nq), lambda: _run(slots))
-    return out.reshape(lead + (G, nq))
+    return out[..., q_inv].reshape(lead + (G, nq))
 
 
 @functools.partial(
