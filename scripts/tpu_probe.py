@@ -70,7 +70,9 @@ def inscan_ms(step, inputs, n_steps=8, reps=3):
     return max((t_scan - t_triv) / n_steps, 1e-9) * 1e3
 
 
-def _heavy_problem(n_sites=256, n_years=150):
+def _heavy_problem(n_sites=None, n_years=150):
+    if n_sites is None:  # batch-size experiments: HEAVY_SITES=512 ...
+        n_sites = int(os.environ.get("HEAVY_SITES", "256"))
     from xsdba_tpu.models._wrap import device_brackets
     from xsdba_tpu.ops.correction import equally_spaced_nodes
     from xsdba_tpu.utils.calendar import date_range
@@ -104,7 +106,11 @@ def heavy_step():
         return jnp.nansum(scen)
 
     ms = inscan_ms(step, (jnp.asarray(ref), jnp.asarray(hist), jnp.asarray(sim)))
-    return ms, {"gpyrs_per_s": round(256 * 150 / (ms / 1e3), 1)}
+    n_sites = ref.shape[0]
+    return ms, {
+        "n_sites": n_sites,
+        "gpyrs_per_s": round(n_sites * 150 / (ms / 1e3), 1),
+    }
 
 
 @probe
