@@ -12,7 +12,7 @@ from .utils.container import DataArray, Dataset
 from .utils.grouper import Grouper
 from .utils.options import get_option, set_options
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "DataArray",
