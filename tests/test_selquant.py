@@ -143,6 +143,35 @@ def test_concentrated_ties_precip_like():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("seed", range(8))
+def test_randomized_parity_sweep(seed):
+    """Seeded fuzz: random window/years/NaN-fraction/quantile-count/engine —
+    every draw must stay bit-identical to the re-sort oracle."""
+    rng = np.random.default_rng(1000 + seed)
+    window = int(rng.choice([3, 5, 9, 15, 31]))
+    years = int(rng.integers(2, 7))
+    periods = 365 * years + int(rng.integers(0, 200))
+    gi = _mk(periods, window)
+    plan = gi.merge_plan
+    if plan is None or plan.sel_labels is None:
+        pytest.skip("no interval membership for this draw")
+    nq = int(rng.integers(2, 25))
+    q = np.sort(rng.random(nq)).astype(np.float32)
+    nan_frac = float(rng.choice([0.0, 0.05, 0.3]))
+    x = rng.normal(0, 5, (2, periods)).astype(np.float32)
+    if nan_frac:
+        x[rng.random(x.shape) < nan_frac] = np.nan
+    mode = str(rng.choice(["emit", "gather"]))
+    kw = {"mode": mode}
+    if rng.random() < 0.5:
+        kw["Wb"] = int(rng.choice([16, 32, 64]))
+    if rng.random() < 0.5:
+        kw["slots"] = int(rng.choice([2, 8, 32]))
+    got = np.asarray(selection_windowed_quantile(jnp.asarray(x), plan, q, **kw))
+    want = np.asarray(_oracle(gi)(jnp.asarray(x), jnp.asarray(q)))
+    np.testing.assert_array_equal(got, want, err_msg=f"{window=} {years=} {nan_frac=} {kw=}")
+
+
 def test_standard_calendar_declines():
     """Leap calendars skip a doy most years: membership is not an interval."""
     t = date_range("1980-01-01", periods=366 * 4, freq="D", calendar="standard")
