@@ -523,14 +523,20 @@ def windowed_group_quantile(
 ):
     """Windowed grouped quantile via shared per-group sorts + in-VMEM merges.
 
-    Numerically identical to ``grouped_nan_quantile(x, gi.gather_idx, q)`` for
-    windowed dayofyear / "5D" groupings (same multiset per group, same type-7
-    lerp), but sorts each window-1 list once and merges ``window`` pre-sorted
-    lists per group (Pallas kernel on TPU; XLA merge-network fallback
-    elsewhere) instead of re-sorting the ``window``-fold amplified gather
-    matrix — the reference's rolling-construct semantics (``base.py:261-265``)
-    at ~1/window of the sort work.  Edge groups (year wrap / series boundary)
-    take the exact gather+sort path.
+    Selects the same order statistics as ``grouped_nan_quantile(x,
+    gi.gather_idx, q)`` for windowed dayofyear / "5D" groupings (same multiset
+    per group, same type-7 semantics), but sorts each window-1 list once and
+    merges ``window`` pre-sorted lists per group (Pallas kernel on TPU; XLA
+    merge-network fallback elsewhere) instead of re-sorting the
+    ``window``-fold amplified gather matrix — the reference's
+    rolling-construct semantics (``base.py:261-265``) at ~1/window of the
+    sort work.  Edge groups (year wrap / series boundary) take the exact
+    gather+sort path.  Precision note: the static extraction computes the
+    type-7 virtual index/gamma with strict numpy f32 rounding, while the
+    device oracle's ``n*q + c`` may be FMA-contracted by XLA — a 1-ulp
+    difference in gamma that moves interpolated values by a few ulp on some
+    (count, q) pairs (selected elements are always identical; measured max
+    ~5e-7 relative).
 
     ``plan`` is a :class:`~xsdba_tpu.utils.grouper.WindowMergePlan`
     (``GroupIndexes.merge_plan``).
