@@ -149,6 +149,55 @@ def heavy_adjust():
 
 
 @probe
+def fold_anchor():
+    """Shared-dyadic fold ALONE at the heavy shape (stacked ref+hist slab
+    prebuilt and pre-sorted outside the timed step) — the roofline anchor."""
+    from xsdba_tpu.ops.layout import aligned_swap_last2
+    from xsdba_tpu.ops.pallas.merge_kernel import (
+        merged_window_rows_shared,
+        sort_rows_alternating,
+    )
+
+    gi, ref, hist, _, _, _ = _heavy_problem()
+    plan = gi.merge_plan
+    x = jnp.concatenate([jnp.asarray(ref), jnp.asarray(hist)], axis=0)
+    Gx, Ymax = plan.w1_gather.shape
+    G = Gx - 2 * plan.half
+    P = plan.regular_period
+    assert P is not None, "heavy problem should be regular noleap"
+    Y = x.shape[-1] // P
+    core = aligned_swap_last2(x.reshape(x.shape[:-1] + (Y, P)), 8, 128)
+    half = plan.half
+    napad = jnp.full(x.shape[:-1] + (half, 1), jnp.nan, x.dtype)
+    head = jnp.concatenate([core[..., P - half : P, : Y - 1], napad], axis=-1)
+    tail = jnp.concatenate([core[..., 0:half, 1:], napad], axis=-1)
+    vals = jnp.concatenate([head, core, tail], axis=-2)
+    raw = jnp.where(jnp.isnan(vals), jnp.inf, vals)
+    if plan.ypad > Ymax:
+        raw = jnp.pad(
+            raw, [(0, 0)] * (raw.ndim - 1) + [(0, plan.ypad - Ymax)],
+            constant_values=jnp.inf,
+        )
+    Sp = jnp.full(x.shape[:-1] + (plan.dp, plan.ypad), jnp.inf, raw.dtype)
+    Sp = jax.lax.dynamic_update_slice_in_dim(Sp, raw, 0, axis=raw.ndim - 2)
+    Sb = sort_rows_alternating(Sp)
+    Sb.block_until_ready()
+    out_width = min(
+        plan.wpad * plan.ypad, -(-(plan.window * Ymax) // plan.ypad) * plan.ypad
+    )
+
+    def step(carry):
+        (s,) = carry
+        m = merged_window_rows_shared(
+            s, plan.window, G, out_width=out_width, ymax=Ymax
+        )
+        return jnp.nansum(m[:, ::31, :64])
+
+    ms = inscan_ms(step, (Sb,))
+    return ms, {"B": int(Sb.shape[0]), "out_width": out_width}
+
+
+@probe
 def argsort_bt():
     """jnp.argsort (sort with i32 payload) on [512, 54750] f32."""
     rng = np.random.default_rng(0)
