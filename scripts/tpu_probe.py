@@ -198,6 +198,27 @@ def fold_anchor():
 
 
 @probe
+def rowsort_anchor():
+    """Pallas alternating row sort alone on the heavy slab [512, dp, ypad]."""
+    from xsdba_tpu.ops.pallas.merge_kernel import sort_rows_alternating
+
+    gi, ref, hist, _, _, _ = _heavy_problem()
+    plan = gi.merge_plan
+    x = jnp.concatenate([jnp.asarray(ref), jnp.asarray(hist)], axis=0)
+    B = x.shape[0]
+    rng = np.random.default_rng(3)
+    Sp = jnp.asarray(
+        rng.normal(10, 3, (B, plan.dp, plan.ypad)).astype(np.float32)
+    )
+
+    def step(carry):
+        (s,) = carry
+        return jnp.nansum(sort_rows_alternating(s)[:, ::31, :64])
+
+    return inscan_ms(step, (Sp,)), {"shape": list(Sp.shape)}
+
+
+@probe
 def argsort_bt():
     """jnp.argsort (sort with i32 payload) on [512, 54750] f32."""
     rng = np.random.default_rng(0)
