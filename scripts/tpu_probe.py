@@ -198,6 +198,32 @@ def fold_anchor():
 
 
 @probe
+def extract_anchor():
+    """Static flat extraction alone: constant-index gather of the 2*nq+1
+    needed columns per group from a prebuilt merged [B, G, n] array."""
+    from xsdba_tpu.ops.quantile import _static_flat_extract
+
+    gi, ref, hist, _, q, _ = _heavy_problem()
+    plan = gi.merge_plan
+    counts = tuple(int(c) for c in plan.nv_host)
+    G = len(counts)
+    n = 4864  # the heavy fold's stored width (rows_store * ypad)
+    B = 2 * ref.shape[0]
+    rng = np.random.default_rng(5)
+    merged = np.sort(rng.normal(10, 3, (B, G, n)).astype(np.float32), axis=-1)
+    merged_d = jnp.asarray(merged)
+    qs = tuple(float(v) for v in np.asarray(q, np.float64))
+
+    def step(carry):
+        (m,) = carry
+        out = _static_flat_extract(m, counts, qs, plan.edge_ids, 1.0, 1.0)
+        return jnp.nansum(out)
+
+    ms = inscan_ms(step, (merged_d,))
+    return ms, {"B": B, "G": G, "n": n, "nq": len(qs)}
+
+
+@probe
 def rowsort_anchor():
     """Pallas alternating row sort alone on the heavy slab [512, dp, ypad]."""
     from xsdba_tpu.ops.pallas.merge_kernel import sort_rows_alternating
