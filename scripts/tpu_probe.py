@@ -198,6 +198,93 @@ def fold_anchor():
 
 
 @probe
+def composed_stages():
+    """Staged timings of the heavy fused step to localize composition
+    overhead: (1) slab build + row sort, (2) + shared fold, (3) full static
+    fused train, (4) full static fused train+adjust (== heavy_step)."""
+    from xsdba_tpu.models import _algos
+    from xsdba_tpu.ops.layout import aligned_swap_last2
+    from xsdba_tpu.ops.pallas.merge_kernel import (
+        merged_window_rows_shared,
+        sort_rows_alternating,
+    )
+    from xsdba_tpu.ops.quantile import _plan_device_arrays
+
+    gi, ref, hist, sim, q, brackets = _heavy_problem()
+    plan = gi.merge_plan
+    refd, histd, simd = jnp.asarray(ref), jnp.asarray(hist), jnp.asarray(sim)
+    qd = jnp.asarray(q)
+    Gx, Ymax = plan.w1_gather.shape
+    G = Gx - 2 * plan.half
+    out_width = min(
+        plan.wpad * plan.ypad, -(-(plan.window * Ymax) // plan.ypad) * plan.ypad
+    )
+
+    def build_slab(r, h):
+        x = jnp.stack([r, h], axis=0)
+        P = plan.regular_period
+        Y = x.shape[-1] // P
+        core = aligned_swap_last2(x.reshape(x.shape[:-1] + (Y, P)), 8, 128)
+        half = plan.half
+        napad = jnp.full(x.shape[:-1] + (half, 1), jnp.nan, x.dtype)
+        head = jnp.concatenate([core[..., P - half : P, : Y - 1], napad], axis=-1)
+        tail = jnp.concatenate([core[..., 0:half, 1:], napad], axis=-1)
+        vals = jnp.concatenate([head, core, tail], axis=-2)
+        raw = jnp.where(jnp.isnan(vals), jnp.inf, vals)
+        if plan.ypad > Ymax:
+            raw = jnp.pad(
+                raw, [(0, 0)] * (raw.ndim - 1) + [(0, plan.ypad - Ymax)],
+                constant_values=jnp.inf,
+            )
+        Sp = jnp.full(x.shape[:-1] + (plan.dp, plan.ypad), jnp.inf, raw.dtype)
+        Sp = jax.lax.dynamic_update_slice_in_dim(Sp, raw, 0, axis=raw.ndim - 2)
+        B = 2 * r.shape[0]
+        return sort_rows_alternating(Sp.reshape(B, plan.dp, plan.ypad))
+
+    def s1(carry):
+        r, h, s = carry
+        return jnp.nansum(build_slab(r, h)[:, ::31, :16])
+
+    def s2(carry):
+        r, h, s = carry
+        Sb = build_slab(r, h)
+        m = merged_window_rows_shared(Sb, plan.window, G, out_width=out_width, ymax=Ymax)
+        return jnp.nansum(m[:, ::31, :64])
+
+    counts = tuple(int(c) for c in plan.nv_host)
+    qs = tuple(float(v) for v in np.asarray(q, np.float64))
+    edge_tuple = tuple(int(e) for e in plan.edge_ids)
+    w1, eid, eg = _plan_device_arrays(plan)
+
+    def train(r, h):
+        return _algos._eqm_train_windowed_fused(
+            r, h, w1, eid, eg, qd,
+            half=plan.half, window=plan.window, ypad=plan.ypad, wpad=plan.wpad,
+            dp=plan.dp, use_kernel=True, kind="+", counts=counts, q_static=qs,
+            edge_tuple=edge_tuple, regular=plan.regular_period,
+        )
+
+    def s3(carry):
+        r, h, s = carry
+        af, hist_q = train(r, h)
+        return jnp.nansum(af) + jnp.nansum(hist_q)
+
+    def s4(carry):
+        r, h, s = carry
+        scen, _, _ = _algos.eqm_train_adjust_windowed(
+            r, h, s, plan, qd, brackets,
+            kind="+", interp="linear", extrapolation="constant", assume_finite=True,
+        )
+        return jnp.nansum(scen)
+
+    inputs = (refd, histd, simd)
+    res = {}
+    for name, fn in [("slab_sort", s1), ("plus_fold", s2), ("train_static", s3), ("full_step", s4)]:
+        res[name] = round(inscan_ms(fn, inputs), 2)
+    return res["full_step"], res
+
+
+@probe
 def extract_anchor():
     """Static flat extraction alone: constant-index gather of the 2*nq+1
     needed columns per group from a prebuilt merged [B, G, n] array."""
