@@ -241,15 +241,18 @@ def composed_stages():
         B = 2 * r.shape[0]
         return sort_rows_alternating(Sp.reshape(B, plan.dp, plan.ypad))
 
+    def _finsum(v):  # slab/merged carry +inf pads: mask before reducing
+        return jnp.sum(jnp.where(jnp.isfinite(v), v, 0.0))
+
     def s1(carry):
         r, h, s = carry
-        return jnp.nansum(build_slab(r, h)[:, ::31, :16])
+        return _finsum(build_slab(r, h)[:, ::31, :16])
 
     def s2(carry):
         r, h, s = carry
         Sb = build_slab(r, h)
         m = merged_window_rows_shared(Sb, plan.window, G, out_width=out_width, ymax=Ymax)
-        return jnp.nansum(m[:, ::31, :64])
+        return _finsum(m[:, ::31, :64])
 
     counts = tuple(int(c) for c in plan.nv_host)
     qs = tuple(float(v) for v in np.asarray(q, np.float64))
