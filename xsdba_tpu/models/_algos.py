@@ -323,6 +323,10 @@ def _eqm_train_windowed_fused(
         use_kernel=use_kernel, interpret=False, alpha=1.0, beta=1.0,
         counts=counts, q_static=q_static, edge_tuple=edge_tuple, regular=regular,
     )
+    # materialize the extracted tables once: the ref/hist slices below are
+    # separate consumers and XLA otherwise re-runs the extraction gather per
+    # consumer (same pessimization as the train->adjust boundary; identity)
+    q2 = jax.lax.optimization_barrier(q2)
     return get_correction(q2[1], q2[0], kind), q2[1]
 
 
@@ -335,6 +339,7 @@ def _eqm_train_windowed_sel(ref, hist, lab, q, *, G, kind, mode):
 
     both = jnp.stack([ref, hist], axis=0)
     q2 = selection_windowed_quantile_core(both, lab, q, G=G, mode=mode)
+    q2 = jax.lax.optimization_barrier(q2)  # one extraction, two consumers
     return get_correction(q2[1], q2[0], kind), q2[1]
 
 
@@ -346,6 +351,9 @@ def _eqm_train_adjust_windowed_sel(
     af, hist_q = _eqm_train_windowed_sel.__wrapped__(
         ref, hist, lab, q, G=G, kind=kind, mode=mode
     )
+    # materialize train tables before the adjust consumers (see
+    # _eqm_train_adjust_windowed_fused; identity, bit-exact)
+    af, hist_q = jax.lax.optimization_barrier((af, hist_q))
     scen = qm_adjust_core.__wrapped__(
         sim, hist_q, af, brackets, kind=kind, interp=interp, extrapolation=extrapolation
     )
@@ -393,6 +401,12 @@ def _eqm_train_adjust_windowed_fused(
         use_kernel=use_kernel, kind=kind, counts=counts, q_static=q_static,
         edge_tuple=edge_tuple, regular=regular,
     )
+    # Materialize the train tables before the adjust side consumes them:
+    # without the barrier XLA fuses the extraction gather into the adjust's
+    # per-bracket consumers and recomputes it per partition — measured
+    # +96 ms/step at the heavy shape (composed_stages: fused adjust side
+    # 103 ms vs 6.9 ms isolated).  The barrier is identity (bit-exact).
+    af, hist_q = jax.lax.optimization_barrier((af, hist_q))
     scen = qm_adjust_core.__wrapped__(
         sim, hist_q, af, brackets, kind=kind, interp=interp, extrapolation=extrapolation
     )
