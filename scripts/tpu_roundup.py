@@ -41,20 +41,20 @@ def main():
     # decision-critical measurement FIRST (a later-section OOM can't block it)
     print("--- heavy bench A/B (per-class vs fused fold, end to end) ---", flush=True)
     import bench
-    from xsdba_tpu.ops.pallas import merge_kernel
+    from xsdba_tpu import set_options
 
-    merge_kernel.FUSE_FOLD_CLASSES = False
-    h0, _ = bench._bench_heavy_doy31(jax, jnp)
+    with set_options(fuse_fold_classes=False):
+        h0, _ = bench._bench_heavy_doy31(jax, jnp)
     print(f"heavy per-class fold: {h0} gp-yr/s ({h0 / 324000:.3f}x)", flush=True)
     cleanup()
     try:
-        merge_kernel.FUSE_FOLD_CLASSES = True
-        h1, _ = bench._bench_heavy_doy31(jax, jnp)
+        with set_options(fuse_fold_classes=True):
+            h1, _ = bench._bench_heavy_doy31(jax, jnp)
         print(f"heavy fused fold    : {h1} gp-yr/s ({h1 / 324000:.3f}x)", flush=True)
     except Exception:
         traceback.print_exc()
         h1 = 0.0
-    merge_kernel.FUSE_FOLD_CLASSES = h1 > h0  # leave the winner on for bench
+    set_options(fuse_fold_classes=h1 > h0)  # leave the winner on for bench
     cleanup()
 
     print("--- fused fold profile ---", flush=True)

@@ -297,9 +297,11 @@ def test_ocean_mask_fused_train_adjust():
 
 
 def test_flat_extract_matches_strip_bitexact():
-    """EXTRACT_FLAT (one constant-index gather) must be bit-identical to the
-    strip extraction on finite data, including all-NaN (ocean-mask) rows."""
-    from xsdba_tpu.ops import quantile as qmod
+    """``extract_flat`` (one constant-index gather) must be bit-identical to
+    the strip extraction on finite data, including all-NaN (ocean-mask) rows.
+    Flipped through the runtime option — the engine choice is a static arg of
+    the compiled core, so each setting genuinely traces its own program."""
+    from xsdba_tpu import set_options
 
     t, x = _series("noleap", years=6, n_sites=4, seed=9)
     x = x.astype(np.float32)
@@ -307,13 +309,9 @@ def test_flat_extract_matches_strip_bitexact():
     gi = Grouper("time.dayofyear", window=5).indexes(t)
     q = np.linspace(0.02, 0.98, 20).astype(np.float32)
 
-    old = qmod.EXTRACT_FLAT
-    try:
-        qmod.EXTRACT_FLAT = False
+    with set_options(extract_flat=False):
         want = np.asarray(windowed_group_quantile(x, gi.merge_plan, q, use_kernel=False))
-        qmod.EXTRACT_FLAT = True
+    with set_options(extract_flat=True):
         got = np.asarray(windowed_group_quantile(x, gi.merge_plan, q, use_kernel=False))
-    finally:
-        qmod.EXTRACT_FLAT = old
     np.testing.assert_array_equal(got, want)
     assert np.isnan(got[1]).all() and not np.isnan(got[0]).any()

@@ -247,13 +247,6 @@ def _merge_kernel(slab_ref, out_ref, *, window: int, wpad: int, out_rows: int, p
 # populated lazily so the module imports without pallas
 pl = None
 
-#: Default for ``merged_window_rows_shared(fuse_classes=...)`` — one fused
-#: all-classes fold program vs per-class launches.  Resolved at trace time.
-#: Measured on v5e (scripts/tpu_roundup.py, production shape B=512/G=365/
-#: window=31/150yr): fused 201 ms vs per-class 228 ms per fold, heavy bench
-#: end-to-end 131.7k vs 120.2k gp-yr/s — fused wins, bit-exact.
-FUSE_FOLD_CLASSES = True
-
 
 def _ensure_pl():
     global pl
@@ -613,11 +606,18 @@ def merged_window_rows_shared(
     """Shared-dyadic version of :func:`merged_window_rows` (same contract).
 
     See :func:`_merged_window_rows_shared_impl`; this wrapper resolves the
-    ``fuse_classes`` default from :data:`FUSE_FOLD_CLASSES` OUTSIDE the jit
-    so the resolved value is part of the compile-cache key (an A/B toggle of
-    the module flag + ``jax.clear_caches()`` re-traces correctly)."""
+    ``fuse_classes`` default from the ``fuse_fold_classes`` runtime option
+    (one fused all-classes fold program vs per-class launches; measured on
+    v5e at B=512/G=365/window=31/150yr: fused 201 ms vs per-class 228 ms per
+    fold, heavy bench 131.7k vs 120.2k gp-yr/s — fused wins, bit-exact)
+    OUTSIDE the jit so the resolved value is part of the compile-cache key.
+    NOTE: callers jitting over this function must thread ``fuse_classes`` as
+    their own static arg (as ``_windowed_group_quantile_core`` does) —
+    an option flip cannot invalidate an outer trace that baked the value."""
     if fuse_classes is None:
-        fuse_classes = FUSE_FOLD_CLASSES
+        from ...utils.options import get_option
+
+        fuse_classes = get_option("fuse_fold_classes")
     return _merged_window_rows_shared_impl(
         s_pad, window, n_groups, interpret, tile_b, out_width, ymax, bool(fuse_classes)
     )

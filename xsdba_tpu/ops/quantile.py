@@ -195,10 +195,10 @@ def _pair_finite_probe(a, b):
     return _static_safe(a) & _static_safe(b)
 
 
-# extraction variant for host-known counts: "strip" = per-quantile static
-# 32-wide slices + constant-mask selects; "flat" = one constant-index gather
-# from the flattened [..., G*n] axis.  A/B'd on hardware (PERFORMANCE.md).
-EXTRACT_FLAT = False
+# extraction variant for host-known counts (runtime option ``extract_flat``):
+# "strip" = per-quantile static 32-wide slices + constant-mask selects;
+# "flat" = one constant-index gather from the flattened [..., G*n] axis.
+# A/B'd on hardware (PERFORMANCE.md); threaded into the core as a static arg.
 
 
 def _static_extract_indices(counts, q_static, n, dtype, alpha, beta):
@@ -315,6 +315,14 @@ import weakref
 _PLAN_FINITE_HINT: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
+def _engine_statics():
+    """Resolve the merge-path engine options OUTSIDE jit so they enter the
+    compiled programs as static arguments (option flips re-trace)."""
+    from ..utils.options import get_option
+
+    return bool(get_option("extract_flat")), bool(get_option("fuse_fold_classes"))
+
+
 def speculative_static_dispatch(plan, probe, call):
     """The one speculation protocol for the windowed static/dynamic pair.
 
@@ -386,6 +394,8 @@ def _plan_device_arrays(plan):
         "q_static",
         "edge_tuple",
         "regular",
+        "extract_flat",
+        "fuse_classes",
     ),
 )
 def _windowed_group_quantile_core(
@@ -408,6 +418,8 @@ def _windowed_group_quantile_core(
     q_static: tuple | None = None,
     edge_tuple: tuple = (),
     regular: int | None = None,
+    extract_flat: bool = False,
+    fuse_classes: bool = True,
 ):
     from .pallas.merge_kernel import (
         alternate_row_directions,
@@ -468,7 +480,8 @@ def _windowed_group_quantile_core(
             from .pallas.merge_kernel import merged_window_rows_shared
 
             merged = merged_window_rows_shared(
-                Sb, window, G, interpret=interpret, out_width=out_width, ymax=Ymax
+                Sb, window, G, interpret=interpret, out_width=out_width, ymax=Ymax,
+                fuse_classes=fuse_classes,
             )
         else:
             merged = merged_window_rows(Sb, window, G, interpret=interpret, out_width=out_width)
@@ -489,8 +502,8 @@ def _windowed_group_quantile_core(
     out = None
     if counts is not None and q_static is not None:
         # host-known valid counts: fully-static extraction (flat constant
-        # gather or strip selects, bit-identical — EXTRACT_FLAT above)
-        if EXTRACT_FLAT:
+        # gather or strip selects, bit-identical — ``extract_flat`` option)
+        if extract_flat:
             out = _static_flat_extract(merged, counts, q_static, edge_tuple, alpha, beta)
         else:
             out = _static_strip_extract(merged, counts, q_static, edge_tuple, alpha, beta)
@@ -570,6 +583,7 @@ def windowed_group_quantile(
         and not isinstance(x, jax.core.Tracer)  # no host probe under a trace
     )
     probe_dev = _finite_probe(x) if can_static else None
+    extract_flat, fuse_classes = _engine_statics()
 
     def run(xc, static: bool):
         if static:
@@ -598,6 +612,8 @@ def windowed_group_quantile(
             q_static=q_static,
             edge_tuple=edge_tuple,
             regular=plan.regular_period,
+            extract_flat=extract_flat,
+            fuse_classes=fuse_classes,
         )
 
     # bound the merged intermediate ([chunk, G, stored_width]) to ~4 GB f32;

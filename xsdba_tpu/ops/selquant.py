@@ -50,37 +50,38 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
-    "SELECTION_BACKEND",
     "interval_membership",
     "selection_ok",
     "selection_windowed_quantile",
 ]
 
-# Default backend for windowed grouped quantiles when the plan has interval
-# membership: counting selection (this module).  False restores the merge
-# cascade everywhere (A/B escape hatch; scripts/probe_selquant.py).
-SELECTION_BACKEND = True
-# The TPU keeps the merge cascade: every selection variant measured above
-# the merge step on v5e — row-gathers are rate-limited at ~147M rows/s
-# (gather engine ≥ 134 ms of gathers alone), long-row sorts floor at
-# ~55 ms even hand-written (ops/pallas/sort_kernel.py), and the dense
-# emission's XLA lowering materializes its hit transients through HBM
-# (0.9-4.4 s/step measured).  Full story + numbers: docs/PERFORMANCE.md
-# "Selection-class roofline".  CPU (and any non-TPU backend) takes
-# selection: measured 28x the merge path there, NaN-exact in one program.
-SELECTION_ON_TPU = False
-
 
 def selection_ok(plan, quantiles) -> bool:
-    """True when the counting-selection backend can serve this call."""
+    """True when the counting-selection backend can serve this call.
+
+    Controlled by two runtime options (``set_options`` or the
+    ``XSDBA_SELECTION_BACKEND`` / ``XSDBA_SELECTION_ON_TPU`` env vars):
+    ``selection_backend=False`` restores the merge cascade everywhere (A/B
+    escape hatch; scripts/probe_selquant.py).  The TPU default keeps the
+    merge cascade: every selection variant measured above the merge step on
+    v5e — row-gathers are rate-limited at ~147M rows/s (gather engine
+    ≥ 134 ms of gathers alone), long-row sorts floor at ~55 ms even
+    hand-written (ops/pallas/sort_kernel.py), and the dense emission's XLA
+    lowering materializes its hit transients through HBM (0.9-4.4 s/step
+    measured).  Full story + numbers: docs/PERFORMANCE.md "Selection-class
+    roofline".  CPU (and any non-TPU backend) takes selection: measured 28x
+    the merge path there, NaN-exact in one program.
+    """
+    from ..utils.options import get_option
+
     if not (
-        SELECTION_BACKEND
+        get_option("selection_backend")
         and plan is not None
         and plan.sel_labels is not None
         and np.ndim(quantiles) == 1
     ):
         return False
-    return SELECTION_ON_TPU or jax.default_backend() == "cpu"
+    return get_option("selection_on_tpu") or jax.default_backend() == "cpu"
 
 # labels are packed as start*_PACK + length; _PACK must exceed any group count
 _PACK = 1024
@@ -431,8 +432,14 @@ def _selection_core_jit(
 
 
 def default_mode() -> str:
-    """Per-backend extraction engine: gathers are cheap on CPU, dense
-    emission is the only full-rate primitive on TPU (module doc)."""
+    """Extraction engine from the ``selection_mode`` option: ``"auto"``
+    resolves per backend — gathers are cheap on CPU, dense emission is the
+    only full-rate primitive on TPU (module doc)."""
+    from ..utils.options import get_option
+
+    mode = get_option("selection_mode")
+    if mode != "auto":
+        return mode
     return "gather" if jax.default_backend() == "cpu" else "emit"
 
 
