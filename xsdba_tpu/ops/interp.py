@@ -79,6 +79,135 @@ def _compact_nan_pairs(xq, yq):
 _UNROLL_MAX_NQ = 64
 
 
+def _cubic_slopes(xs, ys, nvalid):
+    """Not-a-knot cubic-spline SLOPES at the first ``nvalid`` compacted nodes.
+
+    Solves the same tridiagonal system as scipy ``CubicSpline`` /
+    ``interp1d(kind="cubic")`` (scipy ``_cubic.py``: interior rows
+    ``dx_i s_{i-1} + 2(dx_{i-1}+dx_i) s_i + dx_{i-1} s_{i+1} =
+    3(dx_i m_{i-1} + dx_{i-1} m_i)`` plus the two not-a-knot boundary rows),
+    Thomas-eliminated as a ``lax.scan`` over the static node axis and fully
+    batched over leading dims.  Reference behavior replicated:
+    ``utils.py:350-377`` passes the NaN-compacted table to scipy, so the
+    system here is built on the first ``nvalid`` nodes only — rows past
+    ``nvalid`` are identity (the boundary row floats to index ``nvalid-1``).
+
+    Degenerate rows (``nvalid < 4``, where scipy raises) and rows with
+    duplicated nodes (where scipy raises too) are NOT handled here: the
+    former fall back to linear in the caller, the latter propagate NaN
+    through the slope division — both documented deviations from an
+    exception the device path cannot raise.
+
+    xs, ys: [..., n] compacted (+inf x pads); nvalid: [...].  Returns
+    s [..., n] (garbage past ``nvalid`` — never selected by the caller).
+    """
+    n = xs.shape[-1]
+    dt = xs.dtype
+    m = nvalid[..., None].astype(jnp.int32)                       # [..., 1]
+    xsf = jnp.where(jnp.isfinite(xs), xs, 0.0)
+    seg = jnp.arange(n - 1, dtype=jnp.int32)
+    valid_seg = seg < (m - 1)                                      # [..., n-1]
+    dx = jnp.where(valid_seg, xsf[..., 1:] - xsf[..., :-1], 1.0)
+    sl = jnp.where(valid_seg, (ys[..., 1:] - ys[..., :-1]) / dx, 0.0)
+
+    def seg_at(a, idx):
+        return jnp.take_along_axis(a, jnp.clip(idx, 0, n - 2), axis=-1)
+
+    def node_at(a, idx):
+        return jnp.take_along_axis(a, jnp.clip(idx, 0, n - 1), axis=-1)
+
+    # interior coefficient arrays, aligned so index i holds dx_{i-1} / dx_i
+    one_seg = jnp.ones_like(dx[..., :1])
+    zero_seg = jnp.zeros_like(one_seg)
+    dx_im1 = jnp.concatenate([one_seg, dx], axis=-1)
+    dx_i = jnp.concatenate([dx, one_seg], axis=-1)
+    sl_im1 = jnp.concatenate([zero_seg, sl], axis=-1)
+    sl_i = jnp.concatenate([sl, zero_seg], axis=-1)
+    a = dx_i
+    b = 2.0 * (dx_im1 + dx_i)
+    c = dx_im1
+    r = 3.0 * (dx_i * sl_im1 + dx_im1 * sl_i)
+
+    ii = jnp.arange(n, dtype=jnp.int32)
+    # first boundary row (static index 0): scipy _cubic.py not-a-knot start
+    dx0 = dx[..., 0:1]
+    dx1 = dx[..., 1:2]
+    d0 = xsf[..., 2:3] - xsf[..., 0:1]
+    d0s = jnp.where(d0 != 0, d0, 1.0)
+    b_first = dx1
+    c_first = d0
+    r_first = ((dx0 + 2.0 * d0) * dx1 * sl[..., 0:1] + dx0 * dx0 * sl[..., 1:2]) / d0s
+    # last boundary row (dynamic index m-1): not-a-knot end
+    dxm2 = seg_at(dx, m - 2)
+    dxm3 = seg_at(dx, m - 3)
+    slm2 = seg_at(sl, m - 2)
+    slm3 = seg_at(sl, m - 3)
+    d2 = node_at(xsf, m - 1) - node_at(xsf, m - 3)
+    d2s = jnp.where(d2 != 0, d2, 1.0)
+    a_last = d2
+    b_last = dxm3
+    r_last = (dxm2 * dxm2 * slm3 + (2.0 * d2 + dxm2) * dxm3 * slm2) / d2s
+
+    is0 = ii == 0
+    is_last = ii == (m - 1)
+    is_pad = ii >= m
+    zero = jnp.zeros((), dt)
+    one = jnp.ones((), dt)
+    a = jnp.where(is0, zero, a)
+    b = jnp.where(is0, b_first, b)
+    c = jnp.where(is0, c_first, c)
+    r = jnp.where(is0, r_first, r)
+    a = jnp.where(is_last, a_last, a)
+    b = jnp.where(is_last, b_last, b)
+    c = jnp.where(is_last, zero, c)
+    r = jnp.where(is_last, r_last, r)
+    a = jnp.where(is_pad, zero, a)
+    b = jnp.where(is_pad, one, b)
+    c = jnp.where(is_pad, zero, c)
+    r = jnp.where(is_pad, zero, r)
+
+    # Thomas: forward elimination then back substitution, scanned over the
+    # static node axis (batch rides fully vectorized in the carry)
+    batch = jnp.broadcast_shapes(a.shape, b.shape, c.shape, r.shape)[:-1]
+    abcr = tuple(
+        jnp.moveaxis(jnp.broadcast_to(t, batch + (n,)), -1, 0) for t in (a, b, c, r)
+    )  # each [n, ...batch]
+
+    def fwd(carry, row):
+        cp_prev, rp_prev = carry
+        ak, bk, ck, rk = row
+        denom = bk - ak * cp_prev
+        denom = jnp.where(denom == 0, jnp.asarray(jnp.nan, dt), denom)
+        cp = ck / denom
+        rp = (rk - ak * rp_prev) / denom
+        return (cp, rp), (cp, rp)
+
+    z = jnp.zeros(batch, dt)
+    _, (cps, rps) = jax.lax.scan(fwd, (z, z), abcr)
+
+    def bwd(s_next, cr):
+        cp, rp = cr
+        s_k = rp - cp * s_next
+        return s_k, s_k
+
+    _, s_rev = jax.lax.scan(bwd, z, (cps, rps), reverse=True)
+    return jnp.moveaxis(s_rev, 0, -1)
+
+
+def _eval_cubic_segment(v, x0, x1, y0, y1, s0, s1, lin):
+    """Hermite evaluation of one cubic segment from endpoint slopes (scipy
+    ``_cubic.py`` coefficient form); ``lin`` substitutes where the segment is
+    degenerate (h == 0 never happens on a valid strictly-increasing table —
+    duplicated nodes already carry NaN slopes)."""
+    h = x1 - x0
+    hs = jnp.where(h > 0, h, 1.0)
+    mseg = (y1 - y0) / hs
+    tc = (s0 + s1 - 2.0 * mseg) / hs
+    dlt = v - x0
+    cub = y0 + dlt * (s0 + dlt * ((mseg - s0) / hs - tc + dlt * (tc / hs)))
+    return jnp.where(h > 0, cub, lin)
+
+
 def _interp_unrolled(v, xs, ys, nvalid, method: str, extrap: str):
     """Evaluate the compacted table (xs, ys, nvalid) at v, gather-free.
 
@@ -96,6 +225,9 @@ def _interp_unrolled(v, xs, ys, nvalid, method: str, extrap: str):
     if nq > _UNROLL_MAX_NQ:
         return _interp_gathered(v, xs, ys, nvalid, method, extrap)
     last = jnp.clip(nvalid - 1, 0, nq - 1)[..., None]
+    cubic = method == "cubic"
+    if cubic:
+        sp = _cubic_slopes(xs, ys, nvalid)
 
     cnt = jnp.zeros(jnp.broadcast_shapes(v.shape, xs.shape[:-1] + (1,)), dtype=jnp.int32)
     for k in range(nq):
@@ -108,6 +240,8 @@ def _interp_unrolled(v, xs, ys, nvalid, method: str, extrap: str):
     y1 = jnp.zeros_like(x0)
     x_last = jnp.zeros_like(x0)
     y_last = jnp.zeros_like(x0)
+    s0 = jnp.zeros_like(x0) if cubic else None
+    s1 = jnp.zeros_like(x0) if cubic else None
     for k in range(nq):
         xk = xs[..., k : k + 1]
         yk = ys[..., k : k + 1]
@@ -117,11 +251,17 @@ def _interp_unrolled(v, xs, ys, nvalid, method: str, extrap: str):
             y0 = jnp.where(m0, yk, y0)
             x1 = jnp.where(m0, xs[..., k + 1 : k + 2], x1)
             y1 = jnp.where(m0, ys[..., k + 1 : k + 2], y1)
+            if cubic:
+                s0 = jnp.where(m0, sp[..., k : k + 1], s0)
+                s1 = jnp.where(m0, sp[..., k + 1 : k + 2], s1)
         else:
             x0 = jnp.where(m0, xk, x0)
             y0 = jnp.where(m0, yk, y0)
             x1 = jnp.where(m0, jnp.inf, x1)
             y1 = jnp.where(m0, yk, y1)
+            if cubic:
+                s0 = jnp.where(m0, sp[..., k : k + 1], s0)
+                s1 = jnp.where(m0, sp[..., k : k + 1], s1)
         ml = last == k
         x_last = jnp.where(ml, xk, x_last)
         y_last = jnp.where(ml, yk, y_last)
@@ -136,6 +276,12 @@ def _interp_unrolled(v, xs, ys, nvalid, method: str, extrap: str):
         out = y0 + t * (y1 - y0)
     elif method == "nearest":
         out = jnp.where(jnp.abs(v - x0) <= jnp.abs(x1 - v), y0, y1)
+    elif cubic:
+        lin = y0 + t * (y1 - y0)
+        out = _eval_cubic_segment(v, x0, x1, y0, y1, s0, s1, lin)
+        # scipy raises below 4 nodes (make_interp_spline k=3 needs n > 3);
+        # the device path degrades to linear there (documented deviation)
+        out = jnp.where(nvalid[..., None] < 4, lin, out)
     else:
         raise NotImplementedError(f"method={method!r}")
 
@@ -185,6 +331,13 @@ def _interp_gathered(v, xs, ys, nvalid, method: str, extrap: str):
         out = y0 + t * (y1 - y0)
     elif method == "nearest":
         out = jnp.where(jnp.abs(v - x0) <= jnp.abs(x1 - v), y0, y1)
+    elif method == "cubic":
+        sp = _cubic_slopes(xs, ys, nvalid)
+        s0 = take(sp, k0)
+        s1 = jnp.where(at_end, s0, take(sp, k1))
+        lin = y0 + t * (y1 - y0)
+        out = _eval_cubic_segment(v, x0, x1, y0, y1, s0, s1, lin)
+        out = jnp.where(nvalid[..., None] < 4, lin, out)  # scipy raises < 4
     else:
         raise NotImplementedError(f"method={method!r}")
 
@@ -211,7 +364,9 @@ def interp1d_table(v, xq, yq, method: str = "linear", extrap: str = "constant"):
     NaN pairs in the table are ignored; NaN in v stays NaN.
     ``extrap``: 'constant' fills beyond the table with the first/last valid
     yq; 'nan' fills with NaN (reference utils.py:353-368).
-    ``method``: 'linear' or 'nearest'.
+    ``method``: 'linear', 'nearest' or 'cubic' (not-a-knot spline matching
+    scipy ``interp1d(kind="cubic")``; rows with < 4 valid nodes degrade to
+    linear where scipy raises — documented deviation).
     """
     v = jnp.asarray(v)
     xs, ys, nvalid = _compact_nan_pairs(jnp.asarray(xq), jnp.asarray(yq))
