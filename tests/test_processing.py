@@ -134,3 +134,108 @@ def test_jitter_minimum_bounds_noise(random):
     out = np.asarray(jitter(x, lower="1 mm/d", minimum="0.5 mm/d").data)
     assert out.min() >= 0.5 and out.max() < 1.0
     assert out.std() > 0.01  # actually jittered
+
+
+def test_reordering_windowed_group_matches_reference_2d(random):
+    """Windowed reordering: flat reorder over the window-expanded group
+    members, keep the middle-of-window column — reference ``_reordering_2d``
+    (``_processing.py:205-210``), oracled here in numpy."""
+    from xsdba_tpu import Grouper
+
+    years, window = 4, 5
+    T = 365 * years
+    x = random.normal(size=T)
+    y = random.normal(5.0, 2.0, T)
+    ref, sim = series(x), series(y)
+    out = np.asarray(reordering(ref, sim, group=Grouper("time.dayofyear", window=window)).data)
+
+    gi = Grouper("time.dayofyear", window=window).indexes(ref.time)
+    want = np.full(T, np.nan)
+    for g in range(gi.n_groups):
+        row = gi.gather_idx[g]
+        rg = np.where(row < 0, np.nan, x[np.clip(row, 0, T - 1)])
+        sg = np.where(row < 0, np.nan, y[np.clip(row, 0, T - 1)])
+        flat = np.sort(sg)[np.argsort(np.argsort(rg))]
+        centers = np.flatnonzero(gi.group_idx == g)
+        # center slot of member i is i*window + window//2 (time-major rows)
+        want[centers] = flat[np.arange(len(centers)) * window + window // 2]
+    np.testing.assert_allclose(out, want, rtol=1e-12)
+    assert np.isfinite(out).all()
+
+
+def test_broadcast_sel_out_of_range_is_nan(random):
+    """broadcast(..., sel=...) linear path: values beyond the coordinate
+    span return NaN like xarray .interp (no silent constant extrapolation)."""
+    from xsdba_tpu import DataArray, Grouper
+    from xsdba_tpu.processing import broadcast
+
+    T = 365
+    t = series(np.zeros(T)).time
+    q = np.linspace(0.1, 0.9, 5)
+    tab = DataArray(
+        np.arange(12 * 5, dtype=float).reshape(12, 5),
+        ("month", "quantiles"),
+        {"month": np.arange(1, 13), "quantiles": q},
+        {},
+        "af",
+    )
+    x = series(np.zeros(T))
+    ranks = np.linspace(0.0, 1.0, T)  # spills below 0.1 and above 0.9
+    selda = DataArray(ranks, ("time",), {"time": t}, {}, "rank")
+    out = np.asarray(
+        broadcast(tab, x, group="time.month", interp="linear", sel={"quantiles": selda}).data
+    )
+    assert np.isnan(out[ranks < q[0]]).all()
+    assert np.isnan(out[ranks > q[-1]]).all()
+    inside = (ranks >= q[0]) & (ranks <= q[-1])
+    assert np.isfinite(out[inside]).all()
+
+
+def test_interp_on_quantiles_shared_xq_with_batch_dims(random):
+    """A prop-less xq carrying batch dims must still broadcast over the
+    group axis (not have a batch axis misread as groups)."""
+    from xsdba_tpu import DataArray, Grouper
+    from xsdba_tpu.processing import interp_on_quantiles
+
+    T, S, nq, G = 365 * 2, 3, 7, 12
+    t = series(np.zeros(T)).time
+    v = DataArray(
+        random.normal(0.5, 0.2, (S, T)),
+        ("site", "time"),
+        {"time": t, "site": np.arange(S)},
+        {"units": ""},
+        "v",
+    )
+    q = np.linspace(0.05, 0.95, nq)
+    xq = DataArray(
+        np.broadcast_to(q, (S, nq)).copy(),
+        ("site", "quantiles"),
+        {"site": np.arange(S), "quantiles": q},
+        {},
+        "xq",
+    )
+    yq = DataArray(
+        random.normal(0, 1, (S, G, nq)).cumsum(axis=-1),
+        ("site", "month", "quantiles"),
+        {"site": np.arange(S), "month": np.arange(1, 13), "quantiles": q},
+        {},
+        "yq",
+    )
+    out = interp_on_quantiles(v, xq, yq, group="time.month", method="linear")
+    got = np.asarray(out.data)
+    assert got.shape == (S, T)
+    # oracle: shared per-site 1-D tables, bracketing-group blend
+    gi = Grouper("time.month").indexes(t)
+    pos = gi.positions.astype(float)
+    pos_p = np.concatenate([[pos[0] - 1], pos, [pos[-1] + 1]])
+    yq_np = np.asarray(yq.data)
+    yq_p = np.concatenate([yq_np[:, -1:], yq_np, yq_np[:, :1]], axis=1)
+    g1 = np.clip(np.searchsorted(pos_p, gi.frac_idx, side="right"), 1, len(pos_p) - 1)
+    g0 = g1 - 1
+    w = (gi.frac_idx - pos_p[g0]) / (pos_p[g1] - pos_p[g0])
+    vv = np.asarray(v.data)
+    want = np.empty_like(vv)
+    for s in range(S):
+        tabs = np.stack([np.interp(vv[s], q, yq_p[s, g]) for g in range(len(pos_p))])
+        want[s] = (1 - w) * tabs[g0, np.arange(T)] + w * tabs[g1, np.arange(T)]
+    np.testing.assert_allclose(got, want, atol=1e-9)

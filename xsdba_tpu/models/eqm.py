@@ -190,26 +190,38 @@ class QuantileDeltaMapping(EmpiricalQuantileMapping):
         af = jnp.asarray(self.ds["af"].data)
         quantiles = jnp.asarray(self.ds["af"].coords["quantiles"], dtype=sima.dtype)
 
-        scen, sim_q = _algos.qdm_adjust_core(
-            sima,
-            af,
-            quantiles,
-            device_brackets(gi, interp),
-            jnp.asarray(gi_rank.gather_idx),
-            jnp.asarray(gi_rank.group_idx),
-            jnp.asarray(gi_rank.scatter_slot),
-            kind=self.kind,
-            interp=interp,
-            extrapolation=extrapolation,
-        )
         if _use_reference_interp(mode, gi):
-            # redo only the AF lookup exactly: the shared quantile nodes act
-            # as each group's xq (reference _adjustment.py:874-880 +
-            # utils.py:466-480 expand_dims)
+            # reference mode consumes only the rank step from the device:
+            # compute sim_q alone (the grouped AF lookup + correction the
+            # full core would run are discarded here), then do the exact AF
+            # lookup on host — the shared quantile nodes act as each group's
+            # xq (reference _adjustment.py:874-880 + utils.py:466-480)
+            from ..ops.segment import grouped_rank
+
+            sim_q = grouped_rank(
+                sima,
+                jnp.asarray(gi_rank.gather_idx),
+                jnp.asarray(gi_rank.group_idx),
+                jnp.asarray(gi_rank.scatter_slot),
+                pct=True,
+            )
             G = len(gi.positions)
             xq = np.broadcast_to(np.asarray(quantiles, np.float64), (G, quantiles.shape[0]))
             af_t = _reference_af_lookup(sim_q, xq, af, gi, interp, extrapolation)
             scen = apply_correction(sima, af_t, self.kind)
+        else:
+            scen, sim_q = _algos.qdm_adjust_core(
+                sima,
+                af,
+                quantiles,
+                device_brackets(gi, interp),
+                jnp.asarray(gi_rank.gather_idx),
+                jnp.asarray(gi_rank.group_idx),
+                jnp.asarray(gi_rank.scatter_slot),
+                kind=self.kind,
+                interp=interp,
+                extrapolation=extrapolation,
+            )
         scen = _apply_max_tail_mask(self, sima, scen, gi, interp)
         out = Dataset({"scen": scen_like(sim, scen), "sim_q": scen_like(sim, sim_q, name="sim_q")})
         from ..utils.options import EXTRA_OUTPUT, get_option

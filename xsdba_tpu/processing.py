@@ -319,23 +319,25 @@ def reordering(ref: DataArray, sim: DataArray, group: str | Grouper = "time") ->
     if group.prop == "group":
         out = _reordering_core(rv, sv)
     else:
-        if group.window > 1:
-            raise ValueError("reordering does not support windowed groups.")
-        # reorder within each group's members: gather into [..., G, L]
-        # (NaN padded — pads rank last on both sides), then scatter back
+        # reorder within each group's (optionally window-expanded) members:
+        # gather into [..., G, Lw] (NaN padded — pads rank last on both
+        # sides, and padding both ref and sim identically leaves the ranks of
+        # real elements untouched), reorder flat per group, then each
+        # timestep reads its own (group, center-slot) cell.  For window > 1
+        # that cell is the middle-of-window column — exactly the reference's
+        # ``_reordering_2d`` (``_processing.py:205-210``: flat reorder over
+        # [time, window], keep ``[:, window // 2]``).
         gi = group.indexes(sim.time)
         gidx = jnp.asarray(gi.gather_idx)
         pad = gidx < 0
         safe = jnp.clip(gidx, 0, rv.shape[-1] - 1)
         rg = jnp.where(pad, jnp.nan, rv[..., safe])
         sg = jnp.where(pad, jnp.nan, sv[..., safe])
-        og = _reordering_core(rg, sg)
-        flatpos = jnp.where(pad, rv.shape[-1], safe).reshape(-1)
-        out = (
-            jnp.zeros(rv.shape[:-1] + (rv.shape[-1] + 1,), rv.dtype)
-            .at[..., flatpos]
-            .set(og.reshape(og.shape[: rv.ndim - 1] + (-1,)))[..., : rv.shape[-1]]
-        )
+        og = _reordering_core(rg, sg)                       # [..., G, Lw]
+        Lw = og.shape[-1]
+        flat = og.reshape(og.shape[:-2] + (og.shape[-2] * Lw,))
+        pos = jnp.asarray(gi.group_idx.astype(np.int64) * Lw + gi.scatter_slot)
+        out = flat[..., pos]
     from .models._wrap import scen_like
 
     res = scen_like(sim, out, name=sim.name)
@@ -1001,6 +1003,10 @@ def broadcast(
             vlo = jnp.take_along_axis(moved, lo[..., None], axis=-1)[..., 0]
             vhi = jnp.take_along_axis(moved, hi[..., None], axis=-1)[..., 0]
             out = vlo * (1 - w) + vhi * w
+            # reference semantics: xarray .interp returns NaN outside the
+            # coordinate span (no extrapolation) — the clip above would
+            # otherwise silently constant-extrapolate out-of-range sels
+            out = jnp.where((vals < coord[0]) | (vals > coord[-1]), jnp.nan, out)
         bdims = tuple(d for d in bdims if d != key)
     coords = {d: gc.coords[d] for d in bdims if d in gc.coords}
     coords["time"] = x.time
@@ -1041,8 +1047,13 @@ def interp_on_quantiles(
         gi = group.indexes(newx.time)
         G = len(gi.positions)
         # reference utils.py:476-480: a prop-less table is shared by all groups
-        if group.prop_name not in xq.dims and xqv.ndim == 1:
-            xqv = jnp.broadcast_to(xqv, (G,) + xqv.shape[-1:])
+        if group.prop_name not in xq.dims:
+            # insert the group axis for ANY prop-less xq — a multi-dim xq
+            # carrying batch dims would otherwise have its last-but-one batch
+            # axis silently misread as the group axis downstream
+            xqv = jnp.broadcast_to(
+                xqv[..., None, :], xqv.shape[:-1] + (G,) + xqv.shape[-1:]
+            )
         if mode == "reference":
             newg = gi.frac_idx if method != "nearest" else gi.positions[gi.group_idx]
             out = jnp.asarray(
