@@ -186,15 +186,18 @@ def fold_anchor():
         plan.wpad * plan.ypad, -(-(plan.window * Ymax) // plan.ypad) * plan.ypad
     )
 
+    tile_b = os.environ.get("FOLD_TILE")
+    tile_b = int(tile_b) if tile_b else None
+
     def step(carry):
         (s,) = carry
         m = merged_window_rows_shared(
-            s, plan.window, G, out_width=out_width, ymax=Ymax
+            s, plan.window, G, out_width=out_width, ymax=Ymax, tile_b=tile_b
         )
         return jnp.nansum(m[:, ::31, :64])
 
     ms = inscan_ms(step, (Sb,))
-    return ms, {"B": int(Sb.shape[0]), "out_width": out_width}
+    return ms, {"B": int(Sb.shape[0]), "out_width": out_width, "tile_b": tile_b}
 
 
 @probe
@@ -311,6 +314,94 @@ def extract_anchor():
 
     ms = inscan_ms(step, (merged_d,))
     return ms, {"B": B, "G": G, "n": n, "nq": len(qs)}
+
+
+@probe
+def strip_anchor():
+    """Static STRIP extraction alone (the current in-bench default) at the
+    same prebuilt-merged shape as extract_anchor — today's strip-vs-flat
+    comparison without cross-day weather."""
+    from xsdba_tpu.ops.quantile import _static_strip_extract
+
+    gi, ref, hist, _, q, _ = _heavy_problem()
+    plan = gi.merge_plan
+    counts = tuple(int(c) for c in plan.nv_host)
+    G = len(counts)
+    n = 4864
+    B = 2 * ref.shape[0]
+    rng = np.random.default_rng(5)
+    merged = np.sort(rng.normal(10, 3, (B, G, n)).astype(np.float32), axis=-1)
+    merged_d = jnp.asarray(merged)
+    qs = tuple(float(v) for v in np.asarray(q, np.float64))
+
+    def step(carry):
+        (m,) = carry
+        out = _static_strip_extract(m, counts, qs, plan.edge_ids, 1.0, 1.0)
+        return jnp.nansum(out)
+
+    ms = inscan_ms(step, (merged_d,))
+    return ms, {"B": B, "G": G, "n": n, "nq": len(qs)}
+
+
+@probe
+def adjust_dissect():
+    """Localize the fused step's adjust-side composition overhead
+    (composed_stages: full_step - train_static ~= 104 ms vs ~7 ms isolated).
+
+    - const_tables: the SAME program runs train AND adjust, but the adjust
+      consumes carry-chained CONSTANT tables instead of the train outputs —
+      if this matches train_static + isolated adjust, the data dependence /
+      barrier path is the problem; if it matches full_step, it is resource
+      contention between the stages.
+    - nearest_full: the full dependent step with interp="nearest" (no Pallas
+      interp kernel, collapsed brackets) — isolates the linear lookup.
+    """
+    from xsdba_tpu.models import _algos
+    from xsdba_tpu.ops.quantile import _plan_device_arrays
+
+    gi, ref, hist, sim, q, brackets = _heavy_problem()
+    plan = gi.merge_plan
+    refd, histd, simd = jnp.asarray(ref), jnp.asarray(hist), jnp.asarray(sim)
+    qd = jnp.asarray(q)
+    counts = tuple(int(c) for c in plan.nv_host)
+    qs = tuple(float(v) for v in np.asarray(q, np.float64))
+    edge_tuple = tuple(int(e) for e in plan.edge_ids)
+    w1, eid, eg = _plan_device_arrays(plan)
+
+    def train(r, h):
+        return _algos._eqm_train_windowed_fused(
+            r, h, w1, eid, eg, qd,
+            half=plan.half, window=plan.window, ypad=plan.ypad, wpad=plan.wpad,
+            dp=plan.dp, use_kernel=True, kind="+", counts=counts, q_static=qs,
+            edge_tuple=edge_tuple, regular=plan.regular_period,
+        )
+
+    af0, hq0 = train(refd, histd)
+    af0.block_until_ready()
+
+    def const_tables(carry):
+        r, h, s, a0, q0 = carry
+        af, hist_q = train(r, h)
+        scen = _algos.qm_adjust_core.__wrapped__(
+            s, q0, a0, brackets, kind="+", interp="linear", extrapolation="constant"
+        )
+        return jnp.nansum(af) + jnp.nansum(hist_q) + jnp.nansum(scen)
+
+    def nearest_full(carry):
+        r, h, s, a0, q0 = carry
+        from xsdba_tpu.models._wrap import device_brackets
+
+        scen, _, _ = _algos.eqm_train_adjust_windowed(
+            r, h, s, plan, qd, device_brackets(gi, "nearest"),
+            kind="+", interp="nearest", extrapolation="constant", assume_finite=True,
+        )
+        return jnp.nansum(scen)
+
+    inputs = (refd, histd, simd, af0, hq0)
+    res = {}
+    for name, fn in [("const_tables", const_tables), ("nearest_full", nearest_full)]:
+        res[name] = round(inscan_ms(fn, inputs), 2)
+    return res["const_tables"], res
 
 
 @probe

@@ -248,3 +248,34 @@ def test_single_valid_pair_exact_match():
         v = jnp.array([2.0, 1.0, 3.0])
         out = np.asarray(interp1d_table(v, xqp, yqp, "linear", "constant"))
         np.testing.assert_allclose(out, [7.0, 7.0, 7.0])
+
+
+def test_tables_compact_fast_path_bit_identical():
+    """``tables_compact=True`` (quantile-trained tables: ascending, NaN rows
+    whole) must be bit-identical to the argsort compaction it skips,
+    including all-NaN (empty-group) rows — the fast path removes a per-step
+    sort + small-axis gathers from the fused adjust programs."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xsdba_tpu import Grouper, date_range
+    from xsdba_tpu.models._wrap import device_brackets
+    from xsdba_tpu.ops.interp import interp_grouped_partitioned
+
+    t = date_range("2001-01-01", periods=365 * 4, freq="D", calendar="noleap")
+    gi = Grouper("time.month").indexes(t)
+    br = device_brackets(gi, "linear")
+    rng = np.random.default_rng(13)
+    B, G, nq = 5, 12, 17
+    xq = np.sort(rng.normal(10, 3, (B, G, nq)), axis=-1).astype(np.float32)
+    yq = rng.normal(0, 1, (B, G, nq)).astype(np.float32)
+    xq[1, 4] = np.nan  # empty group: whole row NaN on both sides
+    yq[1, 4] = np.nan
+    v = rng.normal(10, 4, (B, len(t))).astype(np.float32)
+    part0, g0, slot0, part1, g1, slot1, w = br
+    args = (jnp.asarray(v), jnp.asarray(xq), jnp.asarray(yq), part0, g0, slot0, part1, g1, slot1, w)
+    kw = dict(regular0=getattr(br, "regular0", None))
+    for method in ("linear", "nearest", "cubic"):
+        a = np.asarray(interp_grouped_partitioned(*args, method, "constant", tables_compact=False, **kw))
+        b = np.asarray(interp_grouped_partitioned(*args, method, "constant", tables_compact=True, **kw))
+        np.testing.assert_array_equal(a, b, err_msg=method)

@@ -95,10 +95,18 @@ def eqm_train_core(refg, histg, quantiles, *, kind: str):
     return af, hist_q
 
 
-@partial(jax.jit, static_argnames=("kind", "interp", "extrapolation"))
-def qm_adjust_core(sim, hist_q, af, brackets, *, kind: str, interp: str, extrapolation: str):
+@partial(jax.jit, static_argnames=("kind", "interp", "extrapolation", "tables_compact"))
+def qm_adjust_core(
+    sim, hist_q, af, brackets, *, kind: str, interp: str, extrapolation: str,
+    tables_compact: bool = False,
+):
     """QM adjust (reference ``_adjustment.py:594-676``): look up each sim value
-    in the per-group (hist_q -> af) table, apply the correction."""
+    in the per-group (hist_q -> af) table, apply the correction.
+
+    ``tables_compact``: the tables are quantile-trained (ascending, NaN rows
+    whole) — skip the argsort NaN compaction (bit-identical there; the sort
+    + small-axis gathers it avoids ran per step inside fused programs,
+    docs/PERFORMANCE.md)."""
     from ..ops.interp import interp1d_table
 
     if hist_q.shape[-2] == 1:
@@ -108,6 +116,7 @@ def qm_adjust_core(sim, hist_q, af, brackets, *, kind: str, interp: str, extrapo
         af_t = interp_grouped_partitioned(
             sim, hist_q, af, part0, g0, slot0, part1, g1, slot1, w, interp, extrapolation,
             regular0=getattr(brackets, "regular0", None),
+            tables_compact=tables_compact,
         )
     return apply_correction(sim, af_t, kind)
 
@@ -140,9 +149,12 @@ def qdm_adjust_core(
         af_t = interp1d_table(sim_q, qtab[..., 0, :], af[..., 0, :], interp, extrapolation)
     else:
         part0, g0, slot0, part1, g1, slot1, w = brackets
+        # xq is the ascending quantile nodes and af is train output (whole-row
+        # NaNs only): the argsort compaction is the identity — skip it
         af_t = interp_grouped_partitioned(
             sim_q, qtab, af, part0, g0, slot0, part1, g1, slot1, w, interp, extrapolation,
             regular0=getattr(brackets, "regular0", None),
+            tables_compact=True,
         )
     return apply_correction(sim, af_t, kind), sim_q
 
@@ -412,7 +424,8 @@ def _eqm_train_adjust_windowed_fused(
     # 103 ms vs 6.9 ms isolated).  The barrier is identity (bit-exact).
     af, hist_q = jax.lax.optimization_barrier((af, hist_q))
     scen = qm_adjust_core.__wrapped__(
-        sim, hist_q, af, brackets, kind=kind, interp=interp, extrapolation=extrapolation
+        sim, hist_q, af, brackets, kind=kind, interp=interp, extrapolation=extrapolation,
+        tables_compact=True,
     )
     return scen, af, hist_q
 
@@ -464,7 +477,8 @@ def eqm_train_adjust_windowed(
     if not pairable:
         af, hist_q = eqm_train_windowed(ref, hist, plan, quantiles, kind=kind)
         scen = qm_adjust_core(
-            sim, hist_q, af, brackets, kind=kind, interp=interp, extrapolation=extrapolation
+            sim, hist_q, af, brackets, kind=kind, interp=interp, extrapolation=extrapolation,
+            tables_compact=True,
         )
         return scen, af, hist_q
 

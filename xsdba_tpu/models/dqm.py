@@ -188,6 +188,7 @@ class DetrendedQuantileMapping(TrainAdjust):
                 kind=self.kind,
                 interp=interp,
                 extrapolation=extrapolation,
+                tables_compact=True,  # trained tables: ascending, NaN rows whole
             )
         scen = detrending.retrend(scen_like(sim, scen))
         scena = jnp.asarray(scen.move_dim_last("time").data)

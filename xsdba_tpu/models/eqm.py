@@ -136,6 +136,7 @@ class EmpiricalQuantileMapping(TrainAdjust):
                 kind=self.kind,
                 interp=interp,
                 extrapolation=extrapolation,
+                tables_compact=True,  # trained tables: ascending, NaN rows whole
             )
         scen = _apply_max_tail_mask(self, sima, scen, gi, interp)
         return scen_like(sim, scen)

@@ -373,10 +373,29 @@ def interp1d_table(v, xq, yq, method: str = "linear", extrap: str = "constant"):
     return _interp_unrolled(v, xs, ys, nvalid, method, extrap)
 
 
-def _pad_cyclic_tables(xq, yq):
+def _compact_sorted_tables(xq, yq):
+    """Compaction fast path for tables KNOWN to be ascending with NaN pairs
+    only as whole rows (quantile-trained tables: type-7 quantiles at
+    ascending q are non-decreasing, and a group is either fitted — all nq
+    entries finite — or empty — all NaN).  Bit-identical to
+    :func:`_compact_nan_pairs` on such tables (the stable argsort there is
+    the identity permutation), without the argsort + two take_along_axis
+    gathers — a sort plus small-axis element gathers that v5e serves ~100x
+    slower than the elementwise form (docs/PERFORMANCE.md design rules; in
+    the fused train+adjust program they ran PER STEP on the [B, G+2, nq]
+    tables, while isolated benchmarks constant-folded them away)."""
+    bad = jnp.isnan(xq) | jnp.isnan(yq)
+    xs = jnp.where(bad, jnp.inf, xq)
+    ys = jnp.where(bad, jnp.nan, yq)
+    return xs, ys, jnp.sum(~bad, axis=-1)
+
+
+def _pad_cyclic_tables(xq, yq, tables_compact: bool = False):
     """Compact NaN pairs and add the cyclic group padding (one group wrapped
-    on each side; reference utils.py:284-314)."""
-    xq, yq, nvalid = _compact_nan_pairs(jnp.asarray(xq), jnp.asarray(yq))
+    on each side; reference utils.py:284-314).  ``tables_compact`` asserts
+    the quantile-trained table shape (see :func:`_compact_sorted_tables`)."""
+    compact = _compact_sorted_tables if tables_compact else _compact_nan_pairs
+    xq, yq, nvalid = compact(jnp.asarray(xq), jnp.asarray(yq))
     G = xq.shape[-2]
     if G > 1:
         xq_p = jnp.concatenate([xq[..., -1:, :], xq, xq[..., :1, :]], axis=-2)
@@ -401,6 +420,7 @@ def interp_grouped_partitioned(
     method: str = "linear",
     extrap: str = "constant",
     regular0: int | None = None,
+    tables_compact: bool = False,
 ):
     """Grouped table lookup via static bracketing partitions.
 
@@ -411,9 +431,13 @@ def interp_grouped_partitioned(
     ``_interp_unrolled`` call, and results scatter back through cheap
     long-axis gathers.  Work is 2·nq·T regardless of the group count
     (the fori_loop form is G·nq·T).
+
+    ``tables_compact``: the tables are quantile-trained (ascending, NaN rows
+    whole) — skip the argsort-based NaN compaction (bit-identical there;
+    see :func:`_compact_sorted_tables`).
     """
     v = jnp.asarray(v)
-    xq_p, yq_p, nv_p = _pad_cyclic_tables(xq, yq)
+    xq_p, yq_p, nv_p = _pad_cyclic_tables(xq, yq, tables_compact)
     nq = xq_p.shape[-1]
 
     def _eval_tables(vals):
