@@ -108,6 +108,33 @@ def test_emit_mode_parity():
         np.testing.assert_array_equal(got, want, err_msg=str(kw))
 
 
+def test_network_sort_impl_parity():
+    """Stage-1 via the bitonic sort network (``sort_impl="xla"`` — the same
+    code the TPU ``"pallas"`` default lowers, minus the Mosaic backend) must
+    be bit-identical to the ``lax.sort`` path and the re-sort oracle: the
+    NaN -> (+inf, length-0 label) substitution and the network's non-stable
+    tie order may permute equal keys, but every selected value depends only
+    on the (value, label) multiset.  Includes real +inf data riding next to
+    substituted NaNs — slicing the padded tail would lose those, so the core
+    must keep it."""
+    gi = _mk(365 * 4, 31)
+    plan = gi.merge_plan
+    q = equally_spaced_nodes(15).astype(np.float32)
+    rng = np.random.default_rng(57)
+    x = rng.normal(5, 2, (3, 365 * 4)).astype(np.float32)
+    x[rng.random(x.shape) < 0.12] = np.nan
+    x[rng.random(x.shape) < 0.02] = np.inf
+    xj = jnp.asarray(x)
+    want = np.asarray(_oracle(gi)(xj, jnp.asarray(q)))
+    for kw in (
+        {"mode": "gather", "sort_impl": "xla"},
+        {"mode": "emit", "sort_impl": "xla"},
+        {"mode": "gather", "sort_impl": "lax"},
+    ):
+        got = np.asarray(selection_windowed_quantile(xj, plan, q, **kw))
+        np.testing.assert_array_equal(got, want, err_msg=str(kw))
+
+
 def test_unsorted_quantiles_both_modes():
     """q need not be ascending: the emit engine's chunk windows assume sorted
     rank lists, so the core sorts q internally and un-permutes the output.

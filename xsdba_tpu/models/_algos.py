@@ -343,26 +343,29 @@ def _eqm_train_windowed_fused(
     return get_correction(q2[1], q2[0], kind), q2[1]
 
 
-@partial(jax.jit, static_argnames=("G", "kind", "mode"))
-def _eqm_train_windowed_sel(ref, hist, lab, q, *, G, kind, mode):
+@partial(jax.jit, static_argnames=("G", "kind", "mode", "sort_impl"))
+def _eqm_train_windowed_sel(ref, hist, lab, q, *, G, kind, mode, sort_impl="lax"):
     """Fused EQM windowed train on the counting-selection backend: stack +
     selection quantiles + factors in ONE NaN-exact program — no speculative
     static/dynamic pair, no finiteness probe (ops/selquant.py)."""
     from ..ops.selquant import selection_windowed_quantile_core
 
     both = jnp.stack([ref, hist], axis=0)
-    q2 = selection_windowed_quantile_core(both, lab, q, G=G, mode=mode)
+    q2 = selection_windowed_quantile_core(both, lab, q, G=G, mode=mode, sort_impl=sort_impl)
     q2 = jax.lax.optimization_barrier(q2)  # one extraction, two consumers
     return get_correction(q2[1], q2[0], kind), q2[1]
 
 
-@partial(jax.jit, static_argnames=("G", "kind", "mode", "interp", "extrapolation"))
+@partial(
+    jax.jit,
+    static_argnames=("G", "kind", "mode", "sort_impl", "interp", "extrapolation"),
+)
 def _eqm_train_adjust_windowed_sel(
-    ref, hist, sim, lab, q, brackets, *, G, kind, mode, interp, extrapolation
+    ref, hist, sim, lab, q, brackets, *, G, kind, mode, sort_impl, interp, extrapolation
 ):
     """Selection-backend analogue of ``_eqm_train_adjust_windowed_fused``."""
     af, hist_q = _eqm_train_windowed_sel.__wrapped__(
-        ref, hist, lab, q, G=G, kind=kind, mode=mode
+        ref, hist, lab, q, G=G, kind=kind, mode=mode, sort_impl=sort_impl
     )
     # materialize train tables before the adjust consumers (see
     # _eqm_train_adjust_windowed_fused; identity, bit-exact)
@@ -457,12 +460,13 @@ def eqm_train_adjust_windowed(
     sim = jnp.asarray(sim)
 
     if _sel_fused_ok(plan, ref, hist, quantiles):
-        from ..ops.selquant import _plan_label_device, default_mode
+        from ..ops.selquant import _plan_label_device, default_mode, default_sort_impl
 
         return _eqm_train_adjust_windowed_sel(
             ref, hist, sim, _plan_label_device(plan),
             jnp.asarray(quantiles, dtype=ref.dtype), brackets,
             G=int(plan.fast_mask.shape[0]), kind=kind, mode=default_mode(),
+            sort_impl=default_sort_impl(ref.dtype),
             interp=interp, extrapolation=extrapolation,
         )
 
@@ -538,12 +542,13 @@ def eqm_train_windowed(ref, hist, plan, quantiles, *, kind: str):
     hist = jnp.asarray(hist)
 
     if _sel_fused_ok(plan, ref, hist, quantiles):
-        from ..ops.selquant import _plan_label_device, default_mode
+        from ..ops.selquant import _plan_label_device, default_mode, default_sort_impl
 
         return _eqm_train_windowed_sel(
             ref, hist, _plan_label_device(plan),
             jnp.asarray(quantiles, dtype=ref.dtype),
             G=int(plan.fast_mask.shape[0]), kind=kind, mode=default_mode(),
+            sort_impl=default_sort_impl(ref.dtype),
         )
 
     pairable = (

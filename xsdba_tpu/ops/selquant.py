@@ -145,6 +145,7 @@ def selection_windowed_quantile_core(
     slots: int = 32,
     g_chunk: int = 64,
     mode: str = "emit",
+    sort_impl: str = "lax",
     alpha: float = 1.0,
     beta: float = 1.0,
 ):
@@ -157,6 +158,16 @@ def selection_windowed_quantile_core(
     ~147M rows/s) or ``"gather"`` (per-query block row-gather + in-block
     pick — the CPU form: XLA CPU gathers are cheap and the dense emission's
     ~1e11 slot-tests are not).  Both are exact and bit-identical.
+
+    ``sort_impl`` picks the stage-1 sort: ``"lax"`` (``lax.sort`` with the
+    label payload), ``"pallas"`` (the in-VMEM bitonic network of
+    ``ops/pallas/sort_kernel.py`` — measured 14% under ``lax.sort`` at the
+    heavy shape on v5e), or ``"xla"`` (the same network lowered through
+    plain XLA — CPU-testable).  The network paths substitute NaN keys with
+    (+inf, length-0 label): the tie ORDER among +inf keys may then differ
+    from ``lax.sort``'s, but membership, counts and every selected value
+    depend only on the (value, label) multiset, so outputs are
+    bit-identical (pinned by ``tests/test_selquant.py``).
 
     ``Wb`` is the sorted-order block width, ``nb_chunk`` the number of blocks
     each membership/emission chunk processes, ``slots`` the per-chunk
@@ -183,7 +194,23 @@ def selection_windowed_quantile_core(
 
     # --- stage 1: one sort per site, labels ride as payload (NaNs last) ---
     lab = jnp.broadcast_to(jnp.asarray(labels, jnp.int32)[None, :], (B, T))
-    svals, slab = jax.lax.sort((xb, lab), num_keys=1)
+    if sort_impl == "lax":
+        svals, slab = jax.lax.sort((xb, lab), num_keys=1)
+    else:
+        # bitonic network path: min/max comparators cannot carry NaN keys —
+        # substitute (+inf, length-0 label); the poisoned label keeps the
+        # element out of every membership count, exactly like NaN under
+        # lax.sort (the network's output length is padded to a pow2 multiple
+        # of 128 lane-rows; the (+inf, 0) pads are likewise never members)
+        from .pallas.sort_kernel import sort_rows_with_payload
+
+        bad = jnp.isnan(xb)
+        svals, slab = sort_rows_with_payload(
+            jnp.where(bad, jnp.inf, xb),
+            jnp.where(bad, 0, lab),
+            use_kernel=(sort_impl == "pallas"),
+        )
+        T = svals.shape[-1]
 
     nbo = -(-T // (Wb * nb_chunk))
     nb = nbo * nb_chunk
@@ -420,14 +447,16 @@ def selection_windowed_quantile_core(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("G", "Wb", "nb_chunk", "slots", "g_chunk", "mode", "alpha", "beta"),
+    static_argnames=(
+        "G", "Wb", "nb_chunk", "slots", "g_chunk", "mode", "sort_impl", "alpha", "beta"
+    ),
 )
 def _selection_core_jit(
-    x, labels, quantiles, *, G, Wb, nb_chunk, slots, g_chunk, mode, alpha, beta
+    x, labels, quantiles, *, G, Wb, nb_chunk, slots, g_chunk, mode, sort_impl, alpha, beta
 ):
     return selection_windowed_quantile_core(
         x, labels, quantiles, G=G, Wb=Wb, nb_chunk=nb_chunk, slots=slots,
-        g_chunk=g_chunk, mode=mode, alpha=alpha, beta=beta,
+        g_chunk=g_chunk, mode=mode, sort_impl=sort_impl, alpha=alpha, beta=beta,
     )
 
 
@@ -441,6 +470,20 @@ def default_mode() -> str:
     if mode != "auto":
         return mode
     return "gather" if jax.default_backend() == "cpu" else "emit"
+
+
+def default_sort_impl(dtype) -> str:
+    """Stage-1 sort from the ``selection_sort`` option: ``"auto"`` takes the
+    Pallas bitonic network on TPU f32 (measured 14% under ``lax.sort`` at
+    [512, 54750] on v5e — docs/PERFORMANCE.md) and ``lax.sort`` elsewhere."""
+    from ..utils.options import get_option
+
+    impl = get_option("selection_sort")
+    if impl != "auto":
+        return impl
+    if jax.default_backend() == "tpu" and jnp.dtype(dtype) == jnp.float32:
+        return "pallas"
+    return "lax"
 
 
 def pack_labels(start, length) -> np.ndarray:
@@ -461,6 +504,7 @@ def selection_windowed_quantile(
     slots: int = 32,
     g_chunk: int = 64,
     mode: str | None = None,
+    sort_impl: str | None = None,
 ):
     """Windowed grouped quantile via counting selection (see module doc).
 
@@ -486,6 +530,8 @@ def selection_windowed_quantile(
 
     if mode is None:
         mode = default_mode()
+    if sort_impl is None:
+        sort_impl = default_sort_impl(x.dtype)
 
     def run(xc):
         return _selection_core_jit(
@@ -498,6 +544,7 @@ def selection_windowed_quantile(
             slots=slots,
             g_chunk=g_chunk,
             mode=mode,
+            sort_impl=sort_impl,
             alpha=alpha,
             beta=beta,
         )

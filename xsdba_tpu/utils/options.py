@@ -27,6 +27,7 @@ __all__ = [
     "SELECTION_BACKEND",
     "SELECTION_MODE",
     "SELECTION_ON_TPU",
+    "SELECTION_SORT",
     "get_option",
     "set_options",
 ]
@@ -43,6 +44,11 @@ SELECTION_ON_TPU = "selection_on_tpu"
 #: Selection extraction engine: "auto" (per-backend measured default:
 #: gather on CPU, emit on TPU), "emit", or "gather".
 SELECTION_MODE = "selection_mode"
+#: Selection stage-1 sort implementation: "auto" (Pallas bitonic network on
+#: TPU f32 — measured 14% under ``lax.sort`` at the heavy shape,
+#: docs/PERFORMANCE.md; ``lax.sort`` elsewhere), "pallas", "xla" (the same
+#: network lowered through plain XLA — the CPU-testable form), or "lax".
+SELECTION_SORT = "selection_sort"
 #: Run all merge-fold classes in ONE Pallas program (measured faster on
 #: v5e) vs per-class launches.
 FUSE_FOLD_CLASSES = "fuse_fold_classes"
@@ -64,12 +70,14 @@ _DEFAULTS = {
     SELECTION_BACKEND: _env_bool("XSDBA_SELECTION_BACKEND", True),
     SELECTION_ON_TPU: _env_bool("XSDBA_SELECTION_ON_TPU", False),
     SELECTION_MODE: os.environ.get("XSDBA_SELECTION_MODE", "auto"),
+    SELECTION_SORT: os.environ.get("XSDBA_SELECTION_SORT", "auto"),
     FUSE_FOLD_CLASSES: _env_bool("XSDBA_FUSE_FOLD_CLASSES", True),
     EXTRACT_FLAT: _env_bool("XSDBA_EXTRACT_FLAT", False),
 }
 
 _VALIDATORS = {
     SELECTION_MODE: lambda v: v in ("auto", "emit", "gather"),
+    SELECTION_SORT: lambda v: v in ("auto", "pallas", "xla", "lax"),
 }
 # process-global, like the reference's plain OPTIONS dict (options.py:12-83):
 # a main-thread set_options(...) must be visible to worker threads
