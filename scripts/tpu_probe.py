@@ -317,6 +317,32 @@ def extract_anchor():
 
 
 @probe
+def matmul_anchor():
+    """Static MATMUL extraction alone (one-hot MXU contraction) at the same
+    prebuilt-merged shape as extract_anchor."""
+    from xsdba_tpu.ops.quantile import _static_matmul_extract
+
+    gi, ref, hist, _, q, _ = _heavy_problem()
+    plan = gi.merge_plan
+    counts = tuple(int(c) for c in plan.nv_host)
+    G = len(counts)
+    n = 4864
+    B = 2 * ref.shape[0]
+    rng = np.random.default_rng(5)
+    merged = np.sort(rng.normal(10, 3, (B, G, n)).astype(np.float32), axis=-1)
+    merged_d = jnp.asarray(merged)
+    qs = tuple(float(v) for v in np.asarray(q, np.float64))
+
+    def step(carry):
+        (m,) = carry
+        out = _static_matmul_extract(m, counts, qs, plan.edge_ids, 1.0, 1.0)
+        return jnp.nansum(out)
+
+    ms = inscan_ms(step, (merged_d,))
+    return ms, {"B": B, "G": G, "n": n, "nq": len(qs)}
+
+
+@probe
 def strip_anchor():
     """Static STRIP extraction alone (the current in-bench default) at the
     same prebuilt-merged shape as extract_anchor — today's strip-vs-flat

@@ -315,3 +315,12 @@ def test_flat_extract_matches_strip_bitexact():
         got = np.asarray(windowed_group_quantile(x, gi.merge_plan, q, use_kernel=False))
     np.testing.assert_array_equal(got, want)
     assert np.isnan(got[1]).all() and not np.isnan(got[0]).any()
+    # the one-hot MXU form (extract_mode="matmul", Precision.HIGHEST) must
+    # also be bit-identical (it supersedes both under the mode option)
+    with set_options(extract_mode="matmul"):
+        got_mm = np.asarray(windowed_group_quantile(x, gi.merge_plan, q, use_kernel=False))
+    np.testing.assert_array_equal(got_mm, want)
+    # and extract_mode="flat" must route identically to extract_flat=True
+    with set_options(extract_mode="flat"):
+        got_f = np.asarray(windowed_group_quantile(x, gi.merge_plan, q, use_kernel=False))
+    np.testing.assert_array_equal(got_f, want)

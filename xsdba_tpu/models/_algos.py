@@ -315,13 +315,13 @@ def _windowed_group_mean(x, plan):
     jax.jit,
     static_argnames=(
         "half", "window", "ypad", "wpad", "dp", "use_kernel", "kind",
-        "counts", "q_static", "edge_tuple", "regular", "extract_flat", "fuse_classes",
+        "counts", "q_static", "edge_tuple", "regular", "extract_mode", "fuse_classes",
     ),
 )
 def _eqm_train_windowed_fused(
     ref, hist, w1, eid, eg, q, *,
     half, window, ypad, wpad, dp, use_kernel, kind, counts, q_static, edge_tuple,
-    regular=None, extract_flat=False, fuse_classes=True,
+    regular=None, extract_mode="strip", fuse_classes=True,
 ):
     """Fully-fused EQM windowed train: stack + grouped quantiles + factors in
     ONE program (every intermediate eager op costs a dispatch round-trip over
@@ -334,7 +334,7 @@ def _eqm_train_windowed_fused(
         half=half, window=window, ypad=ypad, wpad=wpad, dp=dp,
         use_kernel=use_kernel, interpret=False, alpha=1.0, beta=1.0,
         counts=counts, q_static=q_static, edge_tuple=edge_tuple, regular=regular,
-        extract_flat=extract_flat, fuse_classes=fuse_classes,
+        extract_mode=extract_mode, fuse_classes=fuse_classes,
     )
     # materialize the extracted tables once: the ref/hist slices below are
     # separate consumers and XLA otherwise re-runs the extraction gather per
@@ -398,14 +398,14 @@ def _sel_fused_ok(plan, ref, hist, quantiles) -> bool:
     static_argnames=(
         "half", "window", "ypad", "wpad", "dp", "use_kernel", "kind",
         "counts", "q_static", "edge_tuple", "regular", "interp", "extrapolation",
-        "extract_flat", "fuse_classes",
+        "extract_mode", "fuse_classes",
     ),
 )
 def _eqm_train_adjust_windowed_fused(
     ref, hist, sim, w1, eid, eg, q, brackets, *,
     half, window, ypad, wpad, dp, use_kernel, kind, counts, q_static, edge_tuple,
     regular=None, interp="linear", extrapolation="constant",
-    extract_flat=False, fuse_classes=True,
+    extract_mode="strip", fuse_classes=True,
 ):
     """Windowed EQM train + adjust in ONE program: stack + grouped quantiles +
     factors + grouped table lookup + correction.  One dispatch per step —
@@ -418,7 +418,7 @@ def _eqm_train_adjust_windowed_fused(
         half=half, window=window, ypad=ypad, wpad=wpad, dp=dp,
         use_kernel=use_kernel, kind=kind, counts=counts, q_static=q_static,
         edge_tuple=edge_tuple, regular=regular,
-        extract_flat=extract_flat, fuse_classes=fuse_classes,
+        extract_mode=extract_mode, fuse_classes=fuse_classes,
     )
     # Materialize the train tables before the adjust side consumes them:
     # without the barrier XLA fuses the extraction gather into the adjust's
@@ -491,7 +491,7 @@ def eqm_train_adjust_windowed(
     qdev = jnp.asarray(quantiles, dtype=ref.dtype)
     from ..ops.quantile import _engine_statics
 
-    extract_flat, fuse_classes = _engine_statics()
+    extract_mode, fuse_classes = _engine_statics()
 
     def call(static: bool):
         if static:
@@ -507,7 +507,7 @@ def eqm_train_adjust_windowed(
             dp=plan.dp, use_kernel=bool(use_kernel), kind=kind,
             counts=counts, q_static=q_static, edge_tuple=edge_tuple,
             regular=plan.regular_period, interp=interp, extrapolation=extrapolation,
-            extract_flat=extract_flat, fuse_classes=fuse_classes,
+            extract_mode=extract_mode, fuse_classes=fuse_classes,
         )
 
     if assume_finite is True:
@@ -576,7 +576,7 @@ def eqm_train_windowed(ref, hist, plan, quantiles, *, kind: str):
     qdev = jnp.asarray(quantiles, dtype=ref.dtype)
     from ..ops.quantile import _engine_statics
 
-    extract_flat, fuse_classes = _engine_statics()
+    extract_mode, fuse_classes = _engine_statics()
 
     def call(static: bool):
         if static:
@@ -592,7 +592,7 @@ def eqm_train_windowed(ref, hist, plan, quantiles, *, kind: str):
             dp=plan.dp, use_kernel=bool(use_kernel), kind=kind,
             counts=counts, q_static=q_static, edge_tuple=edge_tuple,
             regular=plan.regular_period,
-            extract_flat=extract_flat, fuse_classes=fuse_classes,
+            extract_mode=extract_mode, fuse_classes=fuse_classes,
         )
 
     if isinstance(ref, jax.core.Tracer) or isinstance(hist, jax.core.Tracer):

@@ -428,18 +428,42 @@ def _fold_plan(c: int, window: int, classes: int):
     return runs
 
 
-def _bitonic_asc_grid(feed, m: int):
-    """Ascending merge of ONE bitonic flat run [..., R, m] in grid layout."""
+def _bitonic_asc_grid(feed, m: int, dr: int | None = None, data_at: str | None = None):
+    """Ascending merge of ONE bitonic flat run [..., R, m] in grid layout.
+
+    ``dr`` (static) is the data-row bound: at most ``dr`` rows hold non-pad
+    values in the SORTED result; pads are +inf (``data_at="front"``: data
+    ends up in the first ``dr`` rows) or -inf (``data_at="back"``: last
+    ``dr``).  After the stride-``s`` row stage every aligned ``s``-row block
+    holds its final elements, so rows provably outside the data extent are
+    cropped progressively DURING the row cascade, and the per-row lane
+    stages then run on the ``dr`` surviving rows only — at the heavy shape
+    (window 31, 151 valid of 256 lanes) this removes ~1/3 of the fold's
+    compare-exchange slots.  Returns [..., dr, m] when ``dr`` is given (the
+    cropped rows are pure pads — the output multiset is unchanged, so
+    results stay bit-identical to the uncropped network)."""
     R = feed.shape[-2]
-    row = jax.lax.broadcasted_iota(jnp.int32, feed.shape, feed.ndim - 2)
-    lane = jax.lax.broadcasted_iota(jnp.int32, feed.shape, feed.ndim - 1)
+    if dr is None or dr >= R:
+        dr, data_at = R, None
     sr = R // 2
     while sr >= 1:
+        row = jax.lax.broadcasted_iota(jnp.int32, feed.shape, feed.ndim - 2)
         fwd = _roll_pallas(feed, -sr, feed.ndim - 2)
         bwd = _roll_pallas(feed, sr, feed.ndim - 2)
         is_low = (row & sr) == 0
         feed = jnp.where(is_low, jnp.minimum(feed, fwd), jnp.maximum(feed, bwd))
+        if data_at is not None and sr > 1:
+            keep = -(-dr // sr) * sr
+            if keep < feed.shape[-2]:
+                feed = (
+                    feed[..., :keep, :]
+                    if data_at == "front"
+                    else feed[..., feed.shape[-2] - keep :, :]
+                )
         sr //= 2
+    if dr < feed.shape[-2]:
+        feed = feed[..., :dr, :] if data_at == "front" else feed[..., feed.shape[-2] - dr :, :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, feed.shape, feed.ndim - 1)
     s = m // 2
     while s >= 1:
         fwd = _roll_pallas(feed, -s, feed.ndim - 1)
@@ -464,39 +488,70 @@ def _fold_class_body(
 ):
     """One class's window fold for per-class group index ``gq`` (a traced
     scalar); returns the merged rows [TB, out_rows, m].  Shared by the
-    per-class and the fused all-classes kernels."""
+    per-class and the fused all-classes kernels.
+
+    Operands and accumulators are kept COMPACT: each block holds exactly
+    ``ceil(valid/m)`` data rows (``valid`` the worst-case member count so
+    far, ``ymax`` per base row) — the pure-pad rows a pow2 layout would
+    carry are materialized only as the merge feed's pad block and cropped
+    again inside the merge network (``_bitonic_asc_grid``'s progressive
+    row-stage crops + data-rows-only lane stages).  Multiset-preserving
+    throughout, so the emitted rows are bit-identical to the uncropped
+    cascade (pinned vs the re-sort oracle in tests/test_merge_quantile.py).
+    """
     TB = slab_ref.shape[0]
 
+    def _crop(w, dr: int, d: _Dir):
+        """Crop a sorted VALUES block to its ``dr`` data rows (pads are at
+        the tail when ascending, at the head when descending; parity-select
+        for flip runs)."""
+        rows = w.shape[1]
+        if dr >= rows:
+            return w
+        if d.flip:
+            asc_now = jnp.logical_xor(jnp.asarray(d.asc), gpar)
+            return jnp.where(asc_now, w[:, :dr, :], w[:, rows - dr :, :])
+        return w[:, :dr, :] if d.asc else w[:, rows - dr :, :]
+
     def values(delta: int, rows: int, k: int):
-        """Materialize a run's VALUES [TB, rows, m] and its direction."""
+        """Materialize a run's VALUES (compacted) and its direction."""
         off = (c + delta) % 8
         base = pl.multiple_of(classes * gq + (c + delta) - off, 8)
+        d = _run_dir(c + delta, k, classes)
         if k == 0:
             sup = slab_ref[:, pl.ds(base, rows + 8), :]
-            return sup[:, off : off + rows, :], _run_dir(c + delta, 0, classes)
-        sup = lv_ref[:, k - 1, pl.ds(base, rows + 8), :]
-        w = sup[:, off : off + rows, :]
-        d = _run_dir(c + delta, k, classes)
-        # v = sigma * stored; sigma's sign bit IS the direction bit
-        if d.flip:
-            neg = jnp.logical_xor(jnp.asarray(not d.asc), gpar)
-            w = jnp.where(neg, -w, w)
-        elif not d.asc:
-            w = -w
-        return w, d
+            w = sup[:, off : off + rows, :]
+        else:
+            sup = lv_ref[:, k - 1, pl.ds(base, rows + 8), :]
+            w = sup[:, off : off + rows, :]
+            # v = sigma * stored; sigma's sign bit IS the direction bit
+            if d.flip:
+                neg = jnp.logical_xor(jnp.asarray(not d.asc), gpar)
+                w = jnp.where(neg, -w, w)
+            elif not d.asc:
+                w = -w
+        return _crop(w, -(-(rows * ymax) // m), d), d
 
-    def sort_bitonic_to(w, out: _Dir):
-        """Sort a bitonic VALUES block to direction ``out``."""
+    def sort_bitonic_to(w, out: _Dir, valid: int):
+        """Sort a bitonic VALUES block to direction ``out``, compacted to
+        its ``ceil(valid/m)`` data rows."""
+        dr = min(-(-valid // m), w.shape[1])
         if out.flip:
             tau_neg = jnp.logical_xor(jnp.asarray(not out.asc), gpar)
             w = jnp.where(tau_neg, -w, w)
+            # pad sign (and so the data side) is parity-dependent: skip the
+            # in-network row crops, crop both candidate sides after
             w = _bitonic_asc_grid(w, m)
+            rows = w.shape[1]
+            if dr < rows:
+                w = jnp.where(tau_neg, w[:, rows - dr :, :], w[:, :dr, :])
             return jnp.where(tau_neg, -w, w)
         if not out.asc:
-            return -_bitonic_asc_grid(-w, m)
-        return _bitonic_asc_grid(w, m)
+            # negated: pads are -inf, data lands in the LAST dr rows
+            return -_bitonic_asc_grid(-w, m, dr=dr, data_at="back")
+        return _bitonic_asc_grid(w, m, dr=dr, data_at="front")
 
-    def merge(acc, acc_dir: _Dir, op, op_dir: _Dir, out: _Dir):
+    def merge(acc, acc_dir: _Dir, op, op_dir: _Dir, out: _Dir, valid: int):
         """Merge two opposite-direction VALUES runs to direction ``out``.
 
         +inf pads must extend a monotone flank, not break the single
@@ -504,6 +559,8 @@ def _fold_class_body(
         with acc descending they go in FRONT (valley).  acc's direction can
         be parity-dependent (flip), so both layouts are built and selected
         by the scalar — the layouts differ only in the pad block position.
+        (Compact blocks still carry up to m-1 pads inside their boundary
+        row; those sit on the same monotone flank, so bitonicity holds.)
         """
         del op_dir
         ra, ro = acc.shape[1], op.shape[1]
@@ -522,7 +579,7 @@ def _fold_class_body(
                 w = jnp.concatenate([pad, acc, op], axis=1)
         else:
             w = jnp.concatenate([acc, op], axis=1)
-        return sort_bitonic_to(w, out)
+        return sort_bitonic_to(w, out, valid)
 
     d0, r0, k0 = plan[0]
     acc, acc_dir = values(d0, r0, k0)
@@ -532,7 +589,7 @@ def _fold_class_body(
         # bootstrap: re-sort the (monotone == bitonic) first run; covers
         # both the static-flip and parity-dependent cases (identity when
         # the direction already matches)
-        acc = sort_bitonic_to(acc, want0)
+        acc = sort_bitonic_to(acc, want0, valid)
         acc_dir = want0
 
     for i in range(1, len(plan)):
@@ -542,14 +599,9 @@ def _fold_class_body(
             want = _run_dir(c + plan[i + 1][0], plan[i + 1][2], classes).opposite()
         else:
             want = _Dir(True)
-        acc = merge(acc, acc_dir, op, op_dir, want)
-        acc_dir = want
         valid += rr * ymax
-        # compact: rows past the worst-case valid count are pure +inf (at
-        # the tail when ascending, at the head when descending)
-        need = _next_pow2(-(-valid // m))
-        if not want.flip and need < acc.shape[1]:
-            acc = acc[:, : need, :] if want.asc else acc[:, acc.shape[1] - need :, :]
+        acc = merge(acc, acc_dir, op, op_dir, want, valid)
+        acc_dir = want
 
     R = acc.shape[1]
     if R < out_rows:

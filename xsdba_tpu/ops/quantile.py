@@ -195,9 +195,10 @@ def _pair_finite_probe(a, b):
     return _static_safe(a) & _static_safe(b)
 
 
-# extraction variant for host-known counts (runtime option ``extract_flat``):
+# extraction variant for host-known counts (runtime option ``extract_mode``):
 # "strip" = per-quantile static 32-wide slices + constant-mask selects;
-# "flat" = one constant-index gather from the flattened [..., G*n] axis.
+# "flat" = one constant-index gather from the flattened [..., G*n] axis;
+# "matmul" = one-hot MXU contraction at Precision.HIGHEST.
 # A/B'd on hardware (PERFORMANCE.md); threaded into the core as a static arg.
 
 
@@ -249,6 +250,49 @@ def _static_flat_extract(merged, counts, q_static, edge_ids, alpha, beta):
     vals = jnp.take(flat, jnp.asarray(both, dtype=jnp.int32), axis=-1)
     left = vals[..., : G * nq].reshape(lead + (G, nq))
     right = vals[..., G * nq :].reshape(lead + (G, nq))
+    npdt = np.float32 if merged.dtype == jnp.float32 else np.float64
+    out = _lerp(left, right, jnp.asarray(gamma.astype(npdt)))
+    if empty.any():
+        out = jnp.where(jnp.asarray(empty)[:, None], jnp.nan, out)
+    return out
+
+
+def _static_matmul_extract(merged, counts, q_static, edge_ids, alpha, beta):
+    """Static-count extraction as a one-hot MXU contraction per group.
+
+    Same host-side type-7 index/gamma math as the flat/strip forms; the
+    2*nq picked columns per group are selected by a bf16 one-hot
+    [G, n, 2nq] contraction at ``Precision.HIGHEST`` — exact for f32
+    inputs (the bf16x3 decomposition reproduces ``x*1.0`` bit-exactly and
+    exactly one term per output is non-zero; a picked ``-0.0`` may come
+    back ``+0.0``, which no comparison or lerp downstream can observe).
+    +inf pads are clamped to f32 max before the contraction (``0 * inf``
+    would NaN-poison the sums); static indices never select pad positions
+    for non-empty groups and empty groups are NaN-masked after, so the
+    clamp is unobservable.  The index constant rides through an
+    ``optimization_barrier`` so XLA cannot constant-fold the [G, n, 2nq]
+    one-hot into the serialized program (the relay rejects >100 MB HLO).
+    """
+    n = merged.shape[-1]
+    G = merged.shape[-2]
+    pi, ni, gamma, empty = _static_extract_indices(
+        counts, q_static, n, merged.dtype, alpha, beta
+    )
+    nq = pi.shape[1]
+    idx = jnp.asarray(np.concatenate([pi, ni], axis=1).astype(np.int32))  # [G, 2nq]
+    idx = jax.lax.optimization_barrier(idx)
+    oh = (
+        jnp.arange(n, dtype=jnp.int32)[None, :, None] == idx[:, None, :]
+    ).astype(jnp.bfloat16)  # [G, n, 2nq]
+    safe = jnp.minimum(merged, jnp.asarray(np.finfo(np.float32).max, merged.dtype))
+    vals = jnp.einsum(
+        "...gn,gnk->...gk",
+        safe,
+        oh,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=merged.dtype,
+    )
+    left, right = vals[..., :nq], vals[..., nq:]
     npdt = np.float32 if merged.dtype == jnp.float32 else np.float64
     out = _lerp(left, right, jnp.asarray(gamma.astype(npdt)))
     if empty.any():
@@ -317,10 +361,16 @@ _PLAN_FINITE_HINT: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 def _engine_statics():
     """Resolve the merge-path engine options OUTSIDE jit so they enter the
-    compiled programs as static arguments (option flips re-trace)."""
+    compiled programs as static arguments (option flips re-trace).
+
+    ``extract_mode="auto"`` honors the back-compat ``extract_flat`` boolean,
+    then falls to the measured per-backend default."""
     from ..utils.options import get_option
 
-    return bool(get_option("extract_flat")), bool(get_option("fuse_fold_classes"))
+    mode = get_option("extract_mode")
+    if mode == "auto":
+        mode = "flat" if get_option("extract_flat") else "strip"
+    return mode, bool(get_option("fuse_fold_classes"))
 
 
 def speculative_static_dispatch(plan, probe, call):
@@ -394,7 +444,7 @@ def _plan_device_arrays(plan):
         "q_static",
         "edge_tuple",
         "regular",
-        "extract_flat",
+        "extract_mode",
         "fuse_classes",
     ),
 )
@@ -418,7 +468,7 @@ def _windowed_group_quantile_core(
     q_static: tuple | None = None,
     edge_tuple: tuple = (),
     regular: int | None = None,
-    extract_flat: bool = False,
+    extract_mode: str = "strip",
     fuse_classes: bool = True,
 ):
     from .pallas.merge_kernel import (
@@ -502,8 +552,11 @@ def _windowed_group_quantile_core(
     out = None
     if counts is not None and q_static is not None:
         # host-known valid counts: fully-static extraction (flat constant
-        # gather or strip selects, bit-identical — ``extract_flat`` option)
-        if extract_flat:
+        # gather, one-hot MXU contraction, or strip selects — bit-identical,
+        # ``extract_mode`` option)
+        if extract_mode == "matmul" and merged.dtype == jnp.float32:
+            out = _static_matmul_extract(merged, counts, q_static, edge_tuple, alpha, beta)
+        elif extract_mode in ("flat", "matmul"):  # matmul falls back off-f32
             out = _static_flat_extract(merged, counts, q_static, edge_tuple, alpha, beta)
         else:
             out = _static_strip_extract(merged, counts, q_static, edge_tuple, alpha, beta)
@@ -583,7 +636,7 @@ def windowed_group_quantile(
         and not isinstance(x, jax.core.Tracer)  # no host probe under a trace
     )
     probe_dev = _finite_probe(x) if can_static else None
-    extract_flat, fuse_classes = _engine_statics()
+    extract_mode, fuse_classes = _engine_statics()
 
     def run(xc, static: bool):
         if static:
@@ -612,7 +665,7 @@ def windowed_group_quantile(
             q_static=q_static,
             edge_tuple=edge_tuple,
             regular=plan.regular_period,
-            extract_flat=extract_flat,
+            extract_mode=extract_mode,
             fuse_classes=fuse_classes,
         )
 

@@ -22,6 +22,7 @@ __all__ = [
     "AS_DATASET",
     "EXTRA_OUTPUT",
     "EXTRACT_FLAT",
+    "EXTRACT_MODE",
     "FUSE_FOLD_CLASSES",
     "OPTIONS",
     "SELECTION_BACKEND",
@@ -53,8 +54,15 @@ SELECTION_SORT = "selection_sort"
 #: v5e) vs per-class launches.
 FUSE_FOLD_CLASSES = "fuse_fold_classes"
 #: Static-count extraction form: flat constant-index gather (True) vs
-#: 32-wide strip selects (False); bit-identical outputs.
+#: 32-wide strip selects (False); bit-identical outputs.  Subsumed by
+#: ``extract_mode`` — kept as the back-compat boolean.
 EXTRACT_FLAT = "extract_flat"
+#: Static-count extraction engine: "strip" (32-wide static slices +
+#: constant-mask selects), "flat" (one constant-index gather from the
+#: flattened group axis), "matmul" (one-hot MXU contraction at
+#: Precision.HIGHEST — bit-exact for f32, see ops/quantile.py), or "auto"
+#: (the measured per-backend default; honors ``extract_flat=True``).
+EXTRACT_MODE = "extract_mode"
 
 
 def _env_bool(name: str, default: bool) -> bool:
@@ -73,11 +81,13 @@ _DEFAULTS = {
     SELECTION_SORT: os.environ.get("XSDBA_SELECTION_SORT", "auto"),
     FUSE_FOLD_CLASSES: _env_bool("XSDBA_FUSE_FOLD_CLASSES", True),
     EXTRACT_FLAT: _env_bool("XSDBA_EXTRACT_FLAT", False),
+    EXTRACT_MODE: os.environ.get("XSDBA_EXTRACT_MODE", "auto"),
 }
 
 _VALIDATORS = {
     SELECTION_MODE: lambda v: v in ("auto", "emit", "gather"),
     SELECTION_SORT: lambda v: v in ("auto", "pallas", "xla", "lax"),
+    EXTRACT_MODE: lambda v: v in ("auto", "strip", "flat", "matmul"),
 }
 # process-global, like the reference's plain OPTIONS dict (options.py:12-83):
 # a main-thread set_options(...) must be visible to worker threads
