@@ -61,6 +61,37 @@ def test_selection_mode_option_bit_identical():
     np.testing.assert_array_equal(a, c)
 
 
+def test_selection_sort_option_bit_identical():
+    """lax.sort vs the bitonic network stage-1 (``xla`` = the CPU-testable
+    lowering of the TPU ``pallas`` default), flipped through the option,
+    must be bit-identical — including a partial-NaN row."""
+    gi, x, q = _problem(window=5)
+    plan = gi.merge_plan
+    xj = jnp.asarray(x)
+    with set_options(selection_sort="lax"):
+        a = np.asarray(selection_windowed_quantile(xj, plan, q))
+    with set_options(selection_sort="xla"):
+        b = np.asarray(selection_windowed_quantile(xj, plan, q))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_extract_mode_option_bit_identical():
+    """strip / flat / matmul static extraction engines, flipped through the
+    option, must be bit-identical; ``auto`` honors ``extract_flat``."""
+    gi, x, q = _problem(window=5, seed=23)
+    x = np.where(np.isnan(x), 1.0, x).astype(np.float32)  # static path: finite
+    plan = gi.merge_plan
+    outs = {}
+    with set_options(selection_backend=False):
+        for mode in ("strip", "flat", "matmul"):
+            with set_options(extract_mode=mode):
+                outs[mode] = np.asarray(windowed_group_quantile(x, plan, q))
+        with set_options(extract_flat=True):
+            outs["compat"] = np.asarray(windowed_group_quantile(x, plan, q))
+    for k in ("flat", "matmul", "compat"):
+        np.testing.assert_array_equal(outs[k], outs["strip"], err_msg=k)
+
+
 def test_fuse_fold_classes_option_bit_identical():
     """Fused all-classes fold vs per-class launches (interpret mode off-TPU),
     flipped through the option, must be bit-identical."""
