@@ -369,7 +369,12 @@ def _engine_statics():
 
     mode = get_option("extract_mode")
     if mode == "auto":
-        mode = "flat" if get_option("extract_flat") else "strip"
+        # measured default: the flat constant-index gather wins on v5e both
+        # isolated (11.6 vs strip 19.1 vs matmul 16.5 ms at the heavy shape)
+        # and in-step (heavy 170 vs 196 ms — docs/PERFORMANCE.md); CPU
+        # gathers are cheap, so flat everywhere.  ``extract_flat=True`` is
+        # the same engine (back-compat).
+        mode = "flat"
     return mode, bool(get_option("fuse_fold_classes"))
 
 
