@@ -46,6 +46,40 @@ def test_windowed_doy_quantile_kernel_interpret():
     np.testing.assert_allclose(got, want, rtol=1e-6, equal_nan=True)
 
 
+@pytest.mark.parametrize("window", [9, 13, 16, 21, 27])
+def test_shared_fold_window_sweep_exact(window):
+    """The shared-dyadic fold across window sizes (classes=8 plans for
+    window 9-16, classes=16 for 17+; every dyadic-segment shape and
+    exact-crop layout) must match the plain cascade oracle exactly,
+    fused and per-class, including ymax compaction."""
+    import jax.numpy as jnp
+
+    from xsdba_tpu.ops.pallas.merge_kernel import (
+        alternate_row_directions,
+        merged_window_rows_shared,
+        merged_window_rows_xla,
+    )
+
+    rng = np.random.default_rng(100 + window)
+    B, Dp, m, G, ymax = 4, 64, 16, 12, 11
+    x = rng.normal(0, 1, (B, Dp, m)).astype(np.float32)
+    x[:, :, ymax:] = np.inf
+    x.sort(axis=-1)
+    s_pad = jnp.asarray(alternate_row_directions(jnp.asarray(x)))
+    want = np.asarray(merged_window_rows_xla(s_pad, window, G))
+    for fuse in (True, False):
+        got = np.asarray(
+            merged_window_rows_shared(
+                s_pad, window, G, interpret=True, ymax=ymax, fuse_classes=fuse
+            )
+        )
+        w = min(got.shape[-1], want.shape[-1])
+        np.testing.assert_array_equal(
+            got[..., :w], want[..., :w], err_msg=f"window={window} fuse={fuse}"
+        )
+        assert np.all(got[..., w:] == np.inf) and np.all(want[..., w:] == np.inf)
+
+
 def test_5d_grouping_merge_plan_matches():
     t, x = _series("noleap", years=5, n_sites=2, seed=3)
     gi = Grouper("5D", window=3).indexes(t)
