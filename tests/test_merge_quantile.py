@@ -46,12 +46,15 @@ def test_windowed_doy_quantile_kernel_interpret():
     np.testing.assert_allclose(got, want, rtol=1e-6, equal_nan=True)
 
 
-@pytest.mark.parametrize("window", [9, 13, 16, 21, 27])
+@pytest.mark.parametrize("window", [9, 13, 16, 21, 24, 27])
 def test_shared_fold_window_sweep_exact(window):
     """The shared-dyadic fold across window sizes (classes=8 plans for
     window 9-16, classes=16 for 17+; every dyadic-segment shape and
     exact-crop layout) must match the plain cascade oracle exactly,
-    fused and per-class, including ymax compaction."""
+    fused and per-class, including ymax compaction.  Window 24 pins the
+    2-run bootstrap classes (c = 0 and 8) whose exact-cropped first run
+    has a non-pow2 row count — the bootstrap re-sort must repad to pow2
+    before entering the merge network (regression: round 5)."""
     import jax.numpy as jnp
 
     from xsdba_tpu.ops.pallas.merge_kernel import (

@@ -536,6 +536,19 @@ def _fold_class_body(
         """Sort a bitonic VALUES block to direction ``out``, compacted to
         its ``ceil(valid/m)`` data rows."""
         dr = min(-(-valid // m), w.shape[1])
+        R0 = w.shape[1]
+        Rp = _next_pow2(R0)
+        if Rp != R0:
+            # The merge network is only valid for pow2 row counts (its row
+            # stages roll cyclically), but the bootstrap can hand us an
+            # exact-cropped single run with any row count.  That operand is
+            # MONOTONE, and a monotone block stays bitonic in every sign
+            # space with constant +inf rows appended at the tail (they group
+            # with the existing value-space pads, so the dr-side crops below
+            # are unchanged).
+            w = jnp.concatenate(
+                [w, jnp.full((TB, Rp - R0, m), jnp.inf, w.dtype)], axis=1
+            )
         if out.flip:
             tau_neg = jnp.logical_xor(jnp.asarray(not out.asc), gpar)
             w = jnp.where(tau_neg, -w, w)
